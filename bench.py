@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() action — full plan runs,
+nothing is collected to the driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_pr_spark.queries import REGISTRY  # noqa: E402
+from big_data_pr_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_semi_discounted",
+    "ohlcv_candles_sma",
+    "sliding_window_stats",
+    "sma_events",
+    "asof_join_purchase_click",
+    "latest_event_per_user",
+    "topk_events_by_value",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not session startup
+    REGISTRY["q1_pricing"].fn(spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

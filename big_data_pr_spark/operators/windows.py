@@ -1,0 +1,163 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Reference parity:
+- W1/W2: trailing SMA-7 / SMA-30 over (symbol, timeframe) ordered by
+  timestamp (reference ``batch_processor.py:109-115``) — this is
+  literally Spark's ``avg().over(Window.rowsBetween)`` primitive.
+- W3: top-1-per-key ("latest stats row", reference ``app.py:102-104``)
+  — ``row_number() == 1`` over a desc-ordered key window.
+- EMA / pct-change: described in the reference report §6 (code absent
+  from the snapshot); EMA is a recursion, expressed here exactly via
+  ``collect_list`` over the growing frame + ``F.aggregate`` (JVM-side
+  higher-order function — no Python UDF).
+
+Scale notes (100 TB posture):
+- All window specs partition by the series key, so Spark shuffles once
+  by key and sorts within partitions; no global sort anywhere (the
+  reference's redundant global ``orderBy`` at ``batch_processor.py:104``
+  is deliberately NOT reproduced — see SURVEY.md §4).
+- Skewed keys: a single symbol's full history lands in one task. For
+  crypto-candle data (≤ a few M rows/key) this is fine; for larger
+  series chunk by (key, coarse time bucket) and stitch overlaps.
+- ``ema`` materializes the per-row prefix as an array (O(n²) per key);
+  use it for bounded series (dashboards); ``ema_long`` below is the
+  linear-memory ``applyInPandas`` variant for long series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sma(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    window_rows: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing simple moving average over the previous ``window_rows`` rows
+    (inclusive of current), per key.
+
+    Mirrors reference ``batch_processor.py:109-115`` (SMA-7 uses
+    ``rowsBetween(-6, 0)``). Warm-up rows (< window_rows available)
+    average over what exists — same as the reference (no nulls).
+    """
+    out_col = out_col or f"sma_{window_rows}"
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def pct_change(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_col: str = "pct_change",
+) -> DataFrame:
+    """Percent change vs the previous row per key: ``value/lag(value) - 1``.
+
+    Reference report §6 dashboard feature; first row per key is null.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    prev = F.lag(F.col(value_col)).over(w)
+    return df.withColumn(out_col, F.col(value_col) / prev - F.lit(1.0))
+
+
+def ema(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    span: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponential moving average (pandas ``ewm(span=..., adjust=False)``
+    semantics): ``e_0 = x_0;  e_t = α·x_t + (1-α)·e_{t-1}``, α = 2/(span+1).
+
+    The recursion is not a frame aggregate, so we materialize the prefix
+    of each series with ``collect_list`` over an unbounded-preceding
+    frame and fold it with ``F.aggregate`` — a JVM higher-order
+    function, no Python in the loop. O(n²) state per key: use only for
+    bounded series; see :func:`ema_long` for the linear variant.
+    """
+    out_col = out_col or f"ema_{span}"
+    alpha = 2.0 / (span + 1.0)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.collect_list(F.col(value_col)).over(w)
+    folded = F.aggregate(
+        F.slice(prefix, 2, F.greatest(F.size(prefix) - 1, F.lit(0))),
+        F.element_at(prefix, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn(out_col, folded)
+
+
+def ema_long(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    span: int,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear-memory EMA for long series: per-key ``applyInPandas`` with
+    pandas ``ewm`` — Arrow-batched, one pass per key.
+
+    At 100 TB the shuffle is by key only (same exchange the window
+    variant needs); each task streams its group once.
+    """
+    import pandas as pd  # noqa: F401 — required on executors
+
+    out_col = out_col or f"ema_{span}"
+    schema_df = df.withColumn(out_col, F.lit(0.0).cast("double"))
+    out_schema = schema_df.schema
+    order_list = list(order_cols)
+
+    def per_key(pdf):
+        pdf = pdf.sort_values(order_list)
+        pdf[out_col] = pdf[value_col].ewm(span=span, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(per_key, schema=out_schema)
+
+
+def top1_per_key(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Latest/first row per key (reference ``app.py:102-104``: ES
+    ``size:1, sort window_end desc`` per symbol).
+
+    ``row_number() == 1`` over the per-key window; Catalyst executes
+    this as a single shuffle + per-partition sort with early stop
+    (TopK via ``WindowGroupLimit`` in Spark ≥3.5).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k (reference ``app.py:219-228``: sort desc, size k).
+
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject: each
+    partition keeps a k-heap, driver merges; no global sort.
+    """
+    return df.orderBy(*order_cols).limit(k)

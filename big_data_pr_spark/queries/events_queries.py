@@ -1,0 +1,644 @@
+"""Reference-parity query surface on the ``events`` fixture table.
+
+The reference's operators (SURVEY.md §2) act on OHLCV candle series;
+the driver fixture analogue is ``events`` (event_id, ts, user_id,
+event_type, value, props). Mapping (FIXTURES.md §3):
+
+- ``event_type``  plays the reference's ``symbol``
+- ``ts`` / ``value`` play candle timestamp / close
+- hourly-bucketed candles are derived with ``min_by/max_by`` (open/
+  close), which also fixes the reference's nondeterministic ``F.last``
+  (SURVEY.md §2.4 A1 note) by ordering on event time.
+
+Every query here has a DuckDB oracle unless marked rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import ema, pct_change, sma, top1_per_key, topk
+from ..tables import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: events → hourly candles → SMA-7/SMA-30 (the reference's
+# batch pipeline shape: batch_processor.py steps 2-9, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+_CANDLES_SQL = """
+    SELECT event_type                                AS symbol,
+           date_trunc('hour', ts)                    AS bucket,
+           arg_min(value, ts)                        AS "open",
+           max(value)                                AS high,
+           min(value)                                AS low,
+           arg_max(value, ts)                        AS "close",
+           round(sum(value), 4)                      AS volume,
+           count(*)                                  AS n_trades
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@register(
+    "ohlcv_candles_sma",
+    f"""
+    WITH candles AS ({_CANDLES_SQL})
+    SELECT symbol, bucket, "open", high, low, "close", volume, n_trades,
+           round(avg("close") OVER (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)  AS sma_7,
+           round(avg("close") OVER (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS sma_30
+    FROM candles
+    ORDER BY symbol, bucket
+    """,
+    doc="Flagship: hourly OHLCV candles + trailing SMA-7/SMA-30 per symbol "
+    "(reference batch_processor.py:109-115, W1/W2; deterministic min_by/"
+    "max_by replaces reference F.last).",
+)
+def ohlcv_candles_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candles = _candles(spark, sf_dir)
+    with_sma = sma(candles, "close", ["symbol"], ["bucket"], 7)
+    with_sma = sma(with_sma, "close", ["symbol"], ["bucket"], 30)
+    return with_sma.select(
+        "symbol",
+        "bucket",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "n_trades",
+        F.round("sma_7", 6).alias("sma_7"),
+        F.round("sma_30", 6).alias("sma_30"),
+    ).orderBy("symbol", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Raw window functions on events (W1/W2 shape without the candle roll-up)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sma_events",
+    """
+    SELECT event_id, event_type, ts, value,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)  AS sma_7,
+           round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 6) AS sma_30
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="W1/W2 trailing means directly over the event stream.",
+)
+def sma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = sma(ev, "value", ["event_type"], ["ts", "event_id"], 7)
+    out = sma(out, "value", ["event_type"], ["ts", "event_id"], 30)
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round("sma_7", 6).alias("sma_7"),
+        F.round("sma_30", 6).alias("sma_30"),
+    ).orderBy("event_type", "ts", "event_id")
+
+
+@register(
+    "pct_change_events",
+    """
+    SELECT event_id, event_type, ts,
+           round(value / lag(value) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) - 1, 6) AS pct_change
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="Percent change vs previous row per key (reference report §6).",
+)
+def pct_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = pct_change(ev, "value", ["event_type"], ["ts", "event_id"])
+    return out.select(
+        "event_id", "event_type", "ts", F.round("pct_change", 6).alias("pct_change")
+    ).orderBy("event_type", "ts", "event_id")
+
+
+_EMA_SPAN = 5
+_ALPHA = 2.0 / (_EMA_SPAN + 1.0)
+
+
+@register(
+    "ema_events",
+    f"""
+    WITH prefixed AS (
+      SELECT user_id, event_id, ts,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM events
+    )
+    SELECT user_id, event_id, ts,
+           round(list_reduce(prefix,
+                 (acc, x) -> {_ALPHA!r} * x + {1.0 - _ALPHA!r} * acc), 6) AS ema_5
+    FROM prefixed
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="EMA(span=5) per user series — recursive smoothing expressed as a "
+    "JVM-side fold (collect_list + F.aggregate), no Python UDF. Identical "
+    "fold constants injected into the DuckDB oracle (list_reduce).",
+)
+def ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = ema(ev, "value", ["user_id"], ["ts", "event_id"], _EMA_SPAN)
+    return out.select(
+        "user_id", "event_id", "ts", F.round("ema_5", 6).alias("ema_5")
+    ).orderBy("user_id", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key / top-k (A1, W3, O3/O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="A1/W3: latest row per key — deterministic replacement for the "
+    "reference's F.last() snapshot (stream_processor.py:80-90).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return top1_per_key(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
+    ).select("user_id", "event_id", "ts", "event_type", "value").orderBy("user_id")
+
+
+@register(
+    "topk_events_by_value",
+    """
+    SELECT event_id, event_type, ts, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+    doc="O4: global top-k desc (TakeOrderedAndProject — per-partition heap, "
+    "no global sort).",
+)
+def topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return topk(
+        ev.select("event_id", "event_type", "ts", "value"),
+        [F.desc("value"), F.asc("event_id")],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct listings (A3/A4) and high-watermark (A5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    doc="A3: distinct symbol listing (reference app.py:46-64 terms agg).",
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select("event_type").distinct().orderBy("event_type")
+
+
+@register(
+    "distinct_type_day_pairs",
+    """
+    SELECT DISTINCT event_type || '_' || CAST(CAST(ts AS DATE) AS VARCHAR) AS pair
+    FROM events ORDER BY pair
+    """,
+    doc="A4: distinct value pairs formatted '{sym}_{tf}' (app.py:66-83 "
+    "multi_terms agg).",
+)
+def distinct_type_day_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.concat_ws("_", F.col("event_type"), F.col("ts").cast("date").cast("string")).alias(
+                "pair"
+            )
+        )
+        .distinct()
+        .orderBy("pair")
+    )
+
+
+@register(
+    "high_watermark",
+    """
+    SELECT event_type, max(ts) AS max_ts, epoch_ms(max(ts)) AS max_ts_ms
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="A5: per-key high watermark (hourly_updater.py:58-106 max agg) — the "
+    "incremental-ingest anchor.",
+)
+def high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("max_ts"))
+        .withColumn("max_ts_ms", F.unix_millis(F.col("max_ts")))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "incremental_new_rows",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+    ORDER BY event_id
+    """,
+    doc="J3: high-watermark incremental — rows newer than the stored max(ts). "
+    "Implemented without collect(): scalar watermark broadcast-joined.",
+)
+def incremental_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wm = (
+        ev.filter(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(F.max("ts").alias("__wm"))
+    )
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("__wm"))
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding / tumbling windows (A2/T2 batch-equivalent with SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_stats",
+    """
+    SELECT event_type,
+           date_trunc('minute', ts) - k * INTERVAL '1 minute'                       AS window_start,
+           date_trunc('minute', ts) - k * INTERVAL '1 minute' + INTERVAL '10 minutes' AS window_end,
+           round(avg(value), 6) AS avg_value,
+           min(value)           AS min_value,
+           max(value)           AS max_value,
+           count(*)             AS n
+    FROM events CROSS JOIN range(0, 10) t(k)
+    GROUP BY 1, 2, 3
+    ORDER BY event_type, window_start
+    """,
+    doc="A2/T2: 10-min window sliding by 1 min, avg/min/max/count per symbol "
+    "(stream_processor.py:114-130) — batch-equivalent of the streaming agg; "
+    "oracle expands each row into its 10 covering windows.",
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "10 minutes", "1 minute").alias("w")
+        )
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+@register(
+    "tumbling_hour_stats",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value,
+           count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
+    """,
+    doc="T2 tumbling-window variant (1-hour buckets).",
+)
+def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("window_start"),
+            "avg_value", "sum_value", "n",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON decode (P2), scalar date/time functions (F4-F7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                 THEN 1 END)                                                       AS n_high
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="P2: from_json decode of the props payload + aggregation "
+    "(stream_processor.py:63-64 pattern).",
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_str,
+           epoch_ms(ts)                       AS ts_ms,
+           CAST(floor(epoch(ts)) AS BIGINT)   AS ts_s,
+           date_trunc('hour', ts)             AS ts_hour,
+           CAST(ts AS DATE)                   AS ts_date
+    FROM events ORDER BY event_id
+    """,
+    doc="F4-F7 scalar functions: ISO-8601 format (historical_crawler.py:135), "
+    "epoch ms/s conversions (batch_processor.py:91-92), hour truncation "
+    "(hourly_updater.py:171).",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_str"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.col("ts").cast("date").alias("ts_date"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Union-all + dedup (§2.7 / §1.4) — the two-ingest-dirs pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_dedup",
+    """
+    SELECT event_id, ts, event_type, value FROM (
+      SELECT event_id, ts, event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      UNION
+      SELECT event_id, ts, event_type, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    ) ORDER BY event_id
+    """,
+    doc="§2.7: union-all of overlapping ingest slices + key dedup — the "
+    "historical+hourly-update CSV overlap resolved by doc-id upsert "
+    "(batch_processor.py:132-148).",
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    older = ev.filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    newer = ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+    return older.unionByName(newer).distinct().orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (north-star extension, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join: each purchase aligned to the latest click at-or-before "
+    "it per user. Spark lacks a native ASOF; implemented as union + ordered "
+    "window last(ignorenulls) — one shuffle by key, linear scan, no "
+    "per-group pandas. Scales to arbitrarily large sides (vs merge_asof).",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("bigint").alias("event_id_p"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("event_id_p"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    # clicks sort before purchases at equal ts (is_p asc) → ASOF ">=" includes ties
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id_p").alias("event_id"), "user_id", "ts", "last_click_ts"
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer J1: latest snapshot ⋈ per-key stats (app.py:92-107)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "realtime_stats_join",
+    """
+    WITH latest AS (
+      SELECT event_type, ts AS last_ts, value AS last_value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM events
+      ) WHERE rn = 1
+    ), stats AS (
+      SELECT event_type, round(avg(value), 6) AS avg_value,
+             min(value) AS min_value, max(value) AS max_value, count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT l.event_type, l.last_ts, l.last_value,
+           s.avg_value, s.min_value, s.max_value, s.n
+    FROM latest l JOIN stats s ON l.event_type = s.event_type
+    ORDER BY l.event_type
+    """,
+    doc="J1: the /api/realtime_stats response as a real broadcast equi-join "
+    "of the latest-candle snapshot and the per-key stats table.",
+)
+def realtime_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    latest = top1_per_key(ev, ["event_type"], [F.desc("ts"), F.desc("event_id")]).select(
+        "event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        latest.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "last_ts", "last_value",
+            "avg_value", "min_value", "max_value", "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: recursive multi-step forecast (app.py:195-244), linearized stub model
+# ---------------------------------------------------------------------------
+
+_FC_STEPS = 24
+_FC_LOOKBACK = 24
+
+
+@register(
+    "forecast_linear",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    ranked AS (
+      SELECT symbol, bucket, "close",
+             row_number() OVER (PARTITION BY symbol ORDER BY bucket DESC) AS rn_desc,
+             "close" / lag("close") OVER (PARTITION BY symbol ORDER BY bucket) - 1 AS pct
+      FROM candles
+    ),
+    model AS (
+      SELECT symbol,
+             arg_max("close", bucket)  AS last_close,
+             max(bucket)               AS last_bucket,
+             round(least(greatest(
+                 avg(CASE WHEN rn_desc <= {_FC_LOOKBACK} THEN pct END),
+                 -0.05), 0.05), 6)     AS drift
+      FROM ranked GROUP BY symbol
+    )
+    SELECT symbol,
+           last_bucket + step * INTERVAL '1 hour'                 AS horizon_ts,
+           step,
+           round(last_close * power(1 + drift, step), 6)          AS forecast
+    FROM model CROSS JOIN range(1, {_FC_STEPS + 1}) t(step)
+    ORDER BY symbol, step
+    """,
+    doc="U1: 24-step recursive forecast (app.py:195-244) with a deterministic "
+    "drift model (pred_i = last_close·(1+d)^i, d = mean pct-change over the "
+    "last 24 candles). Same recursive-multi-step serving shape as the "
+    "XGBoost loop; fully distributed (no collect) and SQL-oracle-checkable. "
+    "The pluggable joblib-model variant lives in ohlcv/forecast.py.",
+)
+def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candles = _candles(spark, sf_dir)
+    w_desc = Window.partitionBy("symbol").orderBy(F.desc("bucket"))
+    w_asc = Window.partitionBy("symbol").orderBy("bucket")
+    ranked = candles.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.row_number().over(w_desc).alias("rn_desc"),
+        (F.col("close") / F.lag("close").over(w_asc) - 1).alias("pct"),
+    )
+    # drift clamped to ±5%/step (volatility guard — also keeps the
+    # compounded forecast in a numerically comparable range) and rounded
+    # so both engines exponentiate the identical base.
+    model = ranked.groupBy("symbol").agg(
+        F.max_by("close", "bucket").alias("last_close"),
+        F.max("bucket").alias("last_bucket"),
+        F.round(
+            F.least(
+                F.greatest(
+                    F.avg(F.when(F.col("rn_desc") <= _FC_LOOKBACK, F.col("pct"))),
+                    F.lit(-0.05),
+                ),
+                F.lit(0.05),
+            ),
+            6,
+        ).alias("drift"),
+    )
+    steps = F.explode(F.sequence(F.lit(1), F.lit(_FC_STEPS))).alias("step")
+    return (
+        model.select("symbol", "last_close", "last_bucket", "drift", steps)
+        .select(
+            "symbol",
+            (F.col("last_bucket") + F.make_interval(hours=F.col("step"))).alias("horizon_ts"),
+            F.col("step"),
+            F.round(
+                F.col("last_close") * F.pow(1 + F.col("drift"), F.col("step")), 6
+            ).alias("forecast"),
+        )
+        .orderBy("symbol", "step")
+    )

@@ -1,0 +1,63 @@
+"""Fixture-table loaders (driver-provided Parquet, TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet per table under
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets full filter
+pushdown + column pruning on the scan. No schema inference cost:
+parquet carries its schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We flip the
+    runtime conf ``spark.sql.legacy.parquet.nanosAsLong`` to read it
+    as epoch-nanos LongType, then rebuild a microsecond TimestampType
+    column (`timestamp_micros(ns div 1000)`). The fixture data has no
+    sub-microsecond bits (verified: `epoch_ns(ts) % 1000 == 0` for all
+    rows), so this is lossless and matches DuckDB's µs TIMESTAMP view
+    of the same file bit-for-bit.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div — float div would lose precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (serving layer uses SQL)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
