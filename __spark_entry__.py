@@ -14,7 +14,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Propagate to executor python workers (effective when the JVM starts
+# after this import; registry queries also avoid module-level UDF
+# references so they run under any session).
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from big_data_pr_spark.queries import REGISTRY  # noqa: E402
 

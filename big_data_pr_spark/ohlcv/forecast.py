@@ -1,0 +1,136 @@
+"""U1-U3: recursive multi-step price forecast (reference ``app.py:195-244``).
+
+The reference loads a per-symbol XGBoost regressor + MinMaxScaler
+(joblib), takes the last *k* closes, and iterates 24 times:
+scale → predict → append → slide window (``app.py:229-238``).
+
+Here the recursion is faithfully reproduced as a driver-side loop over a
+collected top-k window (k ≤ 24 rows — collecting it is correct even at
+100 TB: the *scan* that produces the top-k is distributed, see
+``serving.model_input_topk``; only the k-row window crosses to the
+driver). The model is pluggable:
+
+- :class:`DriftModel` — deterministic stub (mean pct-change drift) so
+  tests and the correctness gate never need binary artifacts;
+- any object with ``predict(ndarray) -> ndarray`` (e.g. a joblib-loaded
+  XGBoost regressor) + optional scaler with ``transform``/
+  ``inverse_transform`` — the reference's exact protocol (U2).
+
+For many-symbol batch inference the same ``step()`` runs inside
+``applyInPandas`` (one group per symbol) — see
+:func:`forecast_all_symbols`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOUR_MS = 3_600_000
+
+
+@dataclass
+class DriftModel:
+    """Deterministic stand-in for the XGBoost regressor: next value =
+    last value grown by the window's mean pct-change, clamped ±5%."""
+
+    clamp: float = 0.05
+
+    def predict(self, window: np.ndarray) -> np.ndarray:
+        w = window.reshape(-1)
+        if len(w) < 2 or not np.all(w[:-1] != 0):
+            drift = 0.0
+        else:
+            drift = float(np.mean(w[1:] / w[:-1] - 1.0))
+        drift = max(-self.clamp, min(self.clamp, drift))
+        return np.asarray([w[-1] * (1.0 + drift)])
+
+
+def _validate(model, scaler, window_size: int) -> None:
+    """U3: load-time sanity checks (reference ``app.py:214-217``)."""
+    n_in = getattr(model, "n_features_in_", None)
+    if n_in is not None and n_in != window_size:
+        raise ValueError(f"model expects {n_in} features, window is {window_size}")
+    if scaler is not None and not (
+        hasattr(scaler, "transform") and hasattr(scaler, "inverse_transform")
+    ):
+        raise ValueError("scaler must implement transform/inverse_transform")
+
+
+def recursive_forecast(
+    closes: list[float],
+    last_ts_ms: int,
+    steps: int = 24,
+    model=None,
+    scaler=None,
+    step_ms: int = HOUR_MS,
+) -> list[tuple[int, float]]:
+    """The U1 loop: predict → append → slide, ``steps`` times.
+
+    ``closes`` is the ascending model-input window (k = len(closes));
+    returns [(ts_ms, predicted_price)] for ts = last + i·step.
+    """
+    model = model or DriftModel()
+    k = len(closes)
+    _validate(model, scaler, k)
+    window = np.asarray(closes, dtype=np.float64)
+    out: list[tuple[int, float]] = []
+    for i in range(1, steps + 1):
+        x = window.reshape(1, -1)
+        if scaler is not None:
+            x = scaler.transform(x)
+        pred = float(np.asarray(model.predict(x)).reshape(-1)[0])
+        if scaler is not None:
+            pred = float(
+                scaler.inverse_transform(np.asarray([[pred]])).reshape(-1)[0]
+            )
+        out.append((last_ts_ms + i * step_ms, pred))
+        window = np.append(window[1:], pred)
+    return out
+
+
+def load_artifacts(model_path: str, scaler_path: str):
+    """Load joblib model artifacts when available (reference
+    ``app.py:22-23,207-218``); gated import — the container has no
+    xgboost, so callers fall back to :class:`DriftModel`."""
+    try:
+        import joblib  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("joblib not available; use DriftModel") from e
+    return joblib.load(model_path), joblib.load(scaler_path)
+
+
+def forecast_all_symbols(
+    hist: DataFrame, k: int = 24, steps: int = 24, step_ms: int = HOUR_MS
+) -> DataFrame:
+    """Distributed many-symbol variant: per-(symbol, timeframe) group,
+    run the same recursion inside ``applyInPandas`` (Arrow-batched; one
+    group = one model window — no driver collect)."""
+    import pandas as pd
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("timestamp_dt").tail(k)
+        closes = pdf["close"].tolist()
+        last_ms = int(pdf["timestamp_dt"].iloc[-1].timestamp() * 1000)
+        preds = recursive_forecast(closes, last_ms, steps=steps, step_ms=step_ms)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"].iloc[0],
+                "timeframe": pdf["timeframe"].iloc[0],
+                "horizon_ms": [t for t, _ in preds],
+                "forecast": [p for _, p in preds],
+            }
+        )
+
+    return (
+        hist.select("symbol", "timeframe", "timestamp_dt", "close")
+        .groupBy("symbol", "timeframe")
+        .applyInPandas(
+            per_group,
+            schema="symbol string, timeframe string, horizon_ms long, forecast double",
+        )
+        .orderBy("symbol", "timeframe", "horizon_ms")
+    )
