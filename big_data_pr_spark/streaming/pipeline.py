@@ -1,0 +1,268 @@
+"""Speed layer: the reference's three concurrent streaming queries
+(reference ``stream_processor.py``, SURVEY.md §3.2) re-expressed
+Spark-first.
+
+Topology (one source, three queries — T7):
+
+1. **latest snapshot** — per-symbol latest candle, complete mode,
+   keyed sink (doc_id = symbol, last-writer-wins;
+   ``stream_processor.py:80-111``). Determinism fix (SURVEY §2.4 A1):
+   the reference aggregates with ``F.last(...)`` which is
+   order-dependent; we use ``max_by(field, event_timestamp)``.
+2. **sliding window stats** — 10 min / 1 min windows, watermark 2 min,
+   update mode (``stream_processor.py:114-146``).
+3. **raw chart append** — pass-through of the *pre-watermark* frame
+   (late rows are kept on this path, dropped only from aggregates —
+   the reference's explicit choice, ``stream_processor.py:171``),
+   partitioned by **event** date. (Divergence, recorded: the reference
+   partitions its daily chart indices by *processing* day
+   (``stream_processor.py:154``); event-day partitioning is the
+   scale-correct choice — partition pruning works for event-time
+   queries and reprocessing is stable.)
+
+Sinks are ``foreachBatch`` → keyed parquet upsert — the same
+exactly-once-by-idempotent-key strategy the reference uses against ES
+(doc_id overwrite), which makes micro-batch replays after failure safe
+(T5/T6). Sources are pluggable: Kafka in production (S2; builder below,
+needs the kafka connector jar), file/rate source in tests — identical
+downstream plan either way.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ohlcv.schemas import OHLCV_STREAM_SCHEMA
+
+WINDOW_DURATION = os.environ.get("OHLCV_WINDOW_DURATION", "10 minutes")
+SLIDE_DURATION = os.environ.get("OHLCV_SLIDE_DURATION", "1 minute")
+WATERMARK = "2 minutes"
+
+
+def kafka_source(
+    spark: SparkSession, brokers: str, topic: str = "crypto_ohlcv_1m"
+) -> DataFrame:
+    """S2: Kafka stream source (reference ``stream_processor.py:55-61``).
+    Requires the spark-sql-kafka connector jar on the classpath (not in
+    this container — tests substitute :func:`file_source`)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")  # T8
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def file_source(spark: SparkSession, path: str) -> DataFrame:
+    """Test-harness source: JSON files with the same ``value`` payload
+    contract as the Kafka topic (one JSON message per line)."""
+    return (
+        spark.readStream.schema("value STRING")
+        .format("text")
+        .load(path)
+        .withColumnRenamed("value", "value_str")
+        .selectExpr("CAST(value_str AS STRING) AS value")
+    )
+
+
+def parse_stream(raw: DataFrame) -> DataFrame:
+    """P1-P4: CAST value AS STRING → from_json(schema) → canonical
+    columns + event_timestamp (reference ``stream_processor.py:63-74``)."""
+    data = F.from_json(F.col("value").cast("string"), OHLCV_STREAM_SCHEMA).alias("d")
+    return raw.select(data).select(
+        F.col("d.timestamp").alias("timestamp_ms"),
+        F.col("d.symbol").alias("symbol"),
+        F.col("d.timeframe").alias("timeframe"),
+        F.col("d.open").alias("open"),
+        F.col("d.high").alias("high"),
+        F.col("d.low").alias("low"),
+        F.col("d.close").alias("close"),
+        F.col("d.volume").alias("volume"),
+        F.timestamp_millis(F.col("d.timestamp")).alias("event_timestamp"),
+    )
+
+
+def latest_snapshot(parsed: DataFrame) -> DataFrame:
+    """Q1 aggregation (A1): one row per symbol with the newest candle.
+
+    ``max_by(x, (event_timestamp, timestamp_ms))`` replaces the
+    reference's nondeterministic ``F.last`` — the result is defined
+    regardless of partition arrival order."""
+    key = F.struct("event_timestamp", "timestamp_ms")
+    return parsed.groupBy("symbol").agg(
+        F.max("event_timestamp").alias("last_event_timestamp"),
+        F.max_by("close", key).alias("current_price"),
+        F.max_by("open", key).alias("open"),
+        F.max_by("high", key).alias("high"),
+        F.max_by("low", key).alias("low"),
+        F.max_by("volume", key).alias("volume"),
+        F.max_by("timestamp_ms", key).alias("timestamp_ms"),
+    )
+
+
+def window_stats(
+    parsed: DataFrame,
+    duration: str = WINDOW_DURATION,
+    slide: str = SLIDE_DURATION,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Q2 aggregation (A2 + T1/T2): sliding-window avg/min/max/count per
+    symbol, state bounded by the event-time watermark."""
+    return (
+        parsed.withWatermark("event_timestamp", watermark)
+        .groupBy("symbol", F.window("event_timestamp", duration, slide).alias("w"))
+        .agg(
+            F.avg("close").alias("avg_close"),
+            F.min("close").alias("min_close"),
+            F.max("close").alias("max_close"),
+            F.count("close").alias("n_candles"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "avg_close",
+            "min_close",
+            "max_close",
+            "n_candles",
+            # F2: stable doc key `{sym}_stats_{epoch(window_end)}`
+            F.concat(
+                F.replace(F.col("symbol"), F.lit("/"), F.lit("-")),
+                F.lit("_stats_"),
+                F.unix_seconds(F.col("w.end")).cast("string"),
+            ).alias("doc_id"),
+        )
+    )
+
+
+def raw_chart(parsed: DataFrame) -> DataFrame:
+    """Q3 projection: pre-watermark pass-through for charting, keyed
+    ``{sym}_1m_{ts_ms}`` (``stream_processor.py:149-169``), partitioned
+    by event date."""
+    return parsed.select(
+        F.col("event_timestamp").alias("@timestamp"),
+        "symbol",
+        "close",
+        "volume",
+        "timestamp_ms",
+        F.concat(
+            F.replace(F.col("symbol"), F.lit("/"), F.lit("-")),
+            F.lit("_1m_"),
+            F.col("timestamp_ms").cast("string"),
+        ).alias("doc_id"),
+        F.to_date(F.col("event_timestamp")).alias("event_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sinks: keyed parquet upsert (exactly-once via idempotent key)
+# ---------------------------------------------------------------------------
+
+
+def _overwrite_keyed(df: DataFrame, path: str) -> None:
+    """Snapshot sink: replace the table with this epoch's state (complete
+    output mode ⇒ every epoch carries the full keyed table)."""
+    staging = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def _upsert_keyed(df: DataFrame, path: str, key: str = "doc_id") -> None:
+    """Update sink: merge this epoch's changed rows by doc key (the ES
+    upsert analogue). Epoch replays overwrite the same keys — idempotent."""
+    spark = df.sparkSession
+    df = df.withColumn("__pri", F.lit(1))
+    if os.path.exists(path):
+        old = spark.read.parquet(path).withColumn("__pri", F.lit(0))
+        df = df.unionByName(old)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc("__pri"))
+    merged = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pri")
+    )
+    staging = path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def start_three_queries(
+    raw: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    triggers: dict[str, str] | None = None,
+) -> list[StreamingQuery]:
+    """T3-T8: launch the three concurrent queries on one source.
+
+    Output modes are the canonical trio (complete / update / append);
+    each query gets its own checkpoint (T5). ``triggers`` maps query
+    name → processingTime string; absent → availableNow (test mode).
+    """
+    parsed = parse_stream(raw)
+    trig = triggers or {}
+
+    def trigger_kwargs(name: str) -> dict:
+        return (
+            {"processingTime": trig[name]} if name in trig else {"availableNow": True}
+        )
+
+    latest_q = (
+        latest_snapshot(parsed)
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _eid: _overwrite_keyed(df, f"{out_dir}/latest"))
+        .option("checkpointLocation", f"{checkpoint_dir}/latest_ohlcv")
+        .trigger(**trigger_kwargs("latest"))
+        .queryName("latest_snapshot")
+        .start()
+    )
+    stats_q = (
+        window_stats(parsed)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _eid: _upsert_keyed(df, f"{out_dir}/stats"))
+        .option("checkpointLocation", f"{checkpoint_dir}/ohlcv_stats")
+        .trigger(**trigger_kwargs("stats"))
+        .queryName("window_stats")
+        .start()
+    )
+    chart_q = (
+        raw_chart(parsed)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/chart")
+        .partitionBy("event_date")
+        .option("checkpointLocation", f"{checkpoint_dir}/raw_ohlcv_chart")
+        .trigger(**trigger_kwargs("chart"))
+        .queryName("raw_chart")
+        .start()
+    )
+    return [latest_q, stats_q, chart_q]
+
+
+def apply_retention(chart_path: str, keep_dates: Sequence[str]) -> list[str]:
+    """T9: retention job replacing the reference's ES ILM 2-hour delete
+    (``README.md:74-98``) — drop event_date partitions not in
+    ``keep_dates``. On a real cluster this is a metadata-only partition
+    drop (or Delta ``VACUUM``); here, directory removal."""
+    dropped = []
+    if not os.path.isdir(chart_path):
+        return dropped
+    keep = {f"event_date={d}" for d in keep_dates}
+    for entry in os.listdir(chart_path):
+        if entry.startswith("event_date=") and entry not in keep:
+            shutil.rmtree(os.path.join(chart_path, entry))
+            dropped.append(entry)
+    return dropped

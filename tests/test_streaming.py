@@ -1,0 +1,152 @@
+"""Streaming semantics tests (SURVEY.md §5.3): the three output modes,
+watermark late-data handling, sliding-window contents, and idempotent
+keyed sinks — driven by a file source in micro-batch mode (no Kafka)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_pr_spark.streaming import pipeline
+
+T0_MS = 1_700_000_400_000  # 2023-11-14 22:20:00 UTC, minute-aligned
+
+
+def _msg(symbol: str, minute: int, close: float) -> str:
+    ts = T0_MS + minute * 60_000
+    return json.dumps(
+        {
+            "timestamp": ts,
+            "symbol": symbol,
+            "timeframe": "1m",
+            "open": close - 0.5,
+            "high": close + 1,
+            "low": close - 1,
+            "close": close,
+            "volume": 1.0,
+            "datetime_str": "x",
+        }
+    )
+
+
+def _write_batch(input_dir, name: str, msgs: list[str]) -> None:
+    (input_dir / name).write_text("\n".join(msgs) + "\n")
+
+
+def _run_available(spark, input_dir, out_dir, cp_dir):
+    raw = pipeline.file_source(spark, str(input_dir))
+    queries = pipeline.start_three_queries(raw, str(out_dir), str(cp_dir))
+    for q in queries:
+        q.awaitTermination(120)
+    return queries
+
+
+def test_three_query_topology(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [_msg("BTC/USDT", m, 100.0 + m) for m in range(12)]
+        + [_msg("ETH/USDT", m, 50.0 + m) for m in range(12)],
+    )
+    _run_available(spark, input_dir, tmp_path / "out", tmp_path / "cp")
+
+    # Q1 complete-mode snapshot: exactly one row per symbol, newest candle
+    latest = spark.read.parquet(str(tmp_path / "out" / "latest")).collect()
+    by_sym = {r["symbol"]: r for r in latest}
+    assert set(by_sym) == {"BTC/USDT", "ETH/USDT"}
+    assert by_sym["BTC/USDT"]["current_price"] == 111.0
+    assert by_sym["BTC/USDT"]["timestamp_ms"] == T0_MS + 11 * 60_000
+
+    # Q2 sliding windows: the window ending at minute 12 covers minutes 2-11
+    stats = spark.read.parquet(str(tmp_path / "out" / "stats"))
+    row = stats.filter(
+        (F.col("symbol") == "BTC/USDT")
+        & (F.col("window_end") == F.timestamp_millis(F.lit(T0_MS + 12 * 60_000)))
+    ).collect()[0]
+    assert row["n_candles"] == 10
+    assert row["min_close"] == 102.0 and row["max_close"] == 111.0
+    assert row["avg_close"] == pytest.approx(sum(range(102, 112)) / 10)
+    assert row["doc_id"] == f"BTC-USDT_stats_{(T0_MS + 12 * 60_000) // 1000}"
+
+    # Q3 append log: every event kept, event-date partitioned, keyed
+    chart = spark.read.parquet(str(tmp_path / "out" / "chart"))
+    assert chart.count() == 24
+    assert chart.filter(F.col("doc_id") == f"BTC-USDT_1m_{T0_MS}").count() == 1
+    assert "event_date" in chart.columns
+
+
+def test_watermark_drops_late_rows_from_stats_not_chart(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = tmp_path / "out", tmp_path / "cp"
+
+    # batch 1: minutes 0-9 → watermark after this batch = max(et) - 2 min
+    _write_batch(input_dir, "b1.json", [_msg("BTC/USDT", m, 100.0 + m) for m in range(10)])
+    _run_available(spark, input_dir, out, cp)
+
+    # batch 2: one late event at minute 2 (beyond watermark = minute 7)
+    # and one fresh event at minute 10 — restart continues from checkpoint
+    _write_batch(input_dir, "b2.json", [_msg("BTC/USDT", 2, 999.0), _msg("BTC/USDT", 10, 110.0)])
+    _run_available(spark, input_dir, out, cp)
+
+    stats = spark.read.parquet(str(out / "stats"))
+    # windows fully before the watermark never saw the late 999 close
+    polluted = stats.filter(F.col("max_close") >= 999.0).collect()
+    assert all(
+        r["window_end"].timestamp() * 1000 > T0_MS + 7 * 60_000 for r in polluted
+    ), "late row leaked into a closed window"
+    # window (min 1-11] would contain minute-2 if accepted; its max must
+    # be the on-time closes only for windows ending ≤ watermark
+    early = stats.filter(
+        F.col("window_end") == F.timestamp_millis(F.lit(T0_MS + 5 * 60_000))
+    ).collect()
+    if early:
+        assert early[0]["max_close"] < 999.0
+
+    # the raw chart path keeps the late row (pre-watermark frame)
+    chart = spark.read.parquet(str(out / "chart"))
+    assert chart.filter(F.col("close") == 999.0).count() == 1
+    assert chart.count() == 12
+
+    # the complete-mode snapshot reflects the true newest event (min 10)
+    latest = spark.read.parquet(str(out / "latest")).collect()[0]
+    assert latest["current_price"] == 110.0
+
+
+def test_stats_sink_idempotent_upsert(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = tmp_path / "out", tmp_path / "cp"
+    _write_batch(input_dir, "b1.json", [_msg("BTC/USDT", m, 100.0 + m) for m in range(5)])
+    _run_available(spark, input_dir, out, cp)
+    n1 = spark.read.parquet(str(out / "stats")).count()
+    ids1 = spark.read.parquet(str(out / "stats")).select("doc_id").distinct().count()
+    assert n1 == ids1  # key-unique
+
+    # updated window values overwrite, not duplicate
+    _write_batch(input_dir, "b2.json", [_msg("BTC/USDT", 4, 200.0)])
+    _run_available(spark, input_dir, out, cp)
+    stats = spark.read.parquet(str(out / "stats"))
+    assert stats.count() == stats.select("doc_id").distinct().count()
+    end5 = stats.filter(
+        F.col("window_end") == F.timestamp_millis(F.lit(T0_MS + 5 * 60_000))
+    ).collect()[0]
+    assert end5["max_close"] == 200.0  # upserted value, single row
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(input_dir, "b1.json", [_msg("BTC/USDT", 0, 100.0)])
+    _run_available(spark, input_dir, tmp_path / "out", tmp_path / "cp")
+    chart_path = str(tmp_path / "out" / "chart")
+    dropped = pipeline.apply_retention(chart_path, keep_dates=[])
+    assert dropped == ["event_date=2023-11-14"]
+    import os
+
+    assert not any(e.startswith("event_date=") for e in os.listdir(chart_path))
