@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (the whole point of these at 100 TB):
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest; survivors picked deterministically (min doc_id).
+- **n-gram Jaccard**: shingle → inverted index (explode) → per-shingle
+  doc pairs → group-count. Hot shingles are capped by document
+  frequency (stop-shingle removal) so no single key explodes the
+  pair-join — the standard skew guard for similarity self-joins.
+- **MinHash+LSH**: k hash functions simulated as ``xxhash64(shingle,
+  seed_i)``; signatures banded so candidate pairs only form inside a
+  band bucket — shuffle is by (band, bucket-hash), never all-pairs.
+- **SimHash**: 64-bit signature from token hashes; near-dup candidates
+  via banded equality (4×16-bit chunks → Hamming ≤ 3 candidates),
+  verified by popcount on the XOR.
+- **embedding cosine**: see operators/similarity.py; pairs variant here
+  thresholds the similarity self-join.
+
+Everything is built-in DataFrame ops (explode / groupBy / join /
+higher-order functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content digest; return one row per distinct content with
+    the surviving (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deduplicated view: keep the min-id row per distinct content."""
+    keep = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, built JVM-side:
+    transform over the token-index range, then explode."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) and element_at(_, 0)
+    # throws — emit an empty array for docs shorter than n tokens
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("sid"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.005,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    (stop-shingles) before the pair join — the skew guard that keeps the
+    inverted-index join bounded at scale.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("set_size"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_doc_freq)
+        .select("shingle")
+    )
+    filtered = sh.join(rare, "shingle")
+    a = filtered.select(F.col("shingle"), F.col("sid").alias("id_a"))
+    b = filtered.select(F.col("shingle"), F.col("sid").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k-MinHash signature per document: ``min over shingles of
+    xxhash64(shingle, seed_i)`` — k independent deterministic hash
+    functions, computed in one pass over the exploded shingles (single
+    shuffle by doc id)."""
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("sid").agg(*aggs).withColumnRenamed("sid", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs colliding in any band become
+    candidates (shuffle keyed by band bucket, never all-pairs), then
+    the full signatures estimate Jaccard and filter.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    hash_cols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(*[F.col(hash_cols[b * rows_per_band + r]) for r in range(rows_per_band)]).alias(
+                "bucket"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("sid"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("sid", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in hash_cols]
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in hash_cols]
+    )
+    agree = None
+    for c in hash_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, sum ±1 per bit
+    over tokens, sign → bit. Entirely higher-order-function arithmetic
+    (aggregate over the token array) — no shuffle, no UDF."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    # per bit b: count of tokens with bit b set, vs total tokens
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(b):
+        # closure factory (F.aggregate inspects lambda arity)
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(b) for b in range(bits)]
+    sig = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates via banded chunk equality: any pair within
+    Hamming distance ``bands - 1`` must agree on ≥1 of the ``bands``
+    chunks (pigeonhole) — that bounds the candidate join; exact popcount
+    then verifies ``max_hamming``. Choose ``bands > max_hamming`` for a
+    recall guarantee."""
+    chunk_bits = 64 // bands
+    mask = (1 << chunk_bits) - 1
+    sig = simhash(df, id_col, text_col).cache()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col).alias("sid"),
+        F.col("simhash"),
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select("sid", "simhash", "bb.band", "bb.chunk")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "chunk"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

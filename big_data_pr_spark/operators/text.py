@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token statistics, quality scoring, language ID, fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/filter/aggregate/
+regexp_count higher-order functions) — no Python UDFs — so they stay
+inside whole-stage codegen and scale linearly with the scan. Each has
+an exact SQL equivalent used as the DuckDB oracle (queries/docs_queries).
+
+At 100 TB these are embarrassingly parallel per-row maps: no shuffle at
+all until a downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword inventory per language — enough signal
+# for a coarse n-gram/stopword language heuristic; real pipelines plug
+# fastText/CLD3 here via a pandas UDF with the same output schema.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — identical semantics in Java regex and RE2.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (documents are single-space separated)."""
+    return F.split(text, " ")
+
+
+def n_tokens(text: Column) -> Column:
+    """Token count without materializing the split array:
+    spaces + 1 — O(len) scan, exact for single-space text."""
+    return F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit(""))) + 1
+
+
+def _isin(col: Column, values) -> Column:
+    out = F.lit(False)
+    for v in values:
+        out = out | (col == F.lit(v))
+    return out
+
+
+def stopword_count(text: Column, stopwords=STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: _isin(x, stopwords)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: chars, whitespace tokens, unique tokens,
+    BPE-ish subword count, mean token length, stopword ratio."""
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tok": nt,
+            "n_uniq": F.size(F.array_distinct(tokens(t))),
+            "n_subword": F.regexp_count(t, F.lit(TOKEN_REGEX)),
+            "avg_token_len": F.round((F.length(t) - (nt - 1)) / nt, 6),
+            "stopword_ratio": F.round(stopword_count(t) / nt, 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score in [0,1]: length component (saturating
+    at 200 tokens), lexical diversity, stopword presence — the shape of
+    Gopher/C4-style quality filters, fully engine-portable."""
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    uniq = F.size(F.array_distinct(tokens(t)))
+    stop = stopword_count(t)
+    score = (
+        0.4 * F.least(nt / F.lit(200.0), F.lit(1.0))
+        + 0.3 * (uniq / nt)
+        + 0.3 * F.least(stop / F.lit(10.0), F.lit(1.0))
+    )
+    # floor-based quantization instead of round(): Spark and DuckDB
+    # round() implementations disagree on values like 0.33518749999...,
+    # while floor(x*1e6 + 0.5)/1e6 is identical IEEE arithmetic on both
+    # engines whenever the input double is identical.
+    return df.withColumn("quality", F.floor(score * 1e6 + 0.5) / 1e6)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count per-language marker tokens, argmax
+    with 'en' fallback. Pure CASE/array expressions → same logic is the
+    SQL oracle. (Fixture texts are synthetic word-soup, so the heuristic
+    degenerates to the fallback — the operator plumbing and its scale
+    shape are what's exercised; swap in fastText via pandas UDF for real
+    corpora.)"""
+    t = tokens(F.col(text_col))
+
+    def marker_filter(markers):
+        # closure factory — F.filter inspects lambda arity, so the
+        # markers can't ride along as a default argument
+        return F.size(F.filter(t, lambda x: _isin(x, markers)))
+
+    counts = {lang: marker_filter(markers) for lang, markers in LANG_MARKERS.items()}
+    # deterministic argmax: highest count wins, ties broken by lang name
+    pred = F.lit("en")
+    best = F.lit(-1)
+    for lang in sorted(LANG_MARKERS):
+        c = counts[lang]
+        better = (c > best) | ((c == best) & F.lit(False))
+        pred = F.when(better, F.lit(lang)).otherwise(pred)
+        best = F.when(better, c).otherwise(best)
+    # all-zero marker count → fallback 'en'
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.withColumn(
+        "pred_lang", F.when(total == 0, F.lit("en")).otherwise(pred)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: MD5 (content identity) and a 64-bit-safe
+    polynomial rolling hash ``h = h*31 + codepoint (mod 1e9+7)`` folded
+    JVM-side over the character array."""
+    t = F.col(text_col)
+    chars = F.split(t, "")
+    MOD = 1_000_000_007
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
+    )
+    return df.withColumn("md5", F.md5(t)).withColumn("rolling_hash", roll)

@@ -1,0 +1,121 @@
+"""Behavioral tests for the hash-family operators that have no SQL
+oracle (MinHash+LSH, SimHash, ANN-LSH) — planted duplicates must be
+found — plus the multimodal plumbing stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_pr_spark.operators import dedup, multimodal, similarity
+from big_data_pr_spark.tables import load
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden under "
+    "a bright morning sun with dew on the green grass everywhere"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted duplicate structure: 0=original, 1=exact copy,
+    2=near-dup (one word changed), 3=half-overlap, 4-5=unrelated."""
+    near = BASE.replace("morning", "evening")
+    half = " ".join(BASE.split()[:18]) + " completely different tail of tokens here now"
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, near),
+        (3, half),
+        (4, "unrelated text about distributed query engines and shuffles"),
+        (5, "another separate document mentioning vectors and indexes only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(planted):
+    out = dedup.dedup_exact(planted).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 in ids and 1 not in ids  # doc 1 deduped into doc 0
+    assert len(ids) == 5
+
+
+def test_jaccard_pairs_find_planted(planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(planted, threshold=0.05).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact copy
+    assert pairs[(0, 2)] > 0.8  # near-dup
+    assert (0, 4) not in pairs  # unrelated
+
+
+def test_minhash_lsh_recall_on_planted(planted):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(planted, min_est_jaccard=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # near-dup caught by banding
+    assert (4, 5) not in pairs
+
+
+def test_simhash_hamming_on_planted(planted):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(planted).collect()}
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    # near-dup sits at hamming 7 → 8 bands guarantee candidate recall ≤7
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(planted, max_hamming=8, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (4, 5) not in pairs
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    # few planes → big buckets → high recall (deterministic seed)
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_lsh_topk(emb, q, dim=64, k=10, n_planes=2).collect()
+    }
+    assert len(approx) == 10
+    assert len(exact & approx) >= 3  # deterministic on seed-42 planes
+    # ANN scores are true cosines (re-ranked exactly inside the bucket)
+    both = similarity.ann_lsh_topk(emb, q, dim=64, k=10, n_planes=2).collect()
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in both)
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    payload = multimodal.attach_payload(docs, "doc_id")
+    meta = multimodal.decode_images(payload).collect()
+    assert len(meta) == 20
+    m0 = {r["id"]: r for r in meta}
+    # deterministic fake decode: re-running yields identical dims
+    meta2 = {r["id"]: r for r in multimodal.decode_images(payload).collect()}
+    for k in m0:
+        assert (m0[k]["width"], m0[k]["height"], m0[k]["mode"]) == (
+            meta2[k]["width"],
+            meta2[k]["height"],
+            meta2[k]["mode"],
+        )
+        assert 64 <= m0[k]["width"] <= 255
+    frames = multimodal.sample_frames(payload, n_frames=4).collect()
+    assert len(frames) == 80
+    assert {r["offset_ms"] for r in frames if r["frame_idx"] == 2} == {5000}
+    feats = multimodal.extract_features(payload).collect()
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(payload, real=True)
+
+
+def test_lsh_bucket_distribution(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = similarity.with_lsh_bucket(emb, dim=64, n_planes=4)
+    counts = bucketed.groupBy("lsh_bucket").count().collect()
+    assert 2 <= len(counts) <= 16  # 4 planes → ≤16 buckets, spread out
