@@ -59,7 +59,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_calc", "n_tok", "n_uniq", "n_subword",
             "avg_token_len", "stopword_ratio",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -94,7 +93,7 @@ def _marker_count(markers: tuple[str, ...]) -> str:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return text.lang_id(docs).select("doc_id", "lang", "pred_lang").orderBy("doc_id")
+    return text.lang_id(docs).select("doc_id", "lang", "pred_lang")
 
 
 @register(
@@ -112,7 +111,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return text.quality_score(docs).select("doc_id", "quality").orderBy("doc_id")
+    return text.quality_score(docs).select("doc_id", "quality")
 
 
 @register(
@@ -130,7 +129,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return text.fingerprint(docs).select("doc_id", "md5", "rolling_hash").orderBy("doc_id")
+    return text.fingerprint(docs).select("doc_id", "md5", "rolling_hash")
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +147,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(docs).orderBy("content_hash")
+    return dedup.exact_duplicates(docs)
 
 
 @register(
@@ -185,9 +184,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, threshold=0.005, max_doc_freq=100).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.jaccard_pairs(docs, threshold=0.005, max_doc_freq=100)
 
 
 @register(
@@ -199,7 +196,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5).orderBy("id_a", "id_b")
+    return dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
 
 
 @register(
@@ -210,7 +207,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs).orderBy("id_a", "id_b")
+    return dedup.simhash_pairs(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +257,7 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return similarity.cosine_pairs(emb, threshold=0.4)
 
 
 @register(
@@ -298,4 +295,4 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(payload).alias("n_bytes"),
         F.sha2(payload, 256).alias("sha_hex"),
-    ).orderBy("doc_id")
+    )

@@ -90,7 +90,7 @@ def ohlcv_candles_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trades",
         F.round("sma_7", 6).alias("sma_7"),
         F.round("sma_30", 6).alias("sma_30"),
-    ).orderBy("symbol", "bucket")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +122,7 @@ def sma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("sma_7", 6).alias("sma_7"),
         F.round("sma_30", 6).alias("sma_30"),
-    ).orderBy("event_type", "ts", "event_id")
+    )
 
 
 @register(
@@ -141,7 +141,7 @@ def pct_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pct_change(ev, "value", ["event_type"], ["ts", "event_id"])
     return out.select(
         "event_id", "event_type", "ts", F.round("pct_change", 6).alias("pct_change")
-    ).orderBy("event_type", "ts", "event_id")
+    )
 
 
 _EMA_SPAN = 5
@@ -172,7 +172,7 @@ def ema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ema(ev, "value", ["user_id"], ["ts", "event_id"], _EMA_SPAN)
     return out.select(
         "user_id", "event_id", "ts", F.round("ema_5", 6).alias("ema_5")
-    ).orderBy("user_id", "ts", "event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +198,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return top1_per_key(
         ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
-    ).select("user_id", "event_id", "ts", "event_type", "value").orderBy("user_id")
+    ).select("user_id", "event_id", "ts", "event_type", "value")
 
 
 @register(
@@ -297,7 +297,6 @@ def incremental_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(wm))
         .filter(F.col("ts") > F.col("__wm"))
         .select("event_id", "ts", "event_type", "value")
-        .orderBy("event_id")
     )
 
 
@@ -345,7 +344,6 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
             "n",
         )
-        .orderBy("event_type", "window_start")
     )
 
 
@@ -372,7 +370,6 @@ def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("w.start").alias("window_start"),
             "avg_value", "sum_value", "n",
         )
-        .orderBy("event_type", "window_start")
     )
 
 
@@ -431,7 +428,7 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_seconds(F.col("ts")).alias("ts_s"),
         F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
         F.col("ts").cast("date").alias("ts_date"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -458,7 +455,7 @@ def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     older = ev.filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
     newer = ev.filter(F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-    return older.unionByName(newer).distinct().orderBy("event_id")
+    return older.unionByName(newer).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +507,6 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id_p").alias("event_id"), "user_id", "ts", "last_click_ts"
         )
-        .orderBy("event_id")
     )
 
 

@@ -187,7 +187,6 @@ def join_semi_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
         .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
     )
 
 
@@ -233,7 +232,6 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spent"),
         )
-        .orderBy("c_custkey")
     )
 
 
