@@ -24,6 +24,9 @@ HEADLINE = [
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
+    "q13_order_count_dist",
+    "q18_large_volume",
     "join_semi_discounted",
     "ohlcv_candles_sma",
     "sliding_window_stats",
@@ -31,6 +34,8 @@ HEADLINE = [
     "asof_join_purchase_click",
     "latest_event_per_user",
     "topk_events_by_value",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
 ]
 
 

@@ -27,6 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Widen an under-parallel input to the session's default
+    parallelism before a CPU-heavy narrow stage (shingling/hashing).
+
+    Only repartitions when the source has FEWER partitions than cores —
+    a small single-file fixture otherwise runs the whole map in one
+    task. At 100 TB the corpus already has thousands of partitions and
+    this is a no-op (never forces a full-corpus shuffle); AQE coalesces
+    the downstream side but cannot split an undersized scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -59,9 +74,9 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document, built JVM-side:
-    transform over the token-index range, then explode."""
+def shingle_array(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column, built JVM-side:
+    transform over the token-index range. Narrow — no explode/shuffle."""
     toks = F.split(F.col(text_col), " ")
     # guard: sequence(1, 0) in Spark DESCENDS ([1, 0]) and element_at(_, 0)
     # throws — emit an empty array for docs shorter than n tokens
@@ -71,8 +86,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("sid"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return F.array_distinct(grams)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (doc, shingle) inverted-index rows — the input shape for
+    the exact-Jaccard pair join and the MinHash signature aggregation."""
+    return _fan_out(df).select(
+        F.col(id_col).alias("sid"),
+        F.explode(shingle_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -140,7 +162,13 @@ def minhash_signatures(
     """k-MinHash signature per document: ``min over shingles of
     xxhash64(shingle, seed_i)`` — k independent deterministic hash
     functions, computed in one pass over the exploded shingles (single
-    shuffle by doc id)."""
+    shuffle by doc id).
+
+    Why explode+groupBy and not a narrow ``aggregate`` over the shingle
+    array: higher-order functions are evaluated interpreted (outside
+    whole-stage codegen), measured ~2× slower than this codegen'd
+    explode + hash + partial-agg path — and the groupBy's Exchange is
+    reusable by both sides of the downstream LSH self-join."""
     sh = shingles(df, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -161,46 +189,56 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: signatures split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs colliding in any band become
     candidates (shuffle keyed by band bucket, never all-pairs), then
-    the full signatures estimate Jaccard and filter.
+    the signatures estimate Jaccard and filter.
+
+    The signature array RIDES THROUGH the band explode, so the pair
+    verification needs no join back to the signature table — the whole
+    dedup is: signature agg, explode (×bands), band-bucket self-join,
+    distinct. Per-row join payload is id + num_hashes longs; the
+    ``zip_with`` agreement count (interpreted HOF) only runs on the few
+    candidate pairs, never the corpus. The signature table is cached so
+    the self-join's two sides don't recompute the corpus scan (at scale
+    it is |docs| × (id + k longs) — small relative to the corpus).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     hash_cols = [f"h{i}" for i in range(num_hashes)]
+    sig = (
+        minhash_signatures(df, id_col, text_col, n, num_hashes)
+        .select(F.col(id_col).alias("sid"), F.array(*hash_cols).alias("sig"))
+        .cache()
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(*[F.col(hash_cols[b * rows_per_band + r]) for r in range(rows_per_band)]).alias(
-                "bucket"
-            ),
+            F.hash(
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bucket"),
         )
         for b in range(bands)
     ]
     banded = sig.select(
-        F.col(id_col).alias("sid"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("sid", "bb.band", "bb.bucket")
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.sid") < F.col("y.sid"))
-        .select(F.col("x.sid").alias("id_a"), F.col("y.sid").alias("id_b"))
-        .distinct()
+        "sid", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("sid", "sig", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda a, b: a == b),
+            lambda eq: eq,
+        )
     )
-    sig_a = sig.select(
-        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in hash_cols]
-    )
-    sig_b = sig.select(
-        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in hash_cols]
-    )
-    agree = None
-    for c in hash_cols:
-        term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -215,6 +253,7 @@ def simhash(
     """64-bit SimHash per document: per-token xxhash64, sum ±1 per bit
     over tokens, sign → bit. Entirely higher-order-function arithmetic
     (aggregate over the token array) — no shuffle, no UDF."""
+    df = _fan_out(df)
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     # per bit b: count of tokens with bit b set, vs total tokens
     th = F.transform(toks, lambda t: F.xxhash64(t))
