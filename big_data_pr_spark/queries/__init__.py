@@ -5,6 +5,7 @@ from .registry import REGISTRY, QuerySpec, register  # noqa: F401
 # Each module registers its queries at import time.
 from . import tpch  # noqa: F401, E402
 from . import tpch_extended  # noqa: F401, E402
+from . import tpch_gap  # noqa: F401, E402
 from . import events_queries  # noqa: F401, E402
 from . import docs_queries  # noqa: F401, E402
 

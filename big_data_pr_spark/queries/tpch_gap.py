@@ -1,0 +1,380 @@
+"""Completion of the TPC-H query family: the six shapes (Q2, Q11, Q12,
+Q16, Q20, Q21) not yet covered by tpch.py / tpch_extended.py, adapted
+(`*_v`) to the reduced fixture schema — there is no partsupp table and
+lineitem has no shipmode/commitdate/receiptdate, so the part↔supplier
+relation is derived from lineitem itself and "late" is measured as
+shipdate far beyond orderdate.
+
+What each adaptation preserves is the query SHAPE (the operator
+composition the original exercises), which is what the engine is being
+tested on:
+
+- Q2  → min-per-group join-back (min-cost supplier per part, region-filtered)
+- Q11 → grouped value share vs a scalar-subquery threshold over the same set
+- Q12 → fact-fact join + CASE bucketing + conditional counts
+- Q16 → NOT-IN supplier exclusion + count(DISTINCT) per attribute triple
+- Q20 → nested agg → scalar threshold → semi-join chain
+- Q21 → EXISTS + NOT EXISTS self-joins on the fact table
+
+Scale design (100 TB posture): part/supplier/nation/region dims are
+broadcast; the only fact-table shuffles are the per-key aggregations and
+the Q21 self-semi/anti-joins, all on l_orderkey / (l_partkey, l_suppkey)
+— natural keys a production table would be bucketed by. Scalar
+thresholds cross via one-row broadcast cross-joins, never a collect.
+
+Determinism notes (driver hashes values): l_quantity is integral, so
+SUM/AVG over it is exact in doubles — thresholds compare identically in
+Spark and DuckDB; unit-cost uses MIN (picks one exact value) rather than
+a float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region (all dim-sized) filtered to one region."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+# --- Q2: minimum-cost supplier per part (adapted: cost from lineitem) ----
+
+
+@register(
+    "q2_min_cost_supplier_v",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    pc AS (
+      SELECT ps.l_partkey, ps.cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+    mn AS (SELECT l_partkey, min(cost) AS min_cost FROM pc GROUP BY l_partkey)
+    SELECT round(pc.s_acctbal, 4) AS s_acctbal, pc.s_name, pc.n_name,
+           p.p_partkey, round(pc.cost, 4) AS cost
+    FROM pc
+    JOIN mn   ON pc.l_partkey = mn.l_partkey AND pc.cost = mn.min_cost
+    JOIN part p ON p.p_partkey = pc.l_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 adapted (no partsupp: part↔supplier cost = min observed "
+    "unit price in lineitem): min-per-group computed once, join back on "
+    "equality, broadcast region-filtered supplier dim, top-100.",
+)
+def q2_min_cost_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    # per-(part, supplier) unit cost — one shuffle on the composite key
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    # part filter commutes with the per-part min (both are per-part), so
+    # apply it before the window to shrink the frame early.
+    pc = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).join(
+        F.broadcast(p), ps.l_partkey == p.p_partkey
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pc.withColumn("__min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__min_cost"))
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("cost", 4).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11: important parts by shipped-quantity share ----------------------
+
+
+@register(
+    "q11_important_parts_v",
+    """
+    WITH v AS (
+      SELECT l_partkey, sum(l_quantity) AS qty
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(qty, 4) AS qty
+    FROM v
+    WHERE qty > (SELECT 0.001 * sum(qty) FROM v)
+    ORDER BY qty DESC, partkey
+    """,
+    doc="TPC-H Q11 adapted (value = shipped quantity via lineitem; no "
+    "partsupp): grouped agg filtered against a scalar subquery over the "
+    "same aggregate — computed once and broadcast, not re-evaluated per "
+    "row. Quantity sums are exact (integral doubles) so the threshold "
+    "comparison is engine-stable.",
+)
+def q11_important_parts_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    nx = F.broadcast(s.join(n, s.s_nationkey == F.col("n_nationkey")).select("s_suppkey"))
+    v = (
+        li.join(nx, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = v.agg((0.001 * F.sum("qty")).alias("__thresh"))
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("__thresh"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("qty", 4).alias("qty"))
+        .orderBy(F.desc("qty"), "partkey")
+    )
+
+
+# --- Q12: shipping-delay buckets × order-priority classes ----------------
+
+
+@register(
+    "q12_late_priority_v",
+    """
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 730 THEN '730+'
+                WHEN datediff('day', o_orderdate, l_shipdate) >= 365 THEN '365-729'
+                ELSE '<365' END AS delay_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+    doc="TPC-H Q12 adapted (no shipmode/receiptdate: buckets = days from "
+    "order to ship): fact-fact equi-join with a non-equi residual, CASE "
+    "bucketing, conditional integer counts per priority class.",
+)
+def q12_late_priority_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .withColumn(
+            "delay_bucket",
+            F.when(delay >= 730, "730+").when(delay >= 365, "365-729").otherwise("<365"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+# --- Q16: supplier count per part attribute triple -----------------------
+
+
+@register(
+    "q16_supplier_count_v",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 adapted (part↔supplier via lineitem; excluded suppliers "
+    "= negative balance instead of complaint comments): NOT-IN as a "
+    "broadcast anti-join, broadcast part dim, count(DISTINCT) per "
+    "(brand, type, size).",
+)
+def q16_supplier_count_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --- Q20: suppliers shipping excess quantity of a part family ------------
+
+
+@register(
+    "q20_excess_qty_suppliers_v",
+    """
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      JOIN red_parts ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_name, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier
+    JOIN shipped ON s_suppkey = l_suppkey
+    WHERE qty > (SELECT 0.5 * avg(qty) FROM shipped)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 adapted (availqty has no fixture column: 'excess' = "
+    "above half the mean per-supplier shipped quantity of red* parts in "
+    "1997): LIKE-filtered part dim → grouped agg → scalar threshold → "
+    "join back to supplier. The agg output is |suppliers|-sized, so the "
+    "final join is broadcast at any SF.",
+)
+def q20_excess_qty_suppliers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thresh = shipped.agg((0.5 * F.avg("qty")).alias("__thresh"))
+    return (
+        shipped.crossJoin(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("__thresh"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+# --- Q21: suppliers who alone shipped late on multi-supplier orders ------
+
+
+@register(
+    "q21_waiting_supplier_v",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 adapted (late = shipped >365d after order date; no "
+    "receipt/commit dates): EXISTS → left-semi and NOT EXISTS → "
+    "left-anti self-joins on the fact table, both equi on l_orderkey "
+    "with inequality residuals — sort-merge on the natural bucket key.",
+)
+def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    asia = F.broadcast(
+        _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365))
+        .join(asia, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    another_supplier = (F.col("l_orderkey") == F.col("x_orderkey")) & (
+        F.col("l_suppkey") != F.col("x_suppkey")
+    )
+    return (
+        l1.join(l2, another_supplier, "left_semi")
+        .join(
+            l2,
+            another_supplier
+            & (F.col("x_shipdate") > F.date_add(F.col("o_orderdate"), 365)),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
