@@ -13,6 +13,14 @@ Two tiers, as a 100 TB pipeline needs:
   the bucket. Trades recall for a bucket-local join; the scale path
   when queries are many or k-NN graphs are built.
 
+- **IVF (inverted-file) ANN** — coarse centroids (deterministic seed
+  vectors refined by distributed Lloyd iterations), every vector
+  assigned to its nearest cell in one narrow pass, search probes only
+  the ``n_probe`` cells nearest the query then exact-re-ranks inside
+  them. The index pass is the scan everything pays once; each query
+  then touches ~``n_probe/n_list`` of the data. Centroids stay
+  driver-sized (n_list × dim floats) and are broadcast.
+
 Plane generation uses a seeded numpy RNG inside an Arrow-batched
 pandas UDF (defined inline — executor-import-safe); everything else is
 built-in expressions.
@@ -124,6 +132,203 @@ def with_lsh_bucket(
         return pd.Series((bits @ weights).astype("int32"))
 
     return df.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+
+
+def with_banded_lsh(
+    df: DataFrame,
+    dim: int,
+    n_bands: int = 4,
+    planes_per_band: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, band): band index + that band's hyperplane
+    bucket. The OR-construction — a pair is a candidate if ANY band's
+    buckets agree — lifting recall for moderate-similarity pairs that a
+    single signature would split."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_bands * planes_per_band, dim)
+        )
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, bands*planes)
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        out = [
+            [int(bits[i, b * planes_per_band : (b + 1) * planes_per_band] @ weights)
+             for b in range(n_bands)]
+            for i in range(mat.shape[0])
+        ]
+        return pd.Series(out)
+
+    return df.select(
+        "*", F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket")
+    )
+
+
+def lsh_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    n_bands: int = 4,
+    planes_per_band: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: banded LSH candidate
+    generation (pair qualifies if any band bucket matches — join on
+    (band, bucket), bucket-local), distinct pair set, then the exact
+    cosine verifier. Output ⊆ :func:`cosine_pairs`; work is
+    O(Σ bucketᵢ²) per band vs the exact join's O(n²)."""
+    b = with_banded_lsh(df, dim, n_bands, planes_per_band, seed, vec_col)
+    a_side = b.select(
+        F.col("band").alias("__na"),
+        F.col("bucket").alias("__ba"),
+        F.col(id_col).alias("id_a"),
+    )
+    b_side = b.select(
+        F.col("band").alias("__nb"),
+        F.col("bucket").alias("__bb"),
+        F.col(id_col).alias("id_b"),
+    )
+    cand = (
+        a_side.join(
+            b_side,
+            (F.col("__na") == F.col("__nb"))
+            & (F.col("__ba") == F.col("__bb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()  # a pair may match in several bands — verify once
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def _assign_cell_udf(centroids):
+    """pandas UDF assigning each vector to its max-cosine centroid.
+
+    ``centroids`` is a (n_list, dim) float64 numpy array, L2-normalized —
+    captured in the closure, shipped once per executor (KB-sized)."""
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype("int32"))
+
+    return cell
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_list: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse IVF centroids: deterministic seeds (the ``n_list`` lowest
+    ids) refined by ``iters`` distributed Lloyd iterations.
+
+    Each iteration is one narrow assignment pass plus one aggregation:
+    posexplode to (cell, dim-position, value) and average per (cell,
+    pos) — a single shuffle whose output is n_list × dim rows, which is
+    driver-sized at any data scale. No vector data is ever collected
+    beyond the seed rows and that aggregate."""
+    import numpy as np
+
+    seeds = (
+        df.orderBy(id_col).limit(n_list).select(vec_col).collect()
+    )
+    cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = df.withColumn("__cell", _assign_cell_udf(cents)(F.col(vec_col)))
+        means = (
+            assigned.select("__cell", F.posexplode(vec_col).alias("__pos", "__v"))
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__v").alias("__m"))
+            .collect()
+        )
+        new = cents.copy()  # cells that lost all members keep their centroid
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], []).append((r["__pos"], r["__m"]))
+        for c, pv in by_cell.items():
+            vec = np.zeros(cents.shape[1])
+            for p, v in pv:
+                vec[p] = v
+            n = np.linalg.norm(vec)
+            if n > 1e-12:
+                new[c] = vec / n
+        cents = new
+    return cents
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells whose
+    centroids are most cosine-similar to the query, exact re-rank
+    inside them. Search work ≈ ``n_probe / n_list`` of the brute scan;
+    at scale the assignment pass is amortized by writing ``__cell`` as
+    a partition column of the stored index."""
+    import numpy as np
+
+    cents = ivf_centroids(df, n_list, iters, id_col, vec_col)
+    assigned = df.withColumn("__cell", _assign_cell_udf(cents)(F.col(vec_col)))
+    qrows = query_df.select(id_col, vec_col).collect()
+    out = None
+    for qid, qvec in [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]:
+        qn = qvec / max(np.linalg.norm(qvec), 1e-12)
+        probe = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        scored = (
+            assigned.filter(F.col("__cell").isin(probe) & (F.col(id_col) != qid))
+            .select(
+                F.lit(qid).alias("query_id"),
+                id_col,
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc(id_col))
+            .limit(k)
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
 
 
 def ann_lsh_topk(

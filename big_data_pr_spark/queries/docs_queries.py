@@ -261,6 +261,32 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dup_pairs_lsh",
+    None,  # seeded-hyperplane buckets → rows-only; recall vs the exact
+    # pair set asserted in tests/test_dedup_similarity.py
+    doc="Embedding near-dup pairs, scale path: banded LSH candidate "
+    "generation (4 bands × 3 planes, bucket-local join, no O(n²) "
+    "cross) + exact cosine verify ≥ 0.4 — subset of embedding_dup_pairs.",
+)
+def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_pairs(emb, dim=64, threshold=0.4)
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate (centroid-probe restriction) → rows-only
+    doc="ANN top-k via IVF: deterministic-seed centroids + 2 Lloyd "
+    "iterations, n_probe=4 of n_list=16 cells probed, exact re-rank "
+    "inside probed cells; recall vs brute force asserted in tests.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return similarity.ann_ivf_topk(emb, q, k=10, n_list=16, n_probe=4)
+
+
+@register(
     "ann_lsh_topk",
     None,  # approximate + RNG-plane buckets → rows-only
     doc="ANN top-k via random-hyperplane LSH bucket restriction + exact "

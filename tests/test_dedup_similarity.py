@@ -90,6 +90,38 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in both)
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    approx = similarity.ann_ivf_topk(emb, q, k=10, n_list=8, n_probe=4).collect()
+    assert len(approx) == 10
+    got = {r["vec_id"] for r in approx}
+    assert len(exact & got) >= 3  # deterministic given seeded centroids
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+    # probing every cell = exhaustive → must equal brute force exactly
+    full = {
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(emb, q, k=10, n_list=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    assert approx <= exact  # verifier is exact → no false positives
+    if exact:
+        assert len(approx) / len(exact) >= 0.4  # bucket-boundary losses only
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     payload = multimodal.attach_payload(docs, "doc_id")
