@@ -1,0 +1,95 @@
+"""Physical-plan assertions — the 100 TB posture checks from SURVEY §4
+and the build brief: predicate pushdown reaches the parquet scan, column
+pruning shrinks ReadSchema, dimension joins broadcast, whole-stage
+codegen covers the hot path, and the SMA pipeline has exactly one
+shuffle (no redundant global sort — the reference's O1 quirk, dropped
+on purpose)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from big_data_pr_spark.queries import REGISTRY
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return run
+
+
+def test_q6_filters_pushed_to_scan(q):
+    plan = plan_str(q("q6_revenue_delta"))
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(q):
+    plan = plan_str(q("q6_revenue_delta"))
+    schema_line = [l for l in plan.splitlines() if "ReadSchema:" in l][0]
+    # only the 4 referenced columns are read — not the 11-column table
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in schema_line
+    for col in ("l_returnflag", "l_partkey", "l_tax", "l_orderkey"):
+        assert col not in schema_line
+
+
+def test_dim_joins_broadcast(q):
+    for name in ("q3_shipping_priority", "q5_region_revenue", "q8_market_share"):
+        plan = plan_str(q(name))
+        assert "BroadcastHashJoin" in plan, name
+        # the fact-fact lineitem ⋈ orders side must NOT be a cartesian
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sma_single_shuffle_no_global_sort(q):
+    plan = plan_str(q("sma_events"))
+    # one hash-partitioned exchange for the window; a redundant
+    # user-level global orderBy would add a rangepartitioning exchange
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_wholestage_codegen_on_hot_path(q):
+    # AQE only annotates codegen on the finalized plan — execute the
+    # DataFrame itself (count() would plan a different query)
+    df = q("q1_pricing")
+    df.collect()
+    plan = plan_str(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # whole-stage codegen stages
+    # no Python row-at-a-time eval in any relational registry query
+    for name in ("q1_pricing", "q5_region_revenue", "sliding_window_stats"):
+        assert "BatchEvalPython" not in plan_str(q(name)), name
+
+
+def test_agg_has_mapside_partial(q):
+    plan = plan_str(q("q1_pricing"), "simple")
+    # partial (map-side) aggregation before the exchange — halves the
+    # shuffle volume at any scale
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
+
+
+def test_topk_uses_heap_not_global_sort(q):
+    plan = plan_str(q("topk_events_by_value"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(q):
+    assert "LeftSemi" in plan_str(q("join_semi_discounted"))
+    assert "LeftAnti" in plan_str(q("join_anti_customers"))
