@@ -159,19 +159,24 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """k-MinHash signature per document: ``min over shingles of
-    xxhash64(shingle, seed_i)`` — k independent deterministic hash
-    functions, computed in one pass over the exploded shingles (single
-    shuffle by doc id).
+    """k-MinHash signature per document: each shingle string is hashed
+    ONCE to a long, and the k independent hash functions are derived as
+    ``xxhash64(shingle_hash, seed_i)`` over that 8-byte value — hashing
+    a fixed-width long k times is ~5× cheaper than hashing the ~30-byte
+    shingle string k times (measured 9.9 s → 2.1 s for the signature
+    aggregation at sf0.1), and the pre-groupBy projection also shrinks
+    the shuffle rows from (sid, string) to (sid, long).
 
     Why explode+groupBy and not a narrow ``aggregate`` over the shingle
     array: higher-order functions are evaluated interpreted (outside
     whole-stage codegen), measured ~2× slower than this codegen'd
     explode + hash + partial-agg path — and the groupBy's Exchange is
     reusable by both sides of the downstream LSH self-join."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).select(
+        "sid", F.xxhash64(F.col("shingle")).alias("shash")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shash"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("sid").agg(*aggs).withColumnRenamed("sid", id_col)
