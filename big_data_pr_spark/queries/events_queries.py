@@ -638,3 +638,118 @@ def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based session windows) + distribution stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM g
+    )
+    SELECT user_id, sess_no,
+           count(*)             AS n_events,
+           min(ts)              AS sess_start,
+           max(ts)              AS sess_end,
+           round(sum(value), 4) AS sess_value
+    FROM s
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, sess_no
+    """,
+    doc="Gap-based sessionization (30-min inactivity gap): lag to flag "
+    "session starts, running sum to number sessions, grouped session "
+    "stats — the batch equivalent of a streaming session window. One "
+    "shuffle on user_id serves both window passes and the final agg.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.round(F.sum("value"), 4).alias("sess_value"),
+        )
+        .orderBy("user_id", "sess_no")
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per key (Spark `percentile` = "
+    "DuckDB `quantile_cont`, both linear interpolation). At 100 TB "
+    "switch to approx_percentile (t-digest sketch, mergeable map-side) "
+    "— kept exact here so the oracle can hash-match.",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.25), 6).alias("p25"),
+            F.round(F.percentile("value", 0.50), 6).alias("p50"),
+            F.round(F.percentile("value", 0.90), 6).alias("p90"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 100.0) AS INTEGER), 0), 9) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="Fixed-width histogram (10 buckets of 100, clamped): pure "
+    "grouped count — the shape of every distribution dashboard; "
+    "map-side combinable at any scale.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("int"), F.lit(0)), F.lit(9)
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )

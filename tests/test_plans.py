@@ -11,6 +11,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_pr_spark.queries import REGISTRY
 
@@ -93,3 +94,57 @@ def test_topk_uses_heap_not_global_sort(q):
 def test_semi_anti_join_operators(q):
     assert "LeftSemi" in plan_str(q("join_semi_discounted"))
     assert "LeftAnti" in plan_str(q("join_anti_customers"))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key at write
+    time → sort-merge join with ZERO Exchange in the plan. This is the
+    write-once/join-many layout for repeated fact-fact joins at scale."""
+    from big_data_pr_spark.operators import storage
+    from big_data_pr_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    storage.write_bucketed(
+        o, "t_orders_b", str(tmp_path / "ob"), ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    storage.write_bucketed(
+        li, "t_lineitem_b", str(tmp_path / "lb"), ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the bucket layout (not a broadcast) is
+        # what removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            storage.read_table(spark, "t_orders_b")
+            .join(
+                storage.read_table(spark, "t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .count()
+        )
+        plan = plan_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither join nor agg reshuffles
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from big_data_pr_spark.operators import storage
+    from big_data_pr_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    storage.write_partitioned(ev, str(tmp_path / "ev"), ["day"])
+    back = spark.read.parquet(str(tmp_path / "ev"))
+    one_day = back.select("day").distinct().limit(1).collect()[0][0]
+    q = back.filter(F.col("day") == F.lit(one_day))
+    plan = plan_str(q)
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l][0]
+    assert "day" in pf  # pruning happens at the file index, not post-scan
+    assert q.count() > 0
