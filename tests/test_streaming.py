@@ -139,6 +139,61 @@ def test_stats_sink_idempotent_upsert(spark, tmp_path):
     assert end5["max_close"] == 200.0  # upserted value, single row
 
 
+def test_stateful_high_watermark_gate(spark, tmp_path):
+    """applyInPandasWithState keyed gate: only rows strictly newer than
+    the key's running max timestamp pass; replays and intra-batch
+    duplicates are dropped; state survives restart via checkpoint."""
+    from big_data_pr_spark.streaming import stateful
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_round():
+        parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+        gated = stateful.new_rows_only(parsed)
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: minutes 0-4, with minute 4 sent twice in the same batch
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [_msg("BTC/USDT", m, 100.0 + m) for m in range(5)] + [_msg("BTC/USDT", 4, 104.0)],
+    )
+    run_round()
+    r1 = spark.read.parquet(out).collect()
+    assert len(r1) == 5  # intra-batch duplicate dropped
+    assert {r["timestamp_ms"] for r in r1} == {T0_MS + m * 60_000 for m in range(5)}
+
+    # round 2: replay of minute 2 (old), duplicate of minute 4 (= max),
+    # one genuinely new minute 5 — only the new row may pass
+    _write_batch(
+        input_dir,
+        "b2.json",
+        [_msg("BTC/USDT", 2, 999.0), _msg("BTC/USDT", 4, 999.0), _msg("BTC/USDT", 5, 105.0)],
+    )
+    run_round()
+    r2 = spark.read.parquet(out).collect()
+    assert len(r2) == 6
+    assert not [r for r in r2 if r["close"] == 999.0]  # replays rejected
+    new = [r for r in r2 if r["timestamp_ms"] == T0_MS + 5 * 60_000]
+    assert len(new) == 1 and new[0]["close"] == 105.0
+
+    # independent keys keep independent watermarks
+    _write_batch(input_dir, "b3.json", [_msg("ETH/USDT", 0, 50.0)])
+    run_round()
+    r3 = spark.read.parquet(out)
+    assert r3.filter(F.col("symbol") == "ETH/USDT").count() == 1
+
+
 def test_retention_drops_old_partitions(spark, tmp_path):
     input_dir = tmp_path / "in"
     input_dir.mkdir()
