@@ -36,6 +36,9 @@ HEADLINE = [
     "topk_events_by_value",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "q21_waiting_supplier_v",
+    "sessionize_events",
+    "value_percentiles",
 ]
 
 

