@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, multimodal, similarity, text
 from ..tables import load
 from .registry import register
 
@@ -322,3 +322,47 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.sha2(payload, 256).alias("sha_hex"),
     )
+
+
+@register(
+    "multimodal_decode",
+    None,  # fake-decoder output (deterministic, but not SQL) → rows-only
+    doc="Image-decode plumbing over mapInPandas: binary payload → "
+    "(n_bytes, width, height, mode, sha) metadata batch-wise; the "
+    "decoder body is the production PIL/ffmpeg hook (stubbed: "
+    "deterministic digest-derived dims; real=True raises).",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.attach_payload(docs, "doc_id"))
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS id, f.frame_idx,
+           CAST(f.frame_idx * 2500 AS BIGINT) AS offset_ms
+    FROM documents, (SELECT unnest(range(0, 4)) AS frame_idx) f
+    ORDER BY id, f.frame_idx
+    """,
+    doc="Video frame-sampling plumbing: K evenly spaced offsets per "
+    "payload via JVM-side explode (decode of each frame then goes "
+    "through the mapInPandas image path).",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.sample_frames(
+        multimodal.attach_payload(docs, "doc_id"), n_frames=4, duration_ms=10_000
+    )
+
+
+@register(
+    "multimodal_features",
+    None,  # digest-derived fake features → rows-only
+    doc="Feature-extraction plumbing: payload → fixed-dim array<double> "
+    "via Arrow-batched mapInPandas (production hook for any vision/"
+    "audio encoder).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_payload(docs, "doc_id"))
