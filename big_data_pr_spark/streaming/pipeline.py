@@ -73,6 +73,69 @@ def file_source(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def to_kafka_messages(candles: DataFrame) -> DataFrame:
+    """S7 (the reference's absent ``ohlcv_1m_producer.py``, spec report
+    §5.2.1): serialize candle rows to the Kafka message contract —
+    ``key`` = symbol (per-key topic ordering), ``value`` = the JSON
+    payload `parse_stream` expects. Feed to ``df.write.format("kafka")
+    .option("kafka.bootstrap.servers", ...).option("topic", ...)`` in
+    production, or to a file sink in tests (round-trip asserted in
+    tests/test_streaming.py)."""
+    payload = F.to_json(
+        F.struct(
+            F.col("timestamp_ms").alias("timestamp"),
+            "symbol",
+            "timeframe",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            F.date_format(
+                F.timestamp_millis(F.col("timestamp_ms")), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("datetime_str"),
+        )
+    )
+    return candles.select(
+        F.col("symbol").cast("string").alias("key"), payload.alias("value")
+    )
+
+
+class EpochCounts:
+    """Observability replacing the reference's per-epoch ``count()`` +
+    ``print`` inside every sink (``stream_processor.py:100,135,164`` —
+    each one forced an extra job per epoch): a StreamingQueryListener
+    reads ``numInputRows`` from the progress event the engine already
+    produced, at zero query cost."""
+
+    def __init__(self) -> None:
+        self.progress: list[tuple[str, int]] = []
+
+    def attach(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                outer.progress.append(
+                    (event.progress.name or "", event.progress.numInputRows)
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        listener = _L()
+        spark.streams.addListener(listener)
+        return listener
+
+
 def parse_stream(raw: DataFrame) -> DataFrame:
     """P1-P4: CAST value AS STRING → from_json(schema) → canonical
     columns + event_timestamp (reference ``stream_processor.py:63-74``)."""

@@ -194,6 +194,42 @@ def test_stateful_high_watermark_gate(spark, tmp_path):
     assert r3.filter(F.col("symbol") == "ETH/USDT").count() == 1
 
 
+def test_kafka_message_roundtrip(spark):
+    """S7 producer contract: serialize → parse_stream recovers the
+    candle exactly (works on batch frames — same expressions)."""
+    candles = spark.createDataFrame(
+        [(T0_MS, "BTC/USDT", "1m", 99.5, 101.0, 99.0, 100.0, 1.5)],
+        "timestamp_ms long, symbol string, timeframe string, open double, "
+        "high double, low double, close double, volume double",
+    )
+    msgs = pipeline.to_kafka_messages(candles)
+    assert msgs.columns == ["key", "value"]
+    back = pipeline.parse_stream(msgs).collect()[0]
+    assert back["symbol"] == "BTC/USDT"
+    assert back["timestamp_ms"] == T0_MS
+    assert back["close"] == 100.0
+    assert back["event_timestamp"].timestamp() * 1000 == T0_MS
+
+
+def test_epoch_counts_listener(spark, tmp_path):
+    """Progress listener observes per-epoch input rows without forcing
+    extra jobs (replaces the reference's per-sink count()+print)."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(input_dir, "b1.json", [_msg("BTC/USDT", m, 100.0 + m) for m in range(4)])
+    counts = pipeline.EpochCounts()
+    listener = counts.attach(spark)
+    try:
+        _run_available(spark, input_dir, tmp_path / "out", tmp_path / "cp")
+        # listener delivery is async — allow a grace period
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(n for _, n in counts.progress):
+            time.sleep(0.5)
+        assert any(n == 4 for _, n in counts.progress)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_retention_drops_old_partitions(spark, tmp_path):
     input_dir = tmp_path / "in"
     input_dir.mkdir()
