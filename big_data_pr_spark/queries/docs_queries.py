@@ -366,3 +366,137 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_payload(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, tf, df, round(score, 6) AS score, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="TF-IDF top-3 terms per document: term frequency (one explode + "
+    "groupBy), document frequency (distinct-count per term, broadcast "
+    "back), corpus size as a one-row broadcast — the canonical "
+    "search-indexing / keyword-extraction pipeline, all JVM built-ins.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+@register(
+    "session_window_native",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM g
+    )
+    SELECT user_id,
+           min(ts)                            AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE       AS sess_end,
+           count(*)                           AS n_events,
+           round(sum(value), 4)               AS sess_value
+    FROM s
+    GROUP BY user_id, sess_no
+    ORDER BY user_id, sess_start
+    """,
+    doc="Native F.session_window aggregation (dynamic-gap windows, the "
+    "built-in Spark operator also usable in Structured Streaming with "
+    "watermark-based state eviction). Oracle derives identical sessions "
+    "via lag + running sum: a session closes when the gap is >= 30 min "
+    "(session_window's end bound is exclusive), end = last event + gap.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sess_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "sess_value",
+        )
+    )
+
+
+@register(
+    "fuzzy_supplier_pairs",
+    """
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           levenshtein(a.s_name, b.s_name) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    ORDER BY name_a, name_b
+    """,
+    doc="Fuzzy matching / record-linkage shape: edit-distance self-join "
+    "on the supplier dimension (dim-sized — broadcast; for fact-scale "
+    "linkage, block first via LSH/fingerprint buckets, then verify with "
+    "levenshtein inside buckets like dedup does).",
+)
+def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
