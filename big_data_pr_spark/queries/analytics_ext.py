@@ -1,0 +1,376 @@
+"""Analytics extensions: aggregate/window shapes common in production
+OLAP surfaces that the reference system never needed (SURVEY.md §2.4
+note: "Spark built-ins cover the extension surface with zero custom
+code") — each registered with a DuckDB oracle so the driver hash-gates
+it like any reference-parity query.
+
+Scale posture per query is noted inline; all of them are single-shuffle
+grouped aggregates or keyed window functions — no driver-side data
+paths, no Python UDFs (plan stays inside whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Grouping sets (generalizes the rollup/cube pair already registered)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)       AS gid,
+           count(*)                                   AS n,
+           round(sum(l_quantity), 2)                  AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    doc="Explicit GROUPING SETS (detail, per-flag subtotal, grand total) "
+    "with grouping_id disambiguating NULL-as-subtotal from NULL data. "
+    "One pass over the fact table; Catalyst expands sets via a single "
+    "Expand node feeding one partial-aggregated shuffle — at 100 TB the "
+    "cost is (#sets ×) map output, never extra scans.",
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments / bivariate statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           count(*)                                      AS n,
+           round(avg(l_quantity), 6)                     AS avg_qty,
+           round(stddev_samp(l_quantity), 6)             AS sd_qty,
+           round(var_samp(l_quantity), 6)                AS var_qty,
+           round(covar_samp(l_quantity, l_discount), 6)  AS covar_qd,
+           round(corr(l_quantity, l_extendedprice), 6)   AS corr_qp,
+           round(median(l_quantity), 6)                  AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Second-moment and bivariate aggregates (stddev/variance/"
+    "covariance/correlation/median) per group — one shuffle, all "
+    "mergeable map-side (Welford-style partial states). Exact median "
+    "is the oracle-testable form; approx_percentile(0.5) is the "
+    "documented 100 TB swap (t-digest, mergeable).",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ntile — equi-depth bucketing (quartile summaries per key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ntile_value_quartiles",
+    """
+    WITH q AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, quartile, count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi,
+           round(avg(value), 6) AS mean
+    FROM q GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+    """,
+    doc="ntile(4) equi-depth buckets per key + per-bucket summary. "
+    "Deterministic via unique (value, event_id) ordering. Partitioned "
+    "window → one hash exchange; no global sort.",
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frame (RANGE BETWEEN interval) — rolling 1 h sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_frame_rolling_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_1h
+    FROM events
+    """,
+    doc="Event-time RANGE frame: per-user rolling 1-hour sum (frame "
+    "bound in microseconds on the event-time axis, not a row count — "
+    "row frames are wrong under irregular event spacing). Range frames "
+    "include ORDER BY peers, so no tie-break column is needed for "
+    "determinism. Keyed window → one hash exchange by user_id.",
+)
+def range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# explode / unnest — corpus-wide term frequencies
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "explode_top_terms",
+    """
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+    doc="Generator/flatten coverage: explode(split(text)) → grouped "
+    "count → top-50. The explode is pipelined into the partial "
+    "aggregate (no materialized token table); top-k is "
+    "TakeOrderedAndProject. Term-frequency skew is absorbed by "
+    "map-side combine — hot terms pre-reduce per partition.",
+)
+def explode_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_statuses",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           count(DISTINCT o_orderstatus) AS n_status
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Deterministic listagg: collect_set → array_sort → array_join "
+    "(sorted DISTINCT contributions make the string order-insensitive "
+    "to partition arrival order — unordered listagg is nondeterministic "
+    "on any parallel engine). State is bounded by distinct-value "
+    "cardinality, not row count.",
+)
+def string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.count_distinct(F.col("o_orderstatus")).alias("n_status"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value / nth_value over a full-partition frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_first_last_nth",
+    """
+    SELECT DISTINCT user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    doc="Frame-navigation functions (first/last/nth over the whole "
+    "partition) — per-user first, latest, and second event value in "
+    "one keyed window pass + DISTINCT. Unique (ts, event_id) ordering "
+    "makes all three deterministic; last_value needs the explicit "
+    "UNBOUNDED FOLLOWING frame (default frame stops at CURRENT ROW).",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+            F.nth_value("value", 2).over(w).alias("second_v"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional distinct counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conditional_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS all_users,
+           count(DISTINCT CASE WHEN value > 500 THEN user_id END) AS hi_users,
+           count(CASE WHEN value > 500 THEN 1 END) AS hi_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Multiple distinct aggregates with predicates in one grouped "
+    "pass (CASE-gated distinct — NULLs drop out of COUNT). Catalyst "
+    "plans multi-distinct via Expand; the 100 TB swap is "
+    "approx_count_distinct per predicate (single-pass HLL++, no "
+    "Expand blow-up), registered separately as approx_distinct_parts.",
+)
+def conditional_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hi = F.when(F.col("value") > 500, F.col("user_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("all_users"),
+            F.count_distinct(hi).alias("hi_users"),
+            F.count(F.when(F.col("value") > 500, F.lit(1))).alias("hi_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long) — melt OHLC columns into (metric, value) rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_ohlc",
+    """
+    WITH candles AS (
+        SELECT event_type                AS symbol,
+               date_trunc('hour', ts)    AS bucket,
+               arg_min(value, ts)        AS o,
+               max(value)                AS h,
+               min(value)                AS l,
+               arg_max(value, ts)        AS c
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT symbol, bucket, metric, round(val, 6) AS val
+    FROM (
+        SELECT symbol, bucket, 'o' AS metric, o AS val FROM candles
+        UNION ALL SELECT symbol, bucket, 'h', h FROM candles
+        UNION ALL SELECT symbol, bucket, 'l', l FROM candles
+        UNION ALL SELECT symbol, bucket, 'c', c FROM candles
+    )
+    ORDER BY symbol, bucket, metric
+    """,
+    doc="Unpivot/melt: hourly OHLC candles widened by the aggregate, "
+    "then unpivoted to (symbol, bucket, metric, val) long form — the "
+    "shape chart/metric stores ingest. Spark `unpivot` is a zero-"
+    "shuffle Expand (4× row multiplier on already-aggregated data); "
+    "the oracle spells it as UNION ALL, the portable equivalent.",
+)
+def unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(
+        F.min_by("value", "ts").alias("o"),
+        F.max("value").alias("h"),
+        F.min("value").alias("l"),
+        F.max_by("value", "ts").alias("c"),
+    )
+    return (
+        candles.unpivot(
+            ["symbol", "bucket"], ["o", "h", "l", "c"], "metric", "val"
+        )
+        .withColumn("val", F.round(F.col("val"), 6))
+        .orderBy("symbol", "bucket", "metric")
+    )
