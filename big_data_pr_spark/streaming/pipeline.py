@@ -225,6 +225,61 @@ def raw_chart(parsed: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(parsed: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Streaming dedup of producer retries/replays (beyond-reference: the
+    reference tolerates duplicates by idempotent doc_id overwrite at the
+    sink; this drops them **in-flight** so every downstream aggregate
+    sees each candle once).
+
+    ``dropDuplicatesWithinWatermark`` keeps first-seen per
+    (symbol, timestamp_ms) and expires state once the event-time
+    watermark passes the key — state is bounded by
+    (keys arriving per watermark horizon), not by stream history, which
+    is what makes it safe on an unbounded 100 TB/day feed.
+    """
+    return parsed.withWatermark("event_timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["symbol", "timestamp_ms"]
+    )
+
+
+def stream_stream_join(
+    candles: DataFrame,
+    signals: DataFrame,
+    tolerance: str = "10 minutes",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Stream-stream event-time inner join (beyond-reference: the
+    reference merges its two serving streams driver-side per request,
+    SURVEY §2.3 J1): attach each trading signal to the candles it was
+    emitted for, where ``signal_time ∈ [candle_time, candle_time +
+    tolerance)``.
+
+    Both sides carry watermarks and the join predicate bounds the
+    event-time distance — the two conditions Structured Streaming needs
+    to evict matched state instead of buffering both streams forever.
+    State per executor is O(input within watermark+tolerance horizon),
+    independent of stream length.
+    """
+    c = candles.withWatermark("event_timestamp", watermark).alias("c")
+    s = signals.withWatermark("signal_time", watermark).alias("s")
+    cond = (
+        (F.col("c.symbol") == F.col("s.symbol"))
+        & (F.col("s.signal_time") >= F.col("c.event_timestamp"))
+        & (
+            F.col("s.signal_time")
+            < F.col("c.event_timestamp") + F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return c.join(s, cond, "inner").select(
+        F.col("c.symbol").alias("symbol"),
+        F.col("c.timestamp_ms").alias("timestamp_ms"),
+        F.col("c.close").alias("close"),
+        F.col("c.event_timestamp").alias("event_timestamp"),
+        F.col("s.signal").alias("signal"),
+        F.col("s.signal_time").alias("signal_time"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch sinks: keyed parquet upsert (exactly-once via idempotent key)
 # ---------------------------------------------------------------------------

@@ -194,6 +194,100 @@ def test_stateful_high_watermark_gate(spark, tmp_path):
     assert r3.filter(F.col("symbol") == "ETH/USDT").count() == 1
 
 
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: intra-batch and cross-batch
+    replays of the same (symbol, timestamp_ms) are dropped; state
+    survives restart via checkpoint; genuinely new rows pass."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_round():
+        parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+        q = (
+            pipeline.dedup_stream(parsed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # round 1: minutes 0-4 with minute 3 duplicated in the same batch
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [_msg("BTC/USDT", m, 100.0 + m) for m in range(5)] + [_msg("BTC/USDT", 3, 103.0)],
+    )
+    run_round()
+    r1 = spark.read.parquet(out).collect()
+    assert len(r1) == 5  # intra-batch duplicate collapsed
+    assert {r["timestamp_ms"] for r in r1} == {T0_MS + m * 60_000 for m in range(5)}
+
+    # round 2: replay minute 4 (within watermark horizon) + new minute 5
+    _write_batch(
+        input_dir, "b2.json", [_msg("BTC/USDT", 4, 104.0), _msg("BTC/USDT", 5, 105.0)]
+    )
+    run_round()
+    r2 = spark.read.parquet(out).collect()
+    assert len(r2) == 6  # replay dropped across restart, new row kept
+    assert (
+        len([r for r in r2 if r["timestamp_ms"] == T0_MS + 4 * 60_000]) == 1
+    ), "cross-batch replay leaked through dedup state"
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Event-time-bounded stream-stream inner join: a signal matches
+    candles whose event time is within [signal_time - tolerance,
+    signal_time]; wrong-symbol and out-of-range signals match nothing."""
+    candle_dir = tmp_path / "candles"
+    signal_dir = tmp_path / "signals"
+    candle_dir.mkdir()
+    signal_dir.mkdir()
+    _write_batch(
+        candle_dir, "b1.json", [_msg("BTC/USDT", m, 100.0 + m) for m in range(12)]
+    )
+    signals = [
+        {"symbol": "BTC/USDT", "signal_time": T0_MS + 3 * 60_000, "signal": "buy"},
+        {"symbol": "XRP/USDT", "signal_time": T0_MS + 3 * 60_000, "signal": "buy"},
+        {"symbol": "BTC/USDT", "signal_time": T0_MS + 30 * 60_000, "signal": "sell"},
+    ]
+    (signal_dir / "s1.json").write_text("\n".join(json.dumps(s) for s in signals) + "\n")
+
+    parsed = pipeline.parse_stream(pipeline.file_source(spark, str(candle_dir)))
+    sig_raw = pipeline.file_source(spark, str(signal_dir))
+    sig = sig_raw.select(
+        F.from_json(
+            F.col("value"), "symbol string, signal_time long, signal string"
+        ).alias("d")
+    ).select(
+        F.col("d.symbol").alias("symbol"),
+        F.timestamp_millis(F.col("d.signal_time")).alias("signal_time"),
+        F.col("d.signal").alias("signal"),
+    )
+    joined = pipeline.stream_stream_join(parsed, sig, tolerance="10 minutes")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    # "buy" at minute 3 matches candles at minutes 0-3 (tolerance 10 min
+    # forward from the candle); the sell at minute 30 and the XRP signal
+    # match nothing
+    assert len(rows) == 4
+    assert {r["symbol"] for r in rows} == {"BTC/USDT"}
+    assert {r["signal"] for r in rows} == {"buy"}
+    assert {r["timestamp_ms"] for r in rows} == {T0_MS + m * 60_000 for m in range(4)}
+
+
 def test_kafka_message_roundtrip(spark):
     """S7 producer contract: serialize → parse_stream recovers the
     candle exactly (works on batch frames — same expressions)."""
