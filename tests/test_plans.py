@@ -135,6 +135,44 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_compact_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """Small-file compaction: a many-file directory (micro-batch sink
+    shape) rewrites to few files, row-identical; range-clustered mode
+    produces disjoint per-file min/max spans so row-group stats prune."""
+    from big_data_pr_spark.operators import storage
+    from big_data_pr_spark.tables import load
+
+    path = str(tmp_path / "frag")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(path)  # simulate 64 epoch files
+    n_rows = spark.read.parquet(path).count()
+    before, after = storage.compact(spark, path, target_file_bytes=1 << 30)
+    assert before == 64 and after == 1
+    assert spark.read.parquet(path).count() == n_rows
+
+    # clustered compaction: files carry disjoint event_id ranges
+    ev.repartition(16).write.mode("overwrite").parquet(path)
+    storage.compact(
+        spark, path, target_file_bytes=len(ev.columns) * n_rows, sort_cols=["event_id"]
+    )
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, f))
+            mins = [md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)]
+            maxs = [md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)]
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1  # actually split into multiple clustered files
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, "range-clustered files overlap — stats won't prune"
+    assert spark.read.parquet(path).count() == n_rows
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     from big_data_pr_spark.operators import storage
     from big_data_pr_spark.tables import load
