@@ -248,6 +248,105 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Connected components over candidate pairs → dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph:
+    min-label propagation with path compression. Returns (node, label)
+    where ``label`` is the component's minimum node id.
+
+    Per iteration: (1) every node takes the min label among itself and
+    its neighbors — one hop of propagation; (2) path compression
+    ``label(v) ← label(label(v))`` — doubles the effective hop, giving
+    O(log diameter) convergence (the pointer-jumping half of
+    Kiveris et al.'s large-star/small-star; near-dup graphs are tiny
+    cliques/chains, so 2-4 iterations in practice). Each iteration is
+    edge-sized joins + a groupBy — shuffles scale with |pairs|, never
+    |corpus|², and ``localCheckpoint`` truncates the growing lineage so
+    plan size stays constant across iterations. Convergence is detected
+    by an edge-level fixpoint probe (both endpoints share a label).
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # path compression: follow the label one more hop
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        compressed = (
+            stepped.join(parent, stepped.label == parent.p_node, "left")
+            .select(
+                "node", F.coalesce("p_label", "label").alias("label")
+            )
+            .localCheckpoint()
+        )
+        labels = compressed
+        # fixpoint: every edge's endpoints agree on a label
+        la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+        lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+        disagreeing = (
+            sym.join(la, "src").join(lb, "dst").filter(F.col("la") != F.col("lb"))
+        )
+        if disagreeing.isEmpty():
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for the whole corpus from near-dup candidate
+    pairs: every document gets a ``cluster_id`` (the minimum doc id in
+    its connected component; singletons are their own cluster) and an
+    ``is_survivor`` flag (true for the canonical min-id doc — the one a
+    dedup pass keeps). This is the step that turns pairwise LSH output
+    into an actual dedup decision when near-duplicates chain
+    (A≈B, B≈C but A̸≈C must still collapse to one survivor).
+    """
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comp, df[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

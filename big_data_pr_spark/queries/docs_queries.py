@@ -200,6 +200,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_assign",
+    None,  # clusters derive from xxhash64-based LSH pairs → rows-only
+    doc="Near-dup cluster assignment: MinHash-LSH pairs → connected "
+    "components (min-label propagation + path compression, O(log "
+    "diameter) iterations) → every doc labeled with its cluster's min "
+    "id and a survivor flag. Handles transitive chains (A≈B≈C) that "
+    "pairwise dedup misses. Behavioral test with planted chains in "
+    "tests/test_dedup_similarity.py.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+@register(
     "dedup_simhash",
     None,  # xxhash64-based signature → rows-only
     doc="SimHash-64 near-dup pairs (Hamming ≤ 3) via 4×16-bit band "

@@ -74,6 +74,43 @@ def test_simhash_hamming_on_planted(planted):
     assert (4, 5) not in pairs
 
 
+def test_connected_components_chain_and_island(spark):
+    """Min-label propagation + path compression: a 4-node chain (worst
+    diameter shape) collapses to one component labeled by its min id;
+    a disjoint pair stays separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["label"] for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_transitive_chain(spark, planted):
+    """A≈B and B≈C (but A̸≈C directly) must collapse into ONE cluster;
+    singletons survive as their own cluster."""
+    # hand-planted candidate pairs: 0-1 exact, 1-2 near — 0-2 missing
+    # on purpose (the transitive case pairwise dedup gets wrong)
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in dedup.dedup_clusters(planted, pairs).collect()}
+    assert len(out) == 6  # every doc gets an assignment
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    assert out[0]["is_survivor"] and not out[1]["is_survivor"] and not out[2]["is_survivor"]
+    for singleton in (3, 4, 5):
+        assert out[singleton]["cluster_id"] == singleton
+        assert out[singleton]["is_survivor"]
+
+
+def test_dedup_clusters_from_lsh_pairs(planted):
+    """End-to-end: LSH pairs → clusters. Docs 0/1/2 share a cluster
+    (exact + near dup), unrelated docs survive independently."""
+    pairs = dedup.minhash_lsh_pairs(planted, min_est_jaccard=0.5)
+    out = {r["doc_id"]: r for r in dedup.dedup_clusters(planted, pairs).collect()}
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+    survivors = {i for i, r in out.items() if r["is_survivor"]}
+    assert 0 in survivors and 1 not in survivors and 2 not in survivors
+    assert {4, 5} <= survivors
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
