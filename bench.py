@@ -39,6 +39,11 @@ HEADLINE = [
     "q21_waiting_supplier_v",
     "sessionize_events",
     "value_percentiles",
+    "grouping_sets_pricing",
+    "stats_moments",
+    "range_frame_rolling_sum",
+    "explode_top_terms",
+    "dedup_cluster_assign",
 ]
 
 

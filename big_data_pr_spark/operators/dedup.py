@@ -271,7 +271,12 @@ def connected_components(
     edge-sized joins + a groupBy — shuffles scale with |pairs|, never
     |corpus|², and ``localCheckpoint`` truncates the growing lineage so
     plan size stays constant across iterations. Convergence is detected
-    by an edge-level fixpoint probe (both endpoints share a label).
+    by an edge-level endpoint-agreement probe — measured faster than
+    the cheaper-looking ``sum(label)``-unchanged probe because it
+    detects completion one full iteration earlier (agreement holds at
+    the END of the iteration that finishes the work; a label-delta
+    probe needs one extra no-op iteration to observe no change, and an
+    iteration costs more than the probe).
     """
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
