@@ -66,10 +66,14 @@ def pct_change(
     """Percent change vs the previous row per key: ``value/lag(value) - 1``.
 
     Reference report §6 dashboard feature; first row per key is null.
+    ``try_divide`` yields NULL when the previous value is 0 instead of
+    raising under ANSI mode — matching DuckDB/standard-SQL double
+    division semantics (x/0 → NULL), so a zero-priced row poisons one
+    output row, not the job.
     """
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     prev = F.lag(F.col(value_col)).over(w)
-    return df.withColumn(out_col, F.col(value_col) / prev - F.lit(1.0))
+    return df.withColumn(out_col, F.try_divide(F.col(value_col), prev) - F.lit(1.0))
 
 
 def ema(

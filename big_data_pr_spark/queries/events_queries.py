@@ -311,7 +311,7 @@ def incremental_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            date_trunc('minute', ts) - k * INTERVAL '1 minute'                       AS window_start,
            date_trunc('minute', ts) - k * INTERVAL '1 minute' + INTERVAL '10 minutes' AS window_end,
-           round(avg(value), 6) AS avg_value,
+           floor(round(sum(value), 4) / count(*) * 1e6 + 0.5) / 1e6 AS avg_value,
            min(value)           AS min_value,
            max(value)           AS max_value,
            count(*)             AS n
@@ -330,7 +330,18 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.window("ts", "10 minutes", "1 minute").alias("w")
         )
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # avg derived from the 4dp-rounded sum, then floor-quantized:
+            # the rounded sum is the identical double on any engine (fp
+            # accumulation noise ≪ 0.5e-4), so the division and floor are
+            # identical IEEE ops — a plain round(avg, 6) flips the hash
+            # when the true mean lands exactly on a half boundary (e.g.
+            # sum/32 with 2-decimal inputs; observed at sf0.1)
+            (
+                F.floor(
+                    F.round(F.sum("value"), 4) / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.count(F.lit(1)).alias("n"),
@@ -351,7 +362,8 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tumbling_hour_stats",
     """
     SELECT event_type, date_trunc('hour', ts) AS window_start,
-           round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value,
+           floor(round(sum(value), 4) / count(*) * 1e6 + 0.5) / 1e6 AS avg_value,
+           round(sum(value), 4) AS sum_value,
            count(*) AS n
     FROM events GROUP BY 1, 2 ORDER BY event_type, window_start
     """,
@@ -362,7 +374,13 @@ def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # stabilized avg — see sliding_window_stats
+            (
+                F.floor(
+                    F.round(F.sum("value"), 4) / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("avg_value"),
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -59,6 +59,42 @@ def test_sma_matches_pandas_rolling(spark, vals):
 
 
 @given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must produce exactly the
+    partition a sequential union-find produces, with each component
+    labeled by its minimum node id — on arbitrary graphs (cycles,
+    chains, self-merging stars), not just near-dup cliques."""
+    from big_data_pr_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+@given(
     gaps=st.lists(st.integers(1, 4000), min_size=1, max_size=25),
 )
 @settings(**SETTINGS)
