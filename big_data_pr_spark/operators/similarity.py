@@ -53,7 +53,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero error) for zero vectors —
+    matches DuckDB/standard-SQL double semantics; one corrupt embedding
+    must not kill a corpus-wide job."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(

@@ -624,7 +624,9 @@ def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "close",
         F.row_number().over(w_desc).alias("rn_desc"),
-        (F.col("close") / F.lag("close").over(w_asc) - 1).alias("pct"),
+        # try_divide: a zero close yields NULL (skipped by the drift avg)
+        # instead of an ANSI divide-by-zero error — matches DuckDB x/0
+        (F.try_divide(F.col("close"), F.lag("close").over(w_asc)) - 1).alias("pct"),
     )
     # drift clamped to ±5%/step (volatility guard — also keeps the
     # compounded forecast in a numerically comparable range) and rounded
