@@ -91,6 +91,48 @@ def sample_frames(df: DataFrame, n_frames: int = 4, duration_ms: int = 10_000) -
     )
 
 
+RESIZE_SCHEMA = (
+    "id long, width int, height int, out_width int, out_height int, scale double"
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 128, real: bool = False
+) -> DataFrame:
+    """Resize step over decoded image metadata: aspect-preserving
+    downscale so the longest side is ``max_side`` (never upscales).
+
+    ``real=True`` is the production hook (PIL ``Image.resize`` over the
+    payload, re-encode) — STUB in this container. The default computes
+    the exact output geometry the real resize would produce, from the
+    (fake-)decoded dimensions, keeping the pipeline shape — decode →
+    resize → feature-extract — runnable and testable end-to-end.
+    Arrow-batched like the other steps; per-row map, no shuffle.
+    """
+    if real:
+        raise NotImplementedError(
+            "real resize needs PIL — wire Image.open(...).resize(...) here"
+        )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid, w, h in zip(pdf["id"], pdf["width"], pdf["height"]):
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                rows.append((rid, w, h, ow, oh, round(scale, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "out_width", "out_height", "scale"],
+            )
+
+    return df.select("id", "width", "height").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
 def extract_features(df: DataFrame, real: bool = False) -> DataFrame:
     """Feature extraction stub: deterministic 8-dim embedding from the
     payload digest (production hook: any vision/audio encoder via the

@@ -384,6 +384,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.attach_payload(docs, "doc_id"))
 
 
+@register(
+    "multimodal_resize",
+    None,  # geometry derives from the digest-based fake decode → rows-only
+    doc="Resize plumbing: decode → aspect-preserving downscale to a "
+    "128-px longest side (never upscales). The full decode→resize→"
+    "feature pipeline stays narrow per-row maps — zero shuffles.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    decoded = multimodal.decode_images(multimodal.attach_payload(docs, "doc_id"))
+    return multimodal.resize_images(decoded, max_side=128)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF and fuzzy matching
 # ---------------------------------------------------------------------------

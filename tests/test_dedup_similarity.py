@@ -179,8 +179,21 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert {r["offset_ms"] for r in frames if r["frame_idx"] == 2} == {5000}
     feats = multimodal.extract_features(payload).collect()
     assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    resized = multimodal.resize_images(
+        multimodal.decode_images(payload), max_side=128
+    ).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert max(r["out_width"], r["out_height"]) <= 128
+        assert r["scale"] <= 1.0  # never upscales
+        if max(r["width"], r["height"]) <= 128:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:  # aspect ratio preserved within rounding
+            assert abs(r["out_width"] / r["out_height"] - r["width"] / r["height"]) < 0.05
     with pytest.raises(NotImplementedError):
         multimodal.decode_images(payload, real=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(multimodal.decode_images(payload), real=True)
 
 
 def test_lsh_bucket_distribution(spark, sf_dir):
