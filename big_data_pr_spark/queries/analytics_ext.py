@@ -435,6 +435,111 @@ def rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Funnel: time from each view to the user's next purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_purchase",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase
+        FROM events
+    )
+    SELECT user_id,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+           count(CASE WHEN event_type = 'view'
+                       AND next_purchase IS NOT NULL THEN 1 END) AS n_converted,
+           sum(CASE WHEN event_type = 'view'
+                    THEN epoch_us(next_purchase) - epoch_us(ts) END)
+               AS total_wait_us
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Funnel step timing: for every view, the user's next purchase "
+    "via a forward-looking keyed window (min-over-following — one "
+    "window pass, NO view×purchase range self-join), then per-user "
+    "conversion counts and total integer-microsecond wait (exact "
+    "integer sums — no float accumulation in the contract). Scales as "
+    "one hash exchange by user_id.",
+)
+def funnel_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    is_view = F.col("event_type") == "view"
+    seq = ev.withColumn("next_purchase", nxt)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.when(is_view, F.lit(1))).alias("n_views"),
+            F.count(
+                F.when(is_view & F.col("next_purchase").isNotNull(), F.lit(1))
+            ).alias("n_converted"),
+            F.sum(
+                F.when(
+                    is_view,
+                    F.unix_micros(F.col("next_purchase")) - F.unix_micros(F.col("ts")),
+                )
+            ).alias("total_wait_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-seen week × activity week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT cohort_week, active_week, count(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY cohort_week, active_week
+    ORDER BY cohort_week, active_week
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen ISO week, "
+    "counted per week they return. Three aggregates all keyed on "
+    "user_id/week — the first groupBy's exchange is reused by the join "
+    "(same key), then one small reshuffle to (cohort, week) cells; "
+    "cells ≪ users ≪ events, so output is tiny at any scale.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a
+    # midnight TIMESTAMP — align the contract type
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unpivot (wide → long) — melt OHLC columns into (metric, value) rows
 # ---------------------------------------------------------------------------
 
