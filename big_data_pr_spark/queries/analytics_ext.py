@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.diff import table_diff
 from ..tables import load
 from .events_queries import _CANDLES_SQL, _candles
 from .registry import register
@@ -432,6 +433,64 @@ def rolling_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — reconcile two versions of a keyed table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old_v AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    ),
+    new_v AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                     AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+                    THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+                THEN 'changed' END AS change
+    FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice  IS DISTINCT FROM n.o_totalprice
+    ORDER BY o_orderkey
+    """,
+    doc="Snapshot reconciliation (operators/diff.py::table_diff): two "
+    "simulated versions of the orders table — the re-crawl window "
+    "shifted forward and urgent pre-cutoff rows repriced — diffed into "
+    "added/removed/changed by one full outer join on the key with "
+    "null-safe column comparison. Audits the idempotent-re-run pattern "
+    "the reference trusts blindly (batch_processor.py:142-148).",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    start = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    old_v = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_v = o.filter(F.col("o_orderdate") >= start).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") < cutoff),
+            F.col("o_totalprice") + 10.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return table_diff(old_v, new_v, ["o_orderkey"]).orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------------------
