@@ -44,6 +44,10 @@ HEADLINE = [
     "range_frame_rolling_sum",
     "explode_top_terms",
     "dedup_cluster_assign",
+    "gap_fill_forward",
+    "funnel_time_to_purchase",
+    "cohort_retention",
+    "snapshot_diff_orders",
 ]
 
 
