@@ -48,6 +48,8 @@ HEADLINE = [
     "funnel_time_to_purchase",
     "cohort_retention",
     "snapshot_diff_orders",
+    "contamination_ngram",
+    "boilerplate_ngrams",
 ]
 
 

@@ -147,6 +147,74 @@ def jaccard_pairs(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check for training corpora: per corpus
+    document, how many of its distinct word ``n``-grams appear anywhere
+    in the benchmark set. Returns ``(doc_id, n_shingles, n_hit,
+    contamination)`` for every document with ≥1 hit — the decontam
+    filter a pipeline applies before training on scraped data.
+
+    Scale: the benchmark side (an eval suite) is orders of magnitude
+    smaller than the corpus, so its distinct shingle set is broadcast —
+    the 100-TB corpus side is never shuffled by shingle, only by
+    ``doc_id`` for the tiny per-doc hit count. Set
+    ``broadcast_benchmark=False`` to fall back to a shuffle join when
+    the benchmark itself is large.
+    """
+    bench_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corp_sh = shingles(corpus, id_col, text_col, n)
+    sizes = corp_sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corp_sh.join(bench_sh, "shingle")
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.join(sizes, "sid")
+        .select(
+            F.col("sid").alias(id_col),
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
+def frequent_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top: int = 100,
+) -> DataFrame:
+    """Boilerplate mining: the ``top`` word ``n``-grams by document
+    frequency (distinct docs containing the gram — shingle arrays are
+    per-doc deduped). Pipelines strip these high-DF grams (headers,
+    navigation chrome, license blurbs) before quality scoring.
+
+    Scale: explode → partial-aggregated groupBy on the shingle key —
+    one edge-sized shuffle; the top-k is a ``TakeOrderedAndProject``
+    on the already-aggregated (small) result, never a global sort of
+    the corpus.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(top)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -124,6 +124,29 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_split(
+    df: DataFrame, text_col: str = "text", split_col: str = "split"
+) -> DataFrame:
+    """Deterministic content-keyed train/val/test split: the first hex
+    character of ``md5(text)`` buckets each document 12/2/2 sixteenths
+    into train/val/test. Keying on the CONTENT hash (not the id) makes
+    the split leakage-safe for exact duplicates — byte-identical
+    documents always land in the same split, so a train/test
+    contamination pass over exact dups is a no-op by construction.
+
+    Scale: a narrow per-row map — no shuffle, no state; the split is
+    reproducible across runs, engines, and re-partitioning because it
+    depends only on document bytes (cf. the reference's deterministic
+    doc_id keying, batch_processor.py:132-135, which makes re-runs
+    idempotent the same way).
+    """
+    h1 = F.substring(F.md5(F.col(text_col)), 1, 1)
+    return df.withColumn(
+        split_col,
+        F.when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: MD5 (content identity) and a 64-bit-safe
     polynomial rolling hash ``h = h*31 + codepoint (mod 1e9+7)`` folded

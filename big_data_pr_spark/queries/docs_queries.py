@@ -531,3 +531,81 @@ def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: contamination, boilerplate, leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB expression: distinct word n-gram shingles of ``text``."""
+    terms = " || ' ' || ".join(
+        f"string_split(text,' ')[i+{j}]" if j else "string_split(text,' ')[i]"
+        for j in range(n)
+    )
+    return (
+        "unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(string_split(text,' ')) - {n - 1}, 0) + 1), "
+        f"i -> {terms})))"
+    )
+
+
+@register(
+    "contamination_ngram",
+    f"""
+    WITH sh AS (SELECT doc_id AS sid, {_shingle_sql(5)} AS shingle FROM documents),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE sid % 10 = 0),
+    corpus AS (SELECT * FROM sh WHERE sid % 10 <> 0),
+    sizes AS (SELECT sid, count(*) AS n_shingles FROM corpus GROUP BY sid),
+    hits AS (SELECT sid, count(*) AS n_hit
+             FROM corpus JOIN bench USING (shingle) GROUP BY sid)
+    SELECT sid AS doc_id, n_shingles, n_hit,
+           round(n_hit / n_shingles, 6) AS contamination
+    FROM hits JOIN sizes USING (sid) ORDER BY doc_id
+    """,
+    doc="Benchmark-contamination check: word-5-gram overlap of each "
+    "corpus doc (doc_id % 10 != 0) against the held-out benchmark set "
+    "(doc_id % 10 = 0). Benchmark shingle set is broadcast — the corpus "
+    "is never shuffled by shingle, only doc-grouped for the hit count.",
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.contamination(corpus, benchmark, n=5).orderBy("doc_id")
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    WITH sh AS (SELECT doc_id AS sid, {_shingle_sql(3)} AS shingle FROM documents)
+    SELECT shingle, count(*) AS doc_freq FROM sh
+    GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 100
+    """,
+    doc="Boilerplate mining: top-100 word-3-grams by document frequency "
+    "(per-doc-deduped shingles). One edge-sized shuffle on the shingle "
+    "key; top-k is TakeOrderedAndProject on the aggregated result.",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.frequent_shingles(docs, n=3, top=100)
+
+
+@register(
+    "split_by_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(text),1,1) <= 'b' THEN 'train'
+                WHEN substr(md5(text),1,1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Leakage-safe deterministic train/val/test split (12/2/2 "
+    "sixteenths) keyed on md5(text): byte-identical documents always "
+    "land in the same split, independent of partitioning or engine. "
+    "Narrow per-row map — no shuffle.",
+)
+def split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.hash_split(docs).select("doc_id", "split").orderBy("doc_id")
