@@ -168,18 +168,26 @@ def contamination(
     ``broadcast_benchmark=False`` to fall back to a shuffle join when
     the benchmark itself is large.
     """
-    bench_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    bench_sh = (
+        shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    corp_sh = shingles(corpus, id_col, text_col, n)
-    sizes = corp_sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corp_sh.join(bench_sh, "shingle")
-        .groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
+    # single pass over the corpus shingles: the left join marks hits,
+    # one groupBy(sid) produces both the set size and the hit count —
+    # the corpus subtree is scanned once and shuffled once (by sid).
     return (
-        hits.join(sizes, "sid")
+        shingles(corpus, id_col, text_col, n)
+        .join(bench_sh, "shingle", "left")
+        .groupBy("sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") >= 1)
         .select(
             F.col("sid").alias(id_col),
             "n_shingles",
