@@ -1,0 +1,140 @@
+"""Command-line entry points — the operational surface a user of the
+reference drives via its runbook, mapped one-to-one:
+
+| reference entry point                     | here                         |
+|-------------------------------------------|------------------------------|
+| ``run_batch_processor.sh`` → ``batch_processor.py`` (hourly cron) | ``python -m big_data_pr_spark batch`` |
+| ``stream_processor.py`` (3-query topology) | ``python -m big_data_pr_spark stream`` |
+| ES ILM 2-hour chart retention (``README.md:74-98``) | ``python -m big_data_pr_spark retention`` |
+| ``app.py`` serving API (5 endpoints → registry queries) | ``python -m big_data_pr_spark query <name>`` |
+| —                                         | ``python -m big_data_pr_spark list`` |
+
+The serving layer is deliberately headless: every ``app.py`` endpoint
+exists as a named registry query (``realtime_stats_join``,
+``range_scan_limit``, ``ohlcv_candles_sma``, ``forecast_linear``,
+``distinct_*``) runnable against any sf_dir — an HTTP wrapper is a
+deployment detail, not an engine capability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_batch(args: argparse.Namespace) -> int:
+    from .ohlcv.batch import run_batch
+
+    n = run_batch(_spark("batch"), args.input, args.table)
+    print(json.dumps({"rows_in_table": n, "table": args.table}))
+    return 0
+
+
+def cmd_stream(args: argparse.Namespace) -> int:
+    from .streaming import pipeline as P
+
+    spark = _spark("stream")
+    if args.source == "kafka":
+        raw = P.kafka_source(spark, args.brokers, args.topic)
+    else:
+        raw = P.file_source(spark, args.path)
+    triggers = (
+        {"latest": args.trigger_latest, "stats": args.trigger_stats, "chart": args.trigger_chart}
+        if args.trigger_latest
+        else None  # None → availableNow (drain-and-stop test mode)
+    )
+    queries = P.start_three_queries(raw, args.out, args.checkpoint, triggers=triggers)
+    if triggers is None:
+        for q in queries:
+            q.awaitTermination()
+    else:
+        spark.streams.awaitAnyTermination()
+    return 0
+
+
+def cmd_retention(args: argparse.Namespace) -> int:
+    from .streaming.pipeline import apply_retention
+
+    dropped = apply_retention(args.chart_path, args.keep_dates)
+    print(json.dumps({"dropped_partitions": dropped}))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r} — see `list`", file=sys.stderr)
+        return 2
+    df = REGISTRY[args.name].fn(_spark("query"), args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from .queries import REGISTRY
+
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        mark = "oracle" if spec.oracle else "rows-only"
+        doc = " ".join((spec.doc or "").split())
+        if len(doc) > 100:
+            doc = doc[:97] + "..."
+        print(f"{name:32s} [{mark}] {doc}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="big_data_pr_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("batch", help="hourly OHLCV batch job (CSV globs -> keyed parquet upsert)")
+    b.add_argument("--input", nargs="+", required=True, help="CSV path globs")
+    b.add_argument("--table", required=True, help="serving parquet table path")
+    b.set_defaults(fn=cmd_batch)
+
+    s = sub.add_parser("stream", help="three-query streaming topology (complete/update/append)")
+    s.add_argument("--source", choices=["kafka", "file"], default="file")
+    s.add_argument("--brokers", default="localhost:9092")
+    s.add_argument("--topic", default="crypto_ohlcv_1m")
+    s.add_argument("--path", help="file-source directory (JSON lines, Kafka value contract)")
+    s.add_argument("--out", required=True, help="output tables directory")
+    s.add_argument("--checkpoint", required=True, help="checkpoint root (one subdir per query)")
+    s.add_argument("--trigger-latest", default=None, help="e.g. '15 seconds'; absent -> availableNow")
+    s.add_argument("--trigger-stats", default="1 minute")
+    s.add_argument("--trigger-chart", default="15 seconds")
+    s.set_defaults(fn=cmd_stream)
+
+    r = sub.add_parser("retention", help="drop chart partitions outside the keep window")
+    r.add_argument("--chart-path", required=True)
+    r.add_argument("--keep-dates", nargs="+", required=True, help="event dates YYYY-MM-DD to keep")
+    r.set_defaults(fn=cmd_retention)
+
+    q = sub.add_parser("query", help="run a named registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true", help="print the formatted physical plan instead")
+    q.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list", help="list registry queries")
+    ls.set_defaults(fn=cmd_list)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "stream" and args.source == "file" and not args.path:
+        ap.error("--path is required with --source file")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

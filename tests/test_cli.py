@@ -1,0 +1,56 @@
+"""CLI smoke tests — the operational surface mapping the reference's
+runbook entry points (run_batch_processor.sh / stream_processor.py /
+app.py serving) onto ``python -m big_data_pr_spark`` subcommands."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from big_data_pr_spark.__main__ import main
+
+
+def test_list_names_every_registry_query(spark, capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    from big_data_pr_spark.queries import REGISTRY
+
+    for name in REGISTRY:
+        assert name in out
+
+
+def test_query_runs_and_shows(spark, sf_dir, capsys):
+    assert main(["query", "sma_events", "--sf-dir", sf_dir, "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "sma_7" in out
+
+
+def test_query_unknown_name_exits_2(spark, capsys):
+    assert main(["query", "no_such_query"]) == 2
+
+
+def test_query_explain_prints_plan(spark, sf_dir, capsys):
+    assert main(["query", "q1_pricing", "--sf-dir", sf_dir, "--explain"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+
+def test_batch_subcommand_upserts(spark, tmp_path, capsys):
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    hdr = "timestamp,open,high,low,close,volume,datetime_str\n"
+    rows = "".join(
+        f"{1700000000000 + i * 3600_000},{100 + i},{101 + i},{99 + i},"
+        f"{100.5 + i},{10 + i},2023-11-14T00:00:00Z\n"
+        for i in range(10)
+    )
+    (csv_dir / "BTC_USDT_1h.csv").write_text(hdr + rows)
+    table = str(tmp_path / "serving")
+    assert main(["batch", "--input", str(csv_dir / "*.csv"), "--table", table]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows_in_table"] == 10
+
+
+def test_stream_file_source_requires_path():
+    with pytest.raises(SystemExit):
+        main(["stream", "--source", "file", "--out", "/tmp/x", "--checkpoint", "/tmp/y"])
