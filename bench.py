@@ -50,6 +50,8 @@ HEADLINE = [
     "snapshot_diff_orders",
     "contamination_ngram",
     "boilerplate_ngrams",
+    "embedding_centroids",
+    "profile_orders",
 ]
 
 

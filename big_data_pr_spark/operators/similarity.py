@@ -59,6 +59,30 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def centroids_by(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed per-key centroid of an embedding column: long-format
+    ``(key, dim, centroid)`` rows, ``dim`` 1-based. The building block
+    for class prototypes, IVF coarse-quantizer training at corpus scale
+    (where :func:`ivf_centroids`'s driver-side numpy loop won't fit),
+    and embedding-drift monitoring.
+
+    Scale: ``posexplode`` fans each vector into dim rows — a narrow map
+    — then ONE partially-aggregated shuffle on (key, dim): ~|keys|·dim
+    final rows regardless of corpus size. Elements are cast to double
+    BEFORE aggregation so accumulation-order differences stay at 1e-16
+    relative — invisible at the 6-dp rounding every consumer applies.
+    """
+    return (
+        df.select(F.col(key_col), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(key_col, (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query_df: DataFrame,

@@ -648,3 +648,51 @@ def unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("val", F.round(F.col("val"), 6))
         .orderBy("symbol", "bucket", "metric")
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+_PROFILE_ORACLE = (
+    "WITH a AS (SELECT count(*) AS n_rows, "
+    + ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    + " FROM orders) SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_non_null, "
+        f"nd_{c} AS n_distinct FROM a"
+        for c in _PROFILE_COLS
+    )
+    + ") ORDER BY column_name"
+)
+
+
+@register(
+    "profile_orders",
+    _PROFILE_ORACLE,
+    doc="Dataset-card column profiling: per-column row/non-null/distinct "
+    "counts of the orders table in ONE pass (multi-distinct via Catalyst "
+    "Expand, then stack() to long format). At 100 TB swap countDistinct "
+    "for approx_count_distinct to avoid the 6x Expand shuffle — same "
+    "query shape, sketch-mergeable.",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack = "stack({n}, {args}) as (column_name, n_non_null, n_distinct)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS),
+    )
+    return (
+        one.select(F.col("n_rows"), F.expr(stack))
+        .select("column_name", "n_rows", "n_non_null", "n_distinct")
+        .orderBy("column_name")
+    )

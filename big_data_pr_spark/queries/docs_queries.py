@@ -609,3 +609,60 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return text.hash_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS dim)
+    SELECT label, dim, round(avg(embedding[dim]::DOUBLE), 6) AS centroid
+    FROM embeddings, idx GROUP BY label, dim ORDER BY label, dim
+    """,
+    doc="Per-label embedding centroids in long format (label, dim, "
+    "centroid) — class prototypes / distributed IVF coarse-quantizer "
+    "training. posexplode narrow fan-out, one partial-agg shuffle on "
+    "(label, dim); output is |labels|*dim rows regardless of corpus "
+    "size. Double-cast before aggregation keeps both engines within "
+    "1e-16 of each other (rounded 6 dp).",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.centroids_by(emb, "label").orderBy("label", "dim")
+
+
+@register(
+    "repetition_ratio",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             greatest(len(string_split(text,' ')) - 2, 0) AS n_grams,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS n_uniq_grams
+      FROM documents
+    )
+    SELECT doc_id, n_grams, n_uniq_grams,
+           round(1 - n_uniq_grams / n_grams, 6) AS repetition
+    FROM g WHERE n_grams > 0 ORDER BY doc_id
+    """,
+    doc="Within-document repetition: 1 - distinct/total word-3-grams — "
+    "the Gopher repetitious-text signal used to drop low-quality docs. "
+    "Pure narrow map over the corpus, no shuffle, no UDF.",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_grams = F.greatest(F.size(toks) - 2, F.lit(0))
+    n_uniq = F.size(dedup.shingle_array("text", 3))
+    return (
+        docs.select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_uniq.alias("n_uniq_grams"),
+            F.round(1 - n_uniq / n_grams, 6).alias("repetition"),
+        )
+        .filter(F.col("n_grams") > 0)
+        .orderBy("doc_id")
+    )
