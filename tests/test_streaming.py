@@ -335,3 +335,76 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     import os
 
     assert not any(e.startswith("event_date=") for e in os.listdir(chart_path))
+
+
+def test_streaming_ema_stateful(spark, tmp_path):
+    """Stateful streaming recursive EMA: matches the batch recurrence
+    exactly, skips replays, and continues the recursion across a
+    checkpointed restart (state survives)."""
+    from big_data_pr_spark.streaming import stateful
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    span, alpha = 5, 2.0 / 6.0
+
+    def run_round():
+        parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+        q = (
+            stateful.streaming_ema(parsed, span=span)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    closes1 = [100.0, 102.0, 101.0, 104.0]
+    _write_batch(
+        input_dir, "b1.json", [_msg("BTC/USDT", m, c) for m, c in enumerate(closes1)]
+    )
+    run_round()
+
+    # restart continuation: minute 3 replayed (must be skipped), 4-5 new
+    closes2 = [103.0, 106.0]
+    _write_batch(
+        input_dir,
+        "b2.json",
+        [_msg("BTC/USDT", 3, 999.0)]
+        + [_msg("BTC/USDT", 4 + i, c) for i, c in enumerate(closes2)],
+    )
+    run_round()
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r["timestamp_ms"]
+    )
+    assert len(rows) == 6  # replay of minute 3 dropped
+    expected = []
+    ema = None
+    for c in closes1 + closes2:
+        ema = c if ema is None else alpha * c + (1 - alpha) * ema
+        expected.append(ema)
+    got = [r["ema"] for r in rows]
+    assert got == pytest.approx(expected, rel=1e-12)
+    assert [r["close"] for r in rows] == closes1 + closes2
+
+
+def test_streaming_ema_tws_gated(spark, tmp_path):
+    """The transformWithState variant either plans (protobuf present) or
+    raises a clear plan-time error — never a mid-stream crash."""
+    from big_data_pr_spark.streaming import stateful
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(input_dir, "b1.json", [_msg("BTC/USDT", 0, 100.0)])
+    parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+    if stateful.tws_available():
+        df = stateful.streaming_ema_tws(parsed)
+        assert df.isStreaming and set(df.columns) == {
+            "symbol", "timestamp_ms", "close", "ema",
+        }
+    else:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stateful.streaming_ema_tws(parsed)
