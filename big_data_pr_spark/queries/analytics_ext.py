@@ -696,3 +696,33 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", "n_rows", "n_non_null", "n_distinct")
         .orderBy("column_name")
     )
+
+
+@register(
+    "percent_rank_cume_dist",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey LIMIT 5000
+    """,
+    doc="Relative-standing window functions: percent_rank + cume_dist "
+    "per priority class, deterministic via the unique (totalprice, "
+    "orderkey) ordering. One hash exchange on the partition key; both "
+    "ranks computed in the same Window node (shared sort).",
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+        .limit(5000)
+    )
