@@ -81,6 +81,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from .tables import register_views
+
+    spark = _spark("sql")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -126,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--explain", action="store_true", help="print the formatted physical plan instead")
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("sql", help="run ad-hoc Spark SQL over the fixture views")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--explain", action="store_true")
+    sq.set_defaults(fn=cmd_sql)
 
     ls = sub.add_parser("list", help="list registry queries")
     ls.set_defaults(fn=cmd_list)

@@ -54,3 +54,10 @@ def test_batch_subcommand_upserts(spark, tmp_path, capsys):
 def test_stream_file_source_requires_path():
     with pytest.raises(SystemExit):
         main(["stream", "--source", "file", "--out", "/tmp/x", "--checkpoint", "/tmp/y"])
+
+
+def test_sql_subcommand(spark, sf_dir, capsys):
+    assert main(
+        ["sql", "SELECT count(*) AS n FROM orders", "--sf-dir", sf_dir, "--limit", "1"]
+    ) == 0
+    assert "n" in capsys.readouterr().out
