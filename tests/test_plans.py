@@ -186,3 +186,36 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters:" in l][0]
     assert "day" in pf  # pruning happens at the file index, not post-scan
     assert q.count() > 0
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(q):
+    """The 100 TB posture of the decontam check: the benchmark shingle
+    set is the broadcast side; the corpus is aggregated by doc id, never
+    shuffled by shingle."""
+    plan = plan_str(q("contamination_ngram"), "simple")
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly two hash exchanges: the benchmark-side shingle distinct
+    # (small side, feeds the broadcast) and the corpus doc-id grouping.
+    # The corpus itself is never hash-partitioned by shingle.
+    exchange_lines = [
+        l.strip() for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchange_lines) == 2, exchange_lines
+    shingle_exchanges = [l for l in exchange_lines if "shingle" in l]
+    assert len(shingle_exchanges) == 1  # benchmark side only
+    assert "sid" in "".join(exchange_lines)  # corpus grouped by doc id
+
+
+def test_boilerplate_topk_no_global_sort(q):
+    plan = plan_str(q("boilerplate_ngrams"), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_centroids_single_shuffle(q):
+    plan = plan_str(q("embedding_centroids"), "simple")
+    # posexplode fan-out is narrow; exactly one hash exchange for the
+    # (label, dim) aggregation — plus the output presentation sort
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
