@@ -341,10 +341,11 @@ def q20_excess_qty_suppliers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     "into ONE per-order aggregate instead of two fact self-joins: a "
     "late line l1 survives iff its order has another supplier "
     "(distinct suppliers > 1) and exactly one supplier shipped late — "
-    "which must then be l1's own (l1 is late). One groupBy + one join "
-    "back on l_orderkey replaces a semi- and an anti-join over the "
-    "whole fact table (9.1 s → ~3 s at sf0.1), and the join-back "
-    "reuses the same key the aggregate just shuffled on.",
+    "which must then be l1's own (l1 is late). The same groupBy also "
+    "collects the late lines' suppkeys, so exploding the qualifying "
+    "orders' (tiny) lists replaces the former fact-vs-aggregate "
+    "join-back entirely: lineitem and orders are each scanned and "
+    "shuffled exactly once (vs 9.1 s two-self-join baseline at sf0.1).",
 )
 def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -358,19 +359,28 @@ def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("__late", late)
-    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+    # ONE pass over the joined fact: the same groupBy computes the
+    # per-order supplier stats AND carries the late lines' suppkeys
+    # (collect_list skips non-late nulls; per-order lists are tiny —
+    # ≤ lines/order). Exploding the qualifying orders' lists replaces
+    # the former join-back of the fact against its own aggregate, so
+    # the fact is scanned and shuffled exactly once.
+    per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("__nsupp"),
         F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
             "__nlatesupp"
         ),
+        F.collect_list(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__late_supps"
+        ),
     )
-    l1 = lo.filter(F.col("__late")).join(
-        asia, F.col("l_suppkey") == F.col("s_suppkey")
+    winners = (
+        per_order.filter((F.col("__nsupp") > 1) & (F.col("__nlatesupp") == 1))
+        .select(F.explode("__late_supps").alias("l_suppkey"))
+        .join(asia, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
-        l1.join(per_order, l1.l_orderkey == per_order.po_orderkey)
-        .filter((F.col("__nsupp") > 1) & (F.col("__nlatesupp") == 1))
-        .groupBy("s_name")
+        winners.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
