@@ -575,23 +575,25 @@ def funnel_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cohort_week, active_week
     """,
     doc="Cohort retention matrix: users bucketed by first-seen ISO week, "
-    "counted per week they return. Three aggregates all keyed on "
-    "user_id/week — the first groupBy's exchange is reused by the join "
-    "(same key), then one small reshuffle to (cohort, week) cells; "
-    "cells ≪ users ≪ events, so output is tiny at any scale.",
+    "counted per week they return. Single pass over events: one "
+    "groupBy(user) collects the deduped week set (collect_set partial-"
+    "aggregates map-side, so the shuffle carries per-user week sets, "
+    "not raw events), cohort = array_min of the same set — no join, no "
+    "second scan; then one tiny reshuffle to (cohort, week) cells.",
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     # to_date: DuckDB's date_trunc('week') yields DATE, Spark's a
     # midnight TIMESTAMP — align the contract type
-    firsts = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(week).alias("__weeks")
     )
-    activity = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
-    ).distinct()
     return (
-        activity.join(firsts, "user_id")
+        per_user.select(
+            F.array_min("__weeks").alias("cohort_week"),
+            F.explode("__weeks").alias("active_week"),
+        )
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "active_week")
