@@ -359,29 +359,40 @@ def q21_waiting_supplier_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 365)
     lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("__late", late)
-    # ONE pass over the joined fact: the same groupBy computes the
-    # per-order supplier stats AND carries the late lines' suppkeys
-    # (collect_list skips non-late nulls; per-order lists are tiny —
-    # ≤ lines/order). Exploding the qualifying orders' lists replaces
-    # the former join-back of the fact against its own aggregate, so
-    # the fact is scanned and shuffled exactly once.
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__nsupp"),
-        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__nlatesupp"
-        ),
-        F.collect_list(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
-            "__late_supps"
-        ),
+    # ONE pass over the joined fact, ONE shuffle, NO multi-distinct
+    # Expand: hash-partition by l_orderkey once, then both aggregation
+    # levels — per (order, supplier) late-line counts, then per order —
+    # are shuffle-free (hashpartitioning on a subset key satisfies the
+    # wider grouping's clustering). A countDistinct formulation would
+    # triple the shuffled volume via Catalyst's Expand; two-level
+    # counting needs none. The single late supplier of a qualifying
+    # order (distinct suppliers > 1, exactly one shipped late — which
+    # must be l1's own) is recovered with max_by, and its late-line
+    # count contributes to numwait.
+    per_os = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.when(F.col("__late"), 1)).alias("__n_late"))
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__nsupp"),
+        F.count(F.when(F.col("__n_late") > 0, 1)).alias("__nlatesupp"),
+        F.max_by(
+            F.struct("l_suppkey", "__n_late"),
+            (F.col("__n_late") > 0).cast("int"),
+        ).alias("__latesup"),
     )
     winners = (
         per_order.filter((F.col("__nsupp") > 1) & (F.col("__nlatesupp") == 1))
-        .select(F.explode("__late_supps").alias("l_suppkey"))
+        .select(
+            F.col("__latesup.l_suppkey").alias("l_suppkey"),
+            F.col("__latesup.__n_late").alias("__n_late"),
+        )
         .join(asia, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
         winners.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__n_late").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
