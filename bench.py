@@ -52,6 +52,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "embedding_centroids",
     "profile_orders",
+    "corpus_clean_pipeline",
 ]
 
 

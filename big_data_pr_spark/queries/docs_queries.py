@@ -666,3 +666,57 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_grams") > 0)
         .orderBy("doc_id")
     )
+
+
+_QUALITY_SQL = f"""CAST(floor((0.4 * least({_NT} / 200.0, 1.0)
+               + 0.3 * (len(list_distinct({_TOKENS})) / {_NT})
+               + 0.3 * least(len(list_filter({_TOKENS}, x -> {_STOP_PRED})) / 10.0, 1.0))
+               * 1e6 + 0.5) AS BIGINT) / 1e6"""
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH surv AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, {_QUALITY_SQL} AS quality
+      FROM surv WHERE rn = 1
+    )
+    SELECT CASE WHEN substr(md5(text),1,1) <= 'b' THEN 'train'
+                WHEN substr(md5(text),1,1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(quality), 6) AS avg_quality
+    FROM q WHERE quality >= 0.3
+    GROUP BY split ORDER BY split
+    """,
+    doc="End-to-end corpus-cleaning pipeline in one query: exact-dup "
+    "survivor selection (min doc_id per content hash) -> quality gate "
+    "(>= 0.3) -> leakage-safe hash split -> per-split stats. One scan, "
+    "one window shuffle on the content hash, tiny final aggregate — "
+    "the composition a preprocessing run executes end to end.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    gated = text.quality_score(surv).filter(F.col("quality") >= 0.3)
+    return (
+        text.hash_split(gated)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("split")
+    )
