@@ -98,6 +98,35 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def shingle_hash_array(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles hashed to 64-bit longs WITHOUT ever
+    materializing the n-gram strings: ``xxhash64`` over the n token
+    slots directly (multi-arg xxhash64 chains per-column, so token
+    boundaries are preserved — no concat, no separator ambiguity).
+
+    Every consumer that only needs shingle *identity* (set size,
+    intersection count, MinHash input) should use this instead of
+    ``shingle_array``: the per-gram string build + later re-hash is the
+    dominant cost of the string path, and downstream exchanges carry
+    8-byte longs instead of ~n·word strings. Collisions conflate two
+    grams with probability ~|grams|²/2⁶⁵ — irrelevant at any corpus
+    size that fits in a cluster."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
+    )).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (doc, shingle-hash) rows — identity-only inverted index."""
+    return _fan_out(df).select(
+        F.col(id_col).alias("sid"),
+        F.explode(shingle_hash_array(text_col, n)).alias("shash"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,19 +141,19 @@ def jaccard_pairs(
     (stop-shingles) before the pair join — the skew guard that keeps the
     inverted-index join bounded at scale.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = hashed_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("set_size"))
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("shash")
         .agg(F.count(F.lit(1)).alias("df_"))
         .filter(F.col("df_") <= max_doc_freq)
-        .select("shingle")
+        .select("shash")
     )
-    filtered = sh.join(rare, "shingle")
-    a = filtered.select(F.col("shingle"), F.col("sid").alias("id_a"))
-    b = filtered.select(F.col("shingle"), F.col("sid").alias("id_b"))
+    filtered = sh.join(rare, "shash")
+    a = filtered.select(F.col("shash"), F.col("sid").alias("id_a"))
+    b = filtered.select(F.col("shash"), F.col("sid").alias("id_b"))
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "shash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -169,8 +198,8 @@ def contamination(
     the benchmark itself is large.
     """
     bench_sh = (
-        shingles(benchmark, id_col, text_col, n)
-        .select("shingle")
+        hashed_shingles(benchmark, id_col, text_col, n)
+        .select("shash")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -179,9 +208,11 @@ def contamination(
     # single pass over the corpus shingles: the left join marks hits,
     # one groupBy(sid) produces both the set size and the hit count —
     # the corpus subtree is scanned once and shuffled once (by sid).
+    # Both sides use hashed shingles: the broadcast is 8 B/gram instead
+    # of the gram strings, and the probe compares longs.
     return (
-        shingles(corpus, id_col, text_col, n)
-        .join(bench_sh, "shingle", "left")
+        hashed_shingles(corpus, id_col, text_col, n)
+        .join(bench_sh, "shash", "left")
         .groupBy("sid")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -235,8 +266,9 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """k-MinHash signature per document: each shingle string is hashed
-    ONCE to a long, and the k independent hash functions are derived as
+    """k-MinHash signature per document: each shingle is hashed ONCE to
+    a long (``hashed_shingles`` — the gram string is never built), and
+    the k independent hash functions are derived as
     ``xxhash64(shingle_hash, seed_i)`` over that 8-byte value — hashing
     a fixed-width long k times is ~5× cheaper than hashing the ~30-byte
     shingle string k times (measured 9.9 s → 2.1 s for the signature
@@ -248,9 +280,7 @@ def minhash_signatures(
     whole-stage codegen), measured ~2× slower than this codegen'd
     explode + hash + partial-agg path — and the groupBy's Exchange is
     reusable by both sides of the downstream LSH self-join."""
-    sh = shingles(df, id_col, text_col, n).select(
-        "sid", F.xxhash64(F.col("shingle")).alias("shash")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shash"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
