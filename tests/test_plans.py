@@ -202,7 +202,9 @@ def test_contamination_broadcasts_benchmark_not_corpus(q):
         l.strip() for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(exchange_lines) == 2, exchange_lines
-    shingle_exchanges = [l for l in exchange_lines if "shingle" in l]
+    shingle_exchanges = [
+        l for l in exchange_lines if "shash" in l or "shingle" in l
+    ]
     assert len(shingle_exchanges) == 1  # benchmark side only
     assert "sid" in "".join(exchange_lines)  # corpus grouped by doc id
 
