@@ -53,6 +53,8 @@ HEADLINE = [
     "embedding_centroids",
     "profile_orders",
     "corpus_clean_pipeline",
+    "stratified_sample_hash",
+    "pack_context_windows",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Training-mix sampling and sequence packing for corpus pipelines.
+
+A pretraining data pipeline rarely trains on the raw corpus: it *mixes*
+strata (languages, sources, quality buckets) at chosen rates and then
+*packs* variable-length documents into fixed-size context windows. Both
+steps must be deterministic — a re-run over the same corpus has to pick
+the same documents and build the same packs, or training is not
+reproducible and eval splits leak. Everything here keys on content/id
+hashes (md5), never on ``rand()`` or partition order.
+
+Scale design (100 TB posture):
+
+- **hash-threshold sampling** is the at-scale path: one tiny per-stratum
+  count aggregate (|strata| rows, broadcast back), then a narrow per-row
+  filter ``hash(id) < rate`` — the corpus is scanned once and never
+  sorted or shuffled. Quota is hit in expectation (binomial jitter
+  ~1/sqrt(quota)).
+- **exact-quota sampling** ranks within each stratum (one shuffle on the
+  stratum key + per-stratum sort) — exact counts, but pays a sort of
+  the corpus; use it when strata are modest or quotas must be exact.
+- **packing** is per-shard by construction (running sum within a natural
+  shard such as ``source``): each shard's prefix-sum is an independent
+  window, so the job parallelizes across shards and no global order is
+  ever imposed. Shard skew is the thing to watch — split oversized
+  shards on a hash prefix before packing.
+
+Reference parity note: the reference has no sampling/packing surface
+(SURVEY.md §2 — serving-layer scans only); these are north-star
+training-data extensions (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _id_hash(id_col: str) -> F.Column:
+    """Deterministic engine-portable per-row hash: md5 of the decimal id
+    string. Used instead of xxhash64 so DuckDB oracles can reproduce the
+    exact sample (both engines emit identical lowercase hex)."""
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by ranking on the id hash — deterministic,
+    engine-portable, independent of partitioning.
+
+    Cost: one shuffle on the strata key + a per-stratum sort (the
+    ``row_number`` window). Exact quotas; prefer
+    :func:`stratified_sample_hash` when expectation-level quotas are
+    acceptable and the corpus is large.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(_id_hash(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """~``n_per_stratum`` rows per stratum in expectation, via a hash
+    threshold: stratum rate = quota / stratum_count, keep rows whose
+    16-bit hash prefix falls under rate·2¹⁶.
+
+    The at-scale mixing path: the per-stratum counts are an aggregate of
+    |strata| rows joined back by broadcast; the keep decision is a
+    narrow per-row map. No sort, no corpus shuffle. The same row is
+    kept or dropped regardless of engine, partitioning, or corpus
+    growth within a stratum snapshot.
+    """
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_n"))
+    bucket = F.conv(F.substring(_id_hash(id_col), 1, 4), 16, 10).cast("bigint")
+    return (
+        df.join(F.broadcast(counts), strata_cols)
+        .filter(
+            bucket
+            < F.ceil(F.lit(n_per_stratum) * F.lit(65536) / F.col("_n"))
+        )
+        .drop("_n")
+    )
+
+
+def pack_context_windows(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str = "source",
+    tokens_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a fixed-capacity context-window pack by
+    contiguous greedy packing within a shard: documents are laid out in
+    deterministic id order and cut into ``capacity``-token windows
+    (``pack_id``), recording each doc's starting ``pack_offset``.
+
+    This is the concat-and-chunk packing used to build pretraining
+    batches: ``pack_id = floor(prefix_tokens / capacity)`` where
+    ``prefix_tokens`` is the running token count *before* the document.
+    Documents longer than ``capacity`` simply span packs (their offset
+    still marks where they start).
+
+    Scale: the running sum is windowed per shard — one shuffle on the
+    shard key, per-shard sort, no global order. Shards are independent,
+    so the 100-TB corpus packs in parallel across its natural shards.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.select(
+        id_col,
+        shard_col,
+        tokens_col,
+        F.floor(prefix / capacity).cast("bigint").alias("pack_id"),
+        (prefix % capacity).cast("bigint").alias("pack_offset"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, sampling, similarity, text
 from ..tables import load
 from .registry import register
 
@@ -720,3 +720,82 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix sampling + context-window packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 50 ORDER BY doc_id
+    """,
+    doc="Deterministic training-mix sampling, exact quotas: 50 docs per "
+    "language ranked by md5(doc_id) — same sample on every engine and "
+    "every re-run. One shuffle on the stratum key + per-stratum sort.",
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample_exact(docs, ["lang"], 50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_hash",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN c USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < ceil(50 * 65536 / n)
+    ORDER BY d.doc_id
+    """,
+    doc="Deterministic training-mix sampling, at-scale path: per-stratum "
+    "rate = quota/count applied as a 16-bit hash-prefix threshold. The "
+    "counts aggregate is |strata| rows broadcast back; the keep "
+    "decision is a narrow per-row map — no sort, no corpus shuffle. "
+    "Quota hit in expectation (the exact-quota variant pays a sort).",
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample_hash(docs, ["lang"], 50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "pack_context_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok
+      FROM documents)
+    SELECT doc_id, source, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS pack_id,
+           CAST((SUM(n_tok) OVER w - n_tok) % 512 AS BIGINT)  AS pack_offset
+    FROM t
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    ORDER BY doc_id
+    """,
+    doc="Concat-and-chunk context-window packing: per shard (source), "
+    "docs in id order are cut into 512-token windows; each doc gets its "
+    "pack_id and starting offset. Running sum windowed per shard — one "
+    "shuffle on the shard key, shards pack in parallel, no global sort.",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", text.n_tokens(F.col("text"))
+    )
+    return sampling.pack_context_windows(docs, 512).orderBy("doc_id")
