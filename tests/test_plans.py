@@ -221,3 +221,26 @@ def test_embedding_centroids_single_shuffle(q):
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 1, plan
     assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_stratified_sample_hash_no_sort_broadcast_rates(q):
+    """The at-scale mixing path: per-stratum rates broadcast back onto
+    the corpus; the keep decision is a narrow map — no Sort node and no
+    corpus shuffle besides the tiny counts aggregate."""
+    plan = plan_str(q("stratified_sample_hash"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_context_windows_single_shard_shuffle(q):
+    """Packing is windowed per shard: exactly one hash exchange (the
+    shard key) and no global range exchange."""
+    plan = plan_str(q("pack_context_windows"), "simple")
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    hash_ex = [l for l in exchanges if "hashpartitioning" in l]
+    range_ex = [l for l in exchanges if "rangepartitioning" in l]
+    assert len(hash_ex) == 1, exchanges
+    # the only range exchange permitted is the final presentation orderBy
+    assert len(range_ex) <= 1, exchanges
