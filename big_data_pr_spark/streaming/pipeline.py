@@ -280,6 +280,27 @@ def stream_stream_join(
     )
 
 
+def enrich_stream(
+    parsed: DataFrame,
+    dim: DataFrame,
+    key: str = "symbol",
+) -> DataFrame:
+    """Stream-static enrichment join (beyond-reference: the reference's
+    dashboards re-fetch symbol metadata per request — SURVEY §3.3): each
+    streaming row picks up the dimension attributes for its key via a
+    broadcast hash join planned per micro-batch.
+
+    Scale: the static side is a dimension table (symbols, instruments,
+    tenants) — broadcast, so the stream is NEVER shuffled and no join
+    state is kept (stateless; unlike a stream-stream join there is
+    nothing to watermark on the static side). The static DataFrame is
+    re-resolved every micro-batch, so a dimension refresh (new parquet
+    files under the same path) is picked up without restarting the
+    query.
+    """
+    return parsed.join(F.broadcast(dim), key, "left")
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch sinks: keyed parquet upsert (exactly-once via idempotent key)
 # ---------------------------------------------------------------------------

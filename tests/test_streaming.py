@@ -408,3 +408,48 @@ def test_streaming_ema_tws_gated(spark, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="protobuf"):
             stateful.streaming_ema_tws(parsed)
+
+
+def test_enrich_stream_broadcast_dimension(spark, tmp_path):
+    """Stream-static enrichment: every candle picks up its symbol's
+    dimension attributes via broadcast; unknown symbols survive the
+    left join with nulls; a dimension refresh between micro-batch runs
+    is visible without restarting the pipeline definition."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(
+        input_dir,
+        "b1.json",
+        [_msg("BTC/USDT", 0, 100.0), _msg("XRP/USDT", 0, 1.0)],
+    )
+    dim_path = tmp_path / "dim"
+    spark.createDataFrame(
+        [("BTC/USDT", "Bitcoin", 8)], "symbol string, name string, decimals int"
+    ).write.parquet(str(dim_path))
+
+    def run_once(out_name: str):
+        parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+        enriched = pipeline.enrich_stream(parsed, spark.read.parquet(str(dim_path)))
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", str(tmp_path / out_name))
+            .option("checkpointLocation", str(tmp_path / (out_name + "_cp")))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["symbol"]: r for r in spark.read.parquet(str(tmp_path / out_name)).collect()}
+
+    rows = run_once("out1")
+    assert rows["BTC/USDT"]["name"] == "Bitcoin"
+    assert rows["BTC/USDT"]["decimals"] == 8
+    assert rows["XRP/USDT"]["name"] is None  # left join keeps unknown keys
+
+    # dimension refresh: new file under the same path, no query restart
+    spark.createDataFrame(
+        [("XRP/USDT", "Ripple", 6)], "symbol string, name string, decimals int"
+    ).write.mode("append").parquet(str(dim_path))
+    _write_batch(input_dir, "b2.json", [_msg("XRP/USDT", 1, 1.1)])
+    rows2 = run_once("out2")
+    assert rows2["XRP/USDT"]["name"] == "Ripple"
