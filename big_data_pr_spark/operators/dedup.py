@@ -413,12 +413,16 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        # lazy checkpoint: materialized by the convergence probe's job
+        # below — one Spark job per iteration instead of two (the probe
+        # computes `labels` anyway; eager checkpointing would add a
+        # separate materialization job per iteration)
         compressed = (
             stepped.join(parent, stepped.label == parent.p_node, "left")
             .select(
                 "node", F.coalesce("p_label", "label").alias("label")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = compressed
         # fixpoint: every edge's endpoints agree on a label
