@@ -513,9 +513,9 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
            count(CASE WHEN event_type = 'view'
                        AND next_purchase IS NOT NULL THEN 1 END) AS n_converted,
-           sum(CASE WHEN event_type = 'view'
-                    THEN epoch_us(next_purchase) - epoch_us(ts) END)
-               AS total_wait_us
+           CAST(sum(CASE WHEN event_type = 'view'
+                         THEN epoch_us(next_purchase) - epoch_us(ts) END)
+                AS BIGINT) AS total_wait_us
     FROM seq GROUP BY user_id ORDER BY user_id
     """,
     doc="Funnel step timing: for every view, the user's next purchase "

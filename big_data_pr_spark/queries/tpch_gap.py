@@ -173,10 +173,10 @@ def q11_important_parts_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 730 THEN '730+'
                 WHEN datediff('day', o_orderdate, l_shipdate) >= 365 THEN '365-729'
                 ELSE '<365' END AS delay_bucket,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem
     JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= o_orderdate
