@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.diff import table_diff
 from ..tables import load
+from ..timeutil import epoch_micros
 from .events_queries import _CANDLES_SQL, _candles
 from .registry import register
 
@@ -171,7 +172,7 @@ def range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -545,7 +546,7 @@ def funnel_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     is_view,
-                    F.unix_micros(F.col("next_purchase")) - F.unix_micros(F.col("ts")),
+                    epoch_micros("next_purchase") - epoch_micros("ts"),
                 )
             ).alias("total_wait_us"),
         )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import ema, pct_change, sma, top1_per_key, topk
 from ..tables import load
+from ..timeutil import epoch_millis, epoch_seconds
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -271,7 +272,7 @@ def high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.max("ts").alias("max_ts"))
-        .withColumn("max_ts_ms", F.unix_millis(F.col("max_ts")))
+        .withColumn("max_ts_ms", epoch_millis("max_ts"))
         .orderBy("event_type")
     )
 
@@ -442,8 +443,8 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_str"),
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
-        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        epoch_millis("ts").alias("ts_ms"),
+        epoch_seconds("ts").alias("ts_s"),
         F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
         F.col("ts").cast("date").alias("ts_date"),
     )
@@ -699,7 +700,7 @@ def forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     flagged = ev.withColumn(
         "new_sess",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),

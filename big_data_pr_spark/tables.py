@@ -35,14 +35,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We flip the
-    runtime conf ``spark.sql.legacy.parquet.nanosAsLong`` to read it
-    as epoch-nanos LongType, then rebuild a microsecond TimestampType
-    column (`timestamp_micros(ns div 1000)`). The fixture data has no
-    sub-microsecond bits (verified: `epoch_ns(ts) % 1000 == 0` for all
-    rows), so this is lossless and matches DuckDB's µs TIMESTAMP view
-    of the same file bit-for-bit.
+    ``events.ts`` has shipped in two parquet flavors across driver
+    rounds: INT64 TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader — we flip ``spark.sql.legacy.parquet.nanosAsLong`` and
+    rebuild µs TimestampType, lossless since the data has no
+    sub-µs bits) and tz-less ``timestamp[us]`` (read natively as
+    TIMESTAMP_NTZ). NTZ is kept as-is: wall-clock semantics match
+    DuckDB's naive TIMESTAMP independent of session time zone, and
+    the untouched scan column keeps predicate pushdown on ``ts``.
+    Epoch extraction goes through ``timeutil`` (NTZ-safe).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
