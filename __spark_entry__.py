@@ -51,7 +51,6 @@ _FRONT = [
     "high_watermark",
     "incremental_new_rows",
     "sliding_window_stats",
-    "tumbling_hour_stats",
     "scalar_datetime",
     "union_dedup",
     "asof_join_purchase_click",
@@ -59,7 +58,7 @@ _FRONT = [
     "forecast_linear",
     "json_props_agg",
     "sessionize_events",
-    "topk_events_by_value",
+    "incremental_agg_merge",
     # TPC-H core + hard plans
     "q1_pricing",
     "q3_shipping_priority",
@@ -72,8 +71,6 @@ _FRONT = [
     # join / agg / window variants
     "join_semi_discounted",
     "join_anti_customers",
-    "rollup_pricing",
-    "cube_priority_status",
     "pivot_status_qty",
     "grouping_sets_pricing",
     "range_frame_rolling_sum",
@@ -95,6 +92,11 @@ _FRONT = [
     "contamination_ngram",
     "split_by_hash",
     "corpus_clean_pipeline",
+    "pii_scrub",
+    "chunk_documents",
+    "subword_top_tokens",
+    # similarity / quantization
+    "embedding_quantize",
     # sampling / packing / multimodal
     "stratified_sample_exact",
     "pack_context_windows",

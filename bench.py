@@ -55,6 +55,11 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "stratified_sample_hash",
     "pack_context_windows",
+    "pii_scrub",
+    "chunk_documents",
+    "subword_top_tokens",
+    "embedding_quantize",
+    "incremental_agg_merge",
 ]
 
 

@@ -203,6 +203,11 @@ def contamination(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # The benchmark is a static eval suite: its shingle set is tiny and
+    # reused by every decontam pass, so cache it — Spark's plan-identity
+    # cache lookup makes later calls (and the broadcast rebuild per
+    # repeated run) read the materialized set instead of re-shingling.
+    bench_sh = bench_sh.persist()
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     # single pass over the corpus shingles: the left join marks hits,

@@ -83,6 +83,44 @@ def centroids_by(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4×
+    storage/bandwidth reduction step before writing an ANN index or
+    shipping vectors to a trainer. Per vector: ``scale = max|x|/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` (half-up quantization via floor —
+    identical IEEE arithmetic across engines, unlike round()), plus the
+    RMS reconstruction error ``sqrt(mean((x - q·scale)²))`` for quality
+    monitoring. Zero vectors quantize to zeros with scale 0.
+
+    Scale: narrow per-row array expressions, no shuffle, no UDF — the
+    whole op fuses into the scan's codegen stage.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    absmax = F.array_max(F.transform(x, F.abs))
+    safe = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    q = F.transform(x, lambda v: F.floor(v / safe + 0.5).cast("int"))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(x, q, lambda a, b: (a - b * safe) * (a - b * safe)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(x)
+    )
+    out = df.withColumns(
+        {
+            "scale": F.round(F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(0.0)), 6),
+            "q_vec": q,
+            "rms_err": F.round(err, 6),
+        }
+    )
+    return out if keep_vec else out.drop(vec_col)
+
+
 def cosine_topk(
     df: DataFrame,
     query_df: DataFrame,

@@ -147,6 +147,72 @@ def hash_split(
     )
 
 
+# PII patterns over text fields. Kept to syntax portable between Java
+# regex (Spark) and RE2 (DuckDB): plain classes, no lookaround.
+PHONE_REGEX = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+EMAIL_REGEX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace each pattern match
+    with its ``[TAG]`` and count matches per document. Adds
+    ``redacted`` plus one ``n_<tag>`` column per pattern.
+
+    Scale: a narrow per-row regexp map — no shuffle, no UDF; the regex
+    runs inside whole-stage codegen and scales linearly with the scan.
+    Real pipelines extend ``patterns`` (SSNs, IBANs, addresses) or swap
+    in an NER model via mapInPandas with the same output schema.
+    """
+    patterns = patterns or {"phone": PHONE_REGEX, "email": EMAIL_REGEX}
+    out = F.col(text_col)
+    counts = {}
+    for tag, pat in patterns.items():
+        counts[f"n_{tag}"] = F.regexp_count(F.col(text_col), F.lit(pat))
+        out = F.regexp_replace(out, pat, f"[{tag.upper()}]")
+    return df.withColumns({**counts, "redacted": out})
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / embedding prep): split
+    each document into ``window``-token chunks every ``stride`` tokens
+    (``window - stride`` tokens of overlap), stopping at the first
+    chunk that reaches the end of the document. Returns
+    ``(id, chunk_id, n_chunk_tokens, chunk)``.
+
+    Scale: tokenize once, ``explode`` a per-row index sequence, slice
+    the token array per index — a narrow fan-out of ~n_tokens/stride
+    rows per document with no shuffle and no UDF; chunk rows inherit
+    the scan's partitioning for a downstream embed/write stage.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last chunk start: smallest i with i*stride + window >= n_tokens
+    last = F.greatest(F.lit(0), F.ceil((n - window) / F.lit(float(stride))))
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), last.cast("long")))
+    start = F.col("chunk_id") * stride
+    return (
+        df.select(id_col, toks.alias("__toks"), n.alias("__n"), idx.alias("chunk_id"))
+        .select(
+            id_col,
+            "chunk_id",
+            (F.least(start + window, F.col("__n")) - start).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            F.concat_ws(" ", F.slice(F.col("__toks"), start + 1, window)).alias("chunk"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: MD5 (content identity) and a 64-bit-safe
     polynomial rolling hash ``h = h*31 + codepoint (mod 1e9+7)`` folded

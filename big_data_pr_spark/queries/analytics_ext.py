@@ -729,3 +729,107 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority", "o_orderkey")
         .limit(5000)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + incremental aggregate maintenance (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH t AS (
+      SELECT c_custkey,
+             c_name || ' call ' ||
+             printf('%02d-%03d-%03d-%04d', c_nationkey % 100, c_custkey % 1000,
+                    (c_custkey * 7) % 1000, (c_custkey * 13) % 10000) ||
+             ' or mail user' || c_custkey || '@example.com' AS contact
+      FROM customer)
+    SELECT c_custkey,
+           len(regexp_extract_all(contact,
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+           len(regexp_extract_all(contact,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_email,
+           regexp_replace(regexp_replace(contact,
+               '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g')
+           AS redacted
+    FROM t ORDER BY c_custkey
+    """,
+    doc="PII scrubbing before a text field enters a training corpus: "
+    "phone and email matches in a customer contact blob are counted "
+    "and masked ([PHONE]/[EMAIL]). The fixture's trimmed customer "
+    "table has no contact columns, so a deterministic key-derived blob "
+    "is built identically on both engines — the verified behavior is "
+    "the match/replace equivalence. Narrow per-row regexp map inside "
+    "codegen — no shuffle, no UDF; extend operators/text.py::"
+    "redact_pii patterns (or swap in an NER pandas-UDF) for richer "
+    "PII classes.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import redact_pii
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" call "),
+            F.format_string(
+                "%02d-%03d-%03d-%04d",
+                F.col("c_nationkey") % 100,
+                F.col("c_custkey") % 1000,
+                (F.col("c_custkey") * 7) % 1000,
+                (F.col("c_custkey") * 13) % 10000,
+            ),
+            F.lit(" or mail user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com"),
+        ).alias("contact"),
+    )
+    # no final orderBy: the driver's value compare is order-insensitive
+    # and a global sort of every customer row is a pure range-exchange
+    # tax at scale (oracle keeps ORDER BY for readable diffs only)
+    return redact_pii(cust, "contact").select(
+        "c_custkey", "n_phone", "n_email", "redacted"
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n, round(sum(value), 4) AS total,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ORDER BY event_type, day
+    """,
+    doc="Incremental materialized-aggregate maintenance: per-(type, "
+    "day) count/sum/min/max partial states computed separately for the "
+    "history (ts < cutoff) and the new delta (ts >= cutoff), then "
+    "merged by a second-level aggregate — byte-identical to the full "
+    "recompute the oracle runs. At 100 TB each refresh shuffles only "
+    "the delta partials plus the |keys|-sized state, never the "
+    "history; with the state table bucketed by key the merge is "
+    "exchange-free. The batch analogue of the reference's hourly "
+    "high-watermark update cycle (hourly_updater.py:58-106).",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import merge_states, partial_state
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    aggs = {
+        "n": ("count", "*"),
+        "total": ("sum", "value"),
+        "vmin": ("min", "value"),
+        "vmax": ("max", "value"),
+    }
+    keys = ["event_type", "day"]
+    state = partial_state(ev.filter(F.col("ts") < cutoff), keys, aggs)
+    delta = partial_state(ev.filter(F.col("ts") >= cutoff), keys, aggs)
+    return (
+        merge_states([state, delta], keys, aggs)
+        .withColumn("total", F.round("total", 4))
+        .orderBy("event_type", "day")
+    )

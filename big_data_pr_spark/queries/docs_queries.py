@@ -799,3 +799,111 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok", text.n_tokens(F.col("text"))
     )
     return sampling.pack_context_windows(docs, 512).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Chunking, tokenizer stats, embedding quantization (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n,
+             range(0, CAST(greatest(0, ceil((n - 64) / 48.0)) AS BIGINT) + 1) AS idx
+      FROM t)
+    SELECT doc_id,
+           unnest(idx) AS chunk_id,
+           unnest(list_transform(idx, i -> least(i*48 + 64, n) - i*48)) AS n_chunk_tokens,
+           unnest(list_transform(idx,
+             i -> array_to_string(toks[CAST(i*48 + 1 AS INT) : CAST(least(i*48 + 64, n) AS INT)], ' '))) AS chunk
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window chunking for RAG/embedding prep: 64-token "
+    "windows every 48 tokens (16-token overlap), last chunk reaches the "
+    "document end. Tokenize once + explode an index sequence + slice — "
+    "narrow ~n/stride fan-out per doc, no shuffle, no UDF; chunk rows "
+    "inherit the scan partitioning for the downstream embed stage.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # no final orderBy (driver compare is order-insensitive): chunk rows
+    # stay in scan partitioning for the downstream embed/write stage
+    return text.chunk_tokens(docs, "doc_id", "text", window=64, stride=48)
+
+
+@register(
+    "subword_top_tokens",
+    f"""
+    SELECT tok, count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY n_occur DESC, tok LIMIT 50
+    """,
+    doc="Tokenizer-training corpus statistics: top-50 BPE-ish subword "
+    "tokens (letter runs | digit runs | single symbol) by occurrence "
+    "with document frequency. Regex tokenize is a narrow codegen map; "
+    "one partially-aggregated shuffle on the token key (count(distinct "
+    "doc_id) expands per-token, bounded by vocabulary size); top-k is "
+    "TakeOrderedAndProject with a deterministic (count, token) order.",
+)
+def subword_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit(text.TOKEN_REGEX), 0)).alias(
+                "tok"
+            ),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occur"), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH t AS (
+      SELECT vec_id, label,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, label, x,
+             list_max(list_transform(x, v -> abs(v))) AS absmax
+      FROM t),
+    q AS (
+      SELECT vec_id, label, x, absmax,
+             CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 1.0 END AS safe
+      FROM s)
+    SELECT vec_id, label,
+           round(CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 0.0 END, 6) AS scale,
+           round(sqrt(list_sum(list_transform(
+                 list_zip(x, list_transform(x, v -> floor(v / safe + 0.5))),
+                 p -> (p[1] - p[2] * safe) * (p[1] - p[2] * safe)))
+               / len(x)), 6) AS rms_err
+    FROM q ORDER BY vec_id
+    """,
+    doc="Symmetric int8 embedding quantization (scale = max|x|/127, "
+    "half-up via floor for cross-engine determinism) with per-vector "
+    "RMS reconstruction error — the 4x compression step before an ANN "
+    "index write. Narrow per-row array math, zero shuffle, fused into "
+    "the scan's codegen stage (oracle checks scale + error; q_vec "
+    "itself is engine-internal payload).",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # no final orderBy: narrow map stays exchange-free end to end
+    return similarity.quantize_int8(emb, "embedding").select(
+        "vec_id", "label", "scale", "rms_err"
+    )
