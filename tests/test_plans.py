@@ -244,3 +244,35 @@ def test_pack_context_windows_single_shard_shuffle(q):
     assert len(hash_ex) == 1, exchanges
     # the only range exchange permitted is the final presentation orderBy
     assert len(range_ex) <= 1, exchanges
+
+
+def test_narrow_corpus_ops_zero_exchange(q):
+    """PII scrub, chunking, and quantization are pure per-row maps: the
+    whole plan must be scan -> project with no Exchange and no Python
+    boundary (they fuse into the scan's codegen stage)."""
+    for name in ("pii_scrub", "chunk_documents", "embedding_quantize"):
+        plan = plan_str(q(name))
+        assert "Exchange" not in plan, name
+        assert "EvalPython" not in plan, name
+    # regex/slice exprs stay inside whole-stage codegen ('*' marker);
+    # quantize's higher-order lambdas are JVM-side but interpreted
+    # (LambdaFunction isn't codegen-supported) — covered by the
+    # no-EvalPython assertion above
+    for name in ("pii_scrub", "chunk_documents"):
+        assert "* Project" in plan_str(q(name)), name
+
+
+def test_subword_topk_uses_heap(q):
+    plan = plan_str(q("subword_top_tokens"))
+    assert "TakeOrderedAndProject" in plan
+    # tokenize must stay JVM-side
+    assert "EvalPython" not in plan
+
+
+def test_incremental_merge_partial_aggs(q):
+    """Both aggregation levels keep map-side partials; the history scan
+    and delta scan each push their cutoff filter to parquet."""
+    plan = plan_str(q("incremental_agg_merge"))
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert sum("ts" in l for l in pushed) >= 2
