@@ -93,6 +93,29 @@ def stratified_sample_hash(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate_scale: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row independently with probability
+    ``min(weight · rate_scale, 1)`` — the quality/source-weighted
+    training-mix step (upsample high-quality documents, downsample
+    boilerplate sources) made deterministic: the coin flip is the
+    row's 16-bit id-hash bucket against ``p·2¹⁶``, so the same row is
+    kept on every engine, re-run, and partitioning.
+
+    Scale: a narrow per-row map — no shuffle, no state, no rand(); at
+    100 TB the sample is a filter fused into the scan. IEEE evaluation
+    order of the threshold is fixed (least(w·s, 1)·65536) so SQL
+    oracles replay bit-identically.
+    """
+    bucket = F.conv(F.substring(_id_hash(id_col), 1, 4), 16, 10).cast("bigint")
+    p = F.least(F.col(weight_col) * F.lit(rate_scale), F.lit(1.0))
+    return df.filter(bucket < p * F.lit(65536.0))
+
+
 def pack_context_windows(
     df: DataFrame,
     capacity: int,

@@ -907,3 +907,59 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(emb, "embedding").select(
         "vec_id", "label", "scale", "rms_err"
     )
+
+
+@register(
+    "weighted_sample_quality",
+    f"""
+    WITH q AS (SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents)
+    SELECT doc_id, lang, quality FROM q
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < least(quality * 0.8, 1.0) * 65536.0
+    ORDER BY doc_id
+    """,
+    doc="Quality-weighted training-mix sampling: each document kept "
+    "with probability min(0.8*quality, 1) — upsampling high-quality "
+    "text — via the deterministic 16-bit id-hash coin "
+    "(operators/sampling.py::weighted_sample). Narrow per-row map "
+    "fused into the scan: no shuffle, no rand(), reproducible across "
+    "engines and partitionings.",
+)
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = text.quality_score(docs)
+    return (
+        sampling.weighted_sample(scored, "quality", rate_scale=0.8)
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    None,  # sketch output is engine-specific -> rows-only; tolerance
+    # vs the exact interpolated percentiles is pinned in
+    # tests/test_text_chunk_quantize.py::test_approx_percentiles_close
+    doc="Mergeable-sketch percentiles per key: percentile_approx "
+    "(Greenwald-Khanna) for p25/p50/p90/p99 of value per event_type — "
+    "the 100 TB swap for value_percentiles' exact interpolation: "
+    "partial sketches merge map-side, one |keys|-row result, no "
+    "full-column sort or collect.",
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.25, 0.5, 0.9, 0.99], 10000
+            ).alias("pcts")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("pcts")[0], 6).alias("p25"),
+            F.round(F.col("pcts")[1], 6).alias("p50"),
+            F.round(F.col("pcts")[2], 6).alias("p90"),
+            F.round(F.col("pcts")[3], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
