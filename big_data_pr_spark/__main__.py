@@ -94,6 +94,30 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from .pipelines import build_pretrain_corpus
+    from .tables import load
+
+    spark = _spark("corpus")
+    docs = load(spark, args.sf_dir, "documents")
+    bench = None
+    if args.benchmark_path:
+        bench = spark.read.parquet(args.benchmark_path)
+    elif args.holdout_benchmark:
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        docs = docs.filter(F.col("doc_id") % 10 != 0)
+    res = build_pretrain_corpus(
+        docs,
+        bench,
+        quality_min=args.quality_min,
+        pack_capacity=args.pack_capacity,
+    )
+    print(json.dumps(res.write(args.out)))
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -149,6 +173,24 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registry queries")
     ls.set_defaults(fn=cmd_list)
+
+    cp = sub.add_parser(
+        "corpus",
+        help="end-to-end pretraining-corpus build: scrub -> dedup -> "
+        "decontaminate -> split -> pack -> partitioned write (prints "
+        "per-stage metrics JSON)",
+    )
+    cp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cp.add_argument("--out", required=True, help="output directory")
+    cp.add_argument("--benchmark-path", help="parquet of held-out eval docs to decontaminate against")
+    cp.add_argument(
+        "--holdout-benchmark",
+        action="store_true",
+        help="use doc_id%%10==0 as the benchmark (fixture demo mode)",
+    )
+    cp.add_argument("--quality-min", type=float, default=0.3)
+    cp.add_argument("--pack-capacity", type=int, default=512)
+    cp.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     if args.cmd == "stream" and args.source == "file" and not args.path:
