@@ -1,0 +1,64 @@
+"""IVF index-at-rest: partition-pruned probes + recall vs brute force."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from big_data_pr_spark.operators.ann_index import probe_ivf_index, write_ivf_index
+from big_data_pr_spark.operators.similarity import cosine
+from big_data_pr_spark.tables import load
+
+
+def test_ivf_index_partition_pruned_probe(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    out = str(tmp_path / "ivf")
+    n_list, n_probe, k = 8, 3, 10
+    write_ivf_index(emb, out, n_list=n_list)
+
+    # physical layout: one directory per cell
+    cells = [d for d in os.listdir(os.path.join(out, "vectors")) if d.startswith("cell=")]
+    assert 1 < len(cells) <= n_list
+
+    qvec = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    res = probe_ivf_index(spark, out, qvec, k=k, n_probe=n_probe)
+
+    # the cell predicate must be partition pruning, not a post-scan filter
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell" in pf[0], plan
+
+    rows = res.collect()
+    assert len(rows) == k
+    # probed results only come from the probed cells
+    assert len({r["cell"] for r in rows}) <= n_probe
+
+    # recall vs exact brute force: the probe must recover most of the
+    # true top-k (self included in both sides, so rankings align)
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = (
+        emb.select("vec_id", F.round(cosine(F.col("embedding"), qcol), 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    got = {r["vec_id"] for r in rows}
+    want = {r["vec_id"] for r in exact}
+    assert len(got & want) >= k // 2, (sorted(got), sorted(want))
+
+
+def test_ivf_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    out = str(tmp_path / "ivf2")
+    c1 = write_ivf_index(emb, out, n_list=4)
+    c2 = write_ivf_index(emb, out, n_list=4)
+    assert (c1 == c2).all()  # deterministic seeds + Lloyd -> same centroids
+    n = spark.read.parquet(os.path.join(out, "vectors")).count()
+    assert n == 100
