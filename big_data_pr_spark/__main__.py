@@ -118,6 +118,27 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rag(args: argparse.Namespace) -> int:
+    from .pipelines import build_rag_index, rag_query
+    from .tables import load
+
+    spark = _spark("rag")
+    if args.build:
+        docs = load(spark, args.sf_dir, "documents")
+        if args.limit_docs:
+            docs = docs.limit(args.limit_docs)
+        build_rag_index(docs, args.index, n_list=args.n_list, dim=args.dim)
+        print(json.dumps({"index": args.index, "n_list": args.n_list, "dim": args.dim}))
+        return 0
+    if not args.query:
+        print("pass --build or --query TEXT", file=sys.stderr)
+        return 2
+    rag_query(spark, args.index, args.query, k=args.k, n_probe=args.n_probe).show(
+        truncate=80
+    )
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -191,6 +212,23 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--quality-min", type=float, default=0.3)
     cp.add_argument("--pack-capacity", type=int, default=512)
     cp.set_defaults(fn=cmd_corpus)
+
+    rg = sub.add_parser(
+        "rag",
+        help="RAG index lifecycle: --build chunks+embeds+writes the "
+        "cell-partitioned IVF index; --query TEXT retrieves top-k "
+        "chunks via partition-pruned probes",
+    )
+    rg.add_argument("--index", required=True, help="index directory")
+    rg.add_argument("--build", action="store_true")
+    rg.add_argument("--query")
+    rg.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rg.add_argument("--limit-docs", type=int, default=0)
+    rg.add_argument("--n-list", type=int, default=16)
+    rg.add_argument("--dim", type=int, default=64)
+    rg.add_argument("--k", type=int, default=5)
+    rg.add_argument("--n-probe", type=int, default=4)
+    rg.set_defaults(fn=cmd_rag)
 
     args = ap.parse_args(argv)
     if args.cmd == "stream" and args.source == "file" and not args.path:

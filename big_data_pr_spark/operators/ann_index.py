@@ -61,6 +61,7 @@ def probe_ivf_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-k cosine neighbors of ``query_vec`` reading only the
     ``n_probe`` nearest cells' partitions (verify with ``.explain()`` —
@@ -84,6 +85,7 @@ def probe_ivf_index(
             id_col,
             "cell",
             F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"),
+            *keep_cols,
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
