@@ -70,6 +70,51 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+# Interchange formats beyond parquet. Columnar (parquet/orc) carry
+# schema + stats and take predicate pushdown; row formats (json/csv)
+# exist for interchange with non-columnar producers/consumers — on
+# read, ALWAYS pass an explicit schema: schema inference is an extra
+# full scan at 100 TB, and CSV/JSON types are lossy without one.
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Write ``df`` in any interchange format (csv gets a header by
+    default so the files are self-describing for external tools)."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"fmt must be one of {INTERCHANGE_FORMATS}")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df.write.mode(mode).options(**options).format(fmt).save(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    **options: str,
+):
+    """Read any interchange format. For json/csv a ``schema`` is
+    required — inference would scan the data twice and guess types."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"fmt must be one of {INTERCHANGE_FORMATS}")
+    if fmt in ("json", "csv") and schema is None:
+        raise ValueError(f"{fmt} read requires an explicit schema (no inference scan)")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -276,3 +276,26 @@ def test_incremental_merge_partial_aggs(q):
     assert plan.count("HashAggregate") >= 4  # partial+final at both levels
     pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
     assert sum("ts" in l for l in pushed) >= 2
+
+
+def test_interchange_format_round_trips(spark, sf_dir, tmp_path):
+    """parquet/orc/json/csv round-trip a fixture slice losslessly; the
+    columnar formats take predicate pushdown at the scan."""
+    from big_data_pr_spark.operators.storage import read_format, write_format
+    from big_data_pr_spark.tables import load
+
+    src = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .limit(500)
+    )
+    expected = sorted(map(tuple, src.collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        write_format(src, p, fmt)
+        back = read_format(spark, p, fmt, schema=src.schema)
+        assert sorted(map(tuple, back.collect())) == expected, fmt
+        if fmt in ("parquet", "orc"):
+            plan = plan_str(back.filter(F.col("l_orderkey") == 1))
+            pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+            assert pushed and "l_orderkey" in pushed[0], (fmt, plan)
