@@ -125,3 +125,57 @@ def test_sessionize_invariants(spark, gaps):
             assert t1 - t0 <= 1800  # intra-session gap bounded
         else:
             assert s1 == s0 + 1 and t1 - t0 > 1800  # boundary = real gap
+
+
+@given(
+    n_tokens=st.integers(1, 300),
+    window=st.integers(2, 64),
+    stride_frac=st.floats(0.3, 1.0),
+)
+@settings(**SETTINGS)
+def test_chunk_tokens_total_coverage(spark, n_tokens, window, stride_frac):
+    """Chunking invariants on arbitrary shapes: chunks tile [0, n) with
+    the configured overlap, never exceed the window, and the last chunk
+    always reaches the end of the document."""
+    from big_data_pr_spark.operators.text import chunk_tokens
+
+    stride = max(1, int(window * stride_frac))
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"], r["chunk"])
+        for r in chunk_tokens(df, window=window, stride=stride).collect()
+    )
+    covered = set()
+    for cid, n_chunk, chunk in chunks:
+        assert 1 <= n_chunk <= window
+        assert len(chunk.split(" ")) == n_chunk
+        covered.update(range(cid * stride, cid * stride + n_chunk))
+    assert covered == set(range(n_tokens))
+    last_cid, last_n, _ = chunks[-1]
+    assert last_cid * stride + last_n == n_tokens
+
+
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=1, max_size=32
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_int8_error_bound(spark, vec):
+    """Quantization invariant: every reconstructed element is within
+    scale/2 of the original (half-up rounding), codes fit int8."""
+    from big_data_pr_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    r = quantize_int8(df, keep_vec=True).collect()[0]
+    # float32 storage: compare against the float32 value Spark read
+    import numpy as np
+
+    stored = np.asarray(vec, dtype=np.float32).astype(np.float64)
+    scale = max(abs(x) for x in stored) / 127.0 if any(stored) else 0.0
+    assert all(-127 <= q <= 127 for q in r["q_vec"])
+    if scale > 0:
+        recon = np.asarray(r["q_vec"], dtype=np.float64) * scale
+        assert np.all(np.abs(stored - recon) <= scale / 2 + 1e-12)
+        assert r["rms_err"] <= scale / 2 + 1e-9
