@@ -61,3 +61,36 @@ def test_sql_subcommand(spark, sf_dir, capsys):
         ["sql", "SELECT count(*) AS n FROM orders", "--sf-dir", sf_dir, "--limit", "1"]
     ) == 0
     assert "n" in capsys.readouterr().out
+
+
+def test_corpus_subcommand_writes_and_reports(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    assert (
+        main(
+            [
+                "corpus",
+                "--sf-dir", sf_dir,
+                "--out", out,
+                "--holdout-benchmark",
+            ]
+        )
+        == 0
+    )
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["00_input"] > 0
+    assert "04_decontaminated" in metrics
+    assert spark.read.parquet(out + "/documents").count() > 0
+
+
+def test_rag_subcommand_build_then_query(spark, sf_dir, tmp_path, capsys):
+    idx = str(tmp_path / "rag")
+    assert (
+        main(["rag", "--index", idx, "--build", "--sf-dir", sf_dir,
+              "--limit-docs", "50", "--n-list", "4"]) == 0
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["rag", "--index", idx, "--query", "spark join scan", "--k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "cos_sim" in out
+    # neither --build nor --query is an error
+    assert main(["rag", "--index", idx]) == 2
