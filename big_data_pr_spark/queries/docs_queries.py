@@ -963,3 +963,39 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "corpus_profile",
+    f"""
+    SELECT lang,
+           count(*)                                   AS n_docs,
+           count(DISTINCT source)                     AS n_sources,
+           round(avg(n_chars), 4)                     AS avg_chars,
+           round(avg({_NT}), 4)                       AS avg_tokens,
+           round(avg({_QUALITY_SQL}), 6)              AS avg_quality,
+           round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Dataset-card corpus profile per language: volume, source "
+    "diversity, length/token means, mean quality, exact-dup rate — "
+    "the summary table a data release publishes. One pass, one "
+    "partial-agg shuffle keyed by lang; the distinct aggregates "
+    "expand per-lang, bounded by |sources| and |distinct texts|.",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.quality_score(load(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(text.n_tokens(F.col("text"))), 4).alias("avg_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                1 - F.countDistinct(F.md5("text")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )

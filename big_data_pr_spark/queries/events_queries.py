@@ -777,3 +777,120 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Technical-analysis extensions on the candle pipeline (round 4): the
+# indicators a user of the reference's TA system reaches for next
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bollinger_bands",
+    f"""
+    WITH candles AS ({_CANDLES_SQL})
+    SELECT symbol, bucket, "close",
+           round(avg("close") OVER w, 6) AS mid,
+           round(avg("close") OVER w + 2 * stddev_samp("close") OVER w, 6) AS upper,
+           round(avg("close") OVER w - 2 * stddev_samp("close") OVER w, 6) AS lower
+    FROM candles
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, bucket
+    """,
+    doc="Bollinger bands (20-bucket SMA ± 2σ) on the hourly candle "
+    "series — the next indicator after the reference's SMA-7/30 "
+    "(batch_processor.py:109-115). Both moments share ONE window frame "
+    "-> one keyed shuffle, no extra pass for the stddev. Warm-up rows "
+    "(<2 obs) emit NULL bands on both engines (sample stddev "
+    "undefined).",
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    mid = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    return (
+        _candles(spark, sf_dir)
+        .select(
+            "symbol",
+            "bucket",
+            "close",
+            F.round(mid, 6).alias("mid"),
+            F.round(mid + 2 * sd, 6).alias("upper"),
+            F.round(mid - 2 * sd, 6).alias("lower"),
+        )
+        .orderBy("symbol", "bucket")
+    )
+
+
+@register(
+    "vwap_daily",
+    f"""
+    WITH candles AS ({_CANDLES_SQL})
+    SELECT symbol, CAST(bucket AS DATE) AS day,
+           round(sum("close" * volume) / sum(volume), 6) AS vwap,
+           round(sum(volume), 4) AS total_volume,
+           count(*) AS n_buckets
+    FROM candles GROUP BY symbol, CAST(bucket AS DATE)
+    ORDER BY symbol, day
+    """,
+    doc="Daily volume-weighted average price per symbol from the hourly "
+    "candles — the aggregation a serving dashboard lays over the raw "
+    "chart. Reuses the candle aggregate; one further partial-agg "
+    "shuffle on (symbol, day), output |symbols|x|days| rows.",
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _candles(spark, sf_dir)
+        .groupBy("symbol", F.col("bucket").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume"), 6
+            ).alias("vwap"),
+            F.round(F.sum("volume"), 4).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+
+@register(
+    "zscore_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mu) / sd, 6) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((value - mu) / sd) > 3
+    ORDER BY event_id
+    """,
+    doc="Global z-score outlier flagging per key: one |keys|-row "
+    "moment aggregate broadcast back onto the stream of rows, narrow "
+    "filter — the data-quality sweep before training on metric data. "
+    "At scale the stats side is a broadcast join; the fact table is "
+    "scanned once and never shuffled.",
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )

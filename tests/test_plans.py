@@ -188,10 +188,14 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert q.count() > 0
 
 
-def test_contamination_broadcasts_benchmark_not_corpus(q):
+def test_contamination_broadcasts_benchmark_not_corpus(q, spark):
     """The 100 TB posture of the decontam check: the benchmark shingle
     set is the broadcast side; the corpus is aggregated by doc id, never
     shuffled by shingle."""
+    # drop the persisted benchmark shingle cache so the plan under test
+    # is the cold-start one (cached runs replace the benchmark-side
+    # Exchange with an InMemoryTableScan, hiding the shape we pin here)
+    spark.catalog.clearCache()
     plan = plan_str(q("contamination_ngram"), "simple")
     assert "BroadcastHashJoin" in plan and "BuildRight" in plan
     assert "SortMergeJoin" not in plan
