@@ -894,3 +894,99 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "rsi_cutler_14",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    d AS (
+      SELECT symbol, bucket,
+             "close" - lag("close") OVER (PARTITION BY symbol ORDER BY bucket)
+             AS delta
+      FROM candles)
+    SELECT symbol, bucket,
+           round(CASE WHEN avg(greatest(-delta, 0)) OVER w = 0 THEN 100.0
+                 ELSE 100 - 100 / (1 + avg(greatest(delta, 0)) OVER w
+                                     / avg(greatest(-delta, 0)) OVER w) END,
+                 6) AS rsi_14
+    FROM d
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ORDER BY symbol, bucket
+    """,
+    doc="Cutler's RSI-14 on the hourly candles: SMA of gains vs losses "
+    "over 14 buckets (the window-expressible RSI variant; Wilder's "
+    "recursive smoothing is the ema-fold pattern instead). delta, both "
+    "averages, and the ratio all share one keyed window -> single "
+    "shuffle; warm-up row (no previous close) is NULL on both engines; "
+    "all-loss-free windows emit the conventional 100.",
+)
+def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("symbol").orderBy("bucket")
+    wa = w1.rowsBetween(-13, Window.currentRow)
+    d = _candles(spark, sf_dir).withColumn(
+        "delta", F.col("close") - F.lag("close").over(w1)
+    )
+    avg_gain = F.avg(F.greatest(F.col("delta"), F.lit(0.0))).over(wa)
+    avg_loss = F.avg(F.greatest(-F.col("delta"), F.lit(0.0))).over(wa)
+    rsi = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
+        100 - 100 / (1 + avg_gain / avg_loss)
+    )
+    return d.select(
+        "symbol", "bucket", F.round(rsi, 6).alias("rsi_14")
+    ).orderBy("symbol", "bucket")
+
+
+_A12, _A26, _A9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+
+
+@register(
+    "macd_12_26_9",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    p AS (
+      SELECT symbol, bucket,
+             list("close") OVER (PARTITION BY symbol ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM candles),
+    m AS (
+      SELECT symbol, bucket,
+             list_reduce(prefix, (acc, x) -> {_A12!r} * x + {1 - _A12!r} * acc)
+           - list_reduce(prefix, (acc, x) -> {_A26!r} * x + {1 - _A26!r} * acc)
+             AS macd
+      FROM p),
+    s AS (
+      SELECT symbol, bucket, macd,
+             list_reduce(
+               list(macd) OVER (PARTITION BY symbol ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (acc, x) -> {_A9!r} * x + {1 - _A9!r} * acc) AS signal
+      FROM m)
+    SELECT symbol, bucket, round(macd, 6) AS macd,
+           round(signal, 6) AS signal,
+           round(macd - signal, 6) AS histogram
+    FROM s ORDER BY symbol, bucket
+    """,
+    doc="MACD(12, 26, 9) on the hourly candles: fast/slow EMAs as "
+    "JVM-side prefix folds (operators/windows.py::ema — no Python in "
+    "the loop), signal = EMA-9 of the MACD line, histogram = macd - "
+    "signal. Identical fold constants injected into the DuckDB oracle "
+    "(list_reduce with first-element init on both engines). One keyed "
+    "shuffle serves every window; O(n^2) prefix state per key bounds "
+    "this to dashboard-scale series — ema_long (applyInPandas) is the "
+    "long-series swap.",
+)
+def macd_12_26_9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _candles(spark, sf_dir)
+    c = ema(c, "close", ["symbol"], ["bucket"], 12)
+    c = ema(c, "close", ["symbol"], ["bucket"], 26)
+    c = c.withColumn("macd", F.col("ema_12") - F.col("ema_26"))
+    c = ema(c, "macd", ["symbol"], ["bucket"], 9, out_col="signal")
+    return c.select(
+        "symbol",
+        "bucket",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
+    ).orderBy("symbol", "bucket")
