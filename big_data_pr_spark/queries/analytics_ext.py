@@ -833,3 +833,47 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.round("total", 4))
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "validate_orders",
+    """
+    WITH a AS (
+      SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END)      AS r0,
+             count(o_orderkey) - count(DISTINCT o_orderkey)      AS r1,
+             count(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         AND o_orderstatus IS NOT NULL THEN 1 END) AS r2,
+             count(CASE WHEN o_totalprice <= 0
+                          OR o_totalprice > 1000000 THEN 1 END)  AS r3,
+             count(CASE WHEN o_orderpriority NOT SIMILAR TO '[1-5]-[A-Z]+'
+                         AND o_orderpriority IS NOT NULL THEN 1 END) AS r4
+      FROM orders)
+    SELECT rule, n_violations FROM a UNPIVOT (
+      n_violations FOR rule IN (
+        r0 AS 'not_null:o_orderkey',
+        r1 AS 'unique:o_orderkey',
+        r2 AS 'accepted_values:o_orderstatus',
+        r3 AS 'in_range:o_totalprice',
+        r4 AS 'matches:o_orderpriority'))
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality expectations over orders (operators/"
+    "expectations.py): not-null + uniqueness on the key, accepted "
+    "status values, price range, priority format — ALL rules evaluated "
+    "in one scan (one partial-agg reduce to a single row, unpivoted to "
+    "(rule, n_violations)); a pipeline gates on max(n_violations)=0. "
+    "The anti-pattern this replaces is N separate test queries = N "
+    "scans of a 100 TB table.",
+)
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as X
+
+    orders = load(spark, sf_dir, "orders")
+    rules = [
+        X.not_null("o_orderkey"),
+        X.unique("o_orderkey"),
+        X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        X.in_range("o_totalprice", 0.000001, 1_000_000),
+        X.matches("o_orderpriority", "^[1-5]-[A-Z]+$"),
+    ]
+    return X.check(orders, rules)
