@@ -65,9 +65,10 @@ _FRONT = [
     "q5_region_revenue",
     "q2_min_cost_supplier_v",
     "q9_product_profit_v",
-    "q13_order_count_dist",
-    "q18_large_volume",
     "q21_waiting_supplier_v",
+    # data validation + dataset profiling
+    "validate_orders",
+    "corpus_profile",
     # join / agg / window variants
     "join_semi_discounted",
     "join_anti_customers",

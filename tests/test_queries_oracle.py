@@ -73,6 +73,8 @@ def test_driver_window_family_coverage():
         "sampling": ["stratified_sample_exact", "pack_context_windows"],
         "multimodal": ["multimodal_meta"],
         "incremental": ["incremental_agg_merge"],
+        "validation": ["validate_orders"],
+        "profiling": ["corpus_profile"],
     }
     for fam, names in families.items():
         assert any(n in front50 for n in names), (fam, names)
