@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.diff import table_diff
 from ..tables import load
-from ..timeutil import epoch_micros
+from ..timeutil import epoch_micros, trunc_wallclock
 from .events_queries import _CANDLES_SQL, _candles
 from .registry import register
 
@@ -637,7 +637,7 @@ def unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     candles = ev.groupBy(
         F.col("event_type").alias("symbol"),
-        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        trunc_wallclock("hour", F.col("ts")).alias("bucket"),
     ).agg(
         F.min_by("value", "ts").alias("o"),
         F.max("value").alias("h"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import ema, pct_change, sma, top1_per_key, topk
 from ..tables import load
-from ..timeutil import epoch_millis, epoch_seconds
+from ..timeutil import epoch_millis, epoch_seconds, trunc_wallclock
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -47,7 +47,7 @@ def _candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(
             F.col("event_type").alias("symbol"),
-            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            trunc_wallclock("hour", F.col("ts")).alias("bucket"),
         )
         .agg(
             F.min_by("value", "ts").alias("open"),
@@ -445,7 +445,7 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_str"),
         epoch_millis("ts").alias("ts_ms"),
         epoch_seconds("ts").alias("ts_s"),
-        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        trunc_wallclock("hour", F.col("ts")).alias("ts_hour"),
         F.col("ts").cast("date").alias("ts_date"),
     )
 
@@ -505,11 +505,15 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         F.lit(0).alias("is_p"),
     )
+    # the null literal must carry ts's OWN flavor: a plain "timestamp"
+    # (LTZ) null would coerce the whole unioned column to session-zone
+    # LTZ, making the output time-zone dependent
+    ts_type = dict(ev.dtypes)["ts"]
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts"),
         F.col("event_id").alias("event_id_p"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast(ts_type).alias("click_ts"),
         F.lit(1).alias("is_p"),
     )
     # clicks sort before purchases at equal ts (is_p asc) → ASOF ">=" includes ties

@@ -38,3 +38,18 @@ def epoch_millis(col: Column | str) -> Column:
 def epoch_seconds(col: Column | str) -> Column:
     """Epoch seconds (floor) from a TIMESTAMP or TIMESTAMP_NTZ column."""
     return F.timestamp_diff("SECOND", _epoch_literal(), F.col(col) if isinstance(col, str) else col)
+
+
+def trunc_wallclock(unit: str, col: Column | str) -> Column:
+    """``date_trunc`` that PRESERVES wall-clock (NTZ) semantics.
+
+    Spark's ``date_trunc`` promotes a TIMESTAMP_NTZ input to
+    session-zone TIMESTAMP, making the output render differently under
+    different session time zones (found by
+    tests/test_queries_oracle.py::test_timezone_independence). Casting
+    back to NTZ round-trips through the session zone, so the result is
+    ``trunc(wall_clock)`` under ANY session tz (DST-gap wall times
+    excepted — pin UTC, as session.get_spark does, when that matters).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc(unit, c).cast("timestamp_ntz")

@@ -78,3 +78,44 @@ def test_driver_window_family_coverage():
     }
     for fam, names in families.items():
         assert any(n in front50 for n in names), (fam, names)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tumbling_hour_stats",
+        "sliding_window_stats",
+        "scalar_datetime",
+        "high_watermark",
+        "incremental_agg_merge",
+        "ohlcv_candles_sma",
+        "vwap_daily",
+        "bollinger_bands",
+        "cohort_retention",
+        "unpivot_ohlc",
+        "sessionize_events",
+        "range_frame_rolling_sum",
+        "rolling_corr_pairs",
+        "gap_fill_forward",
+        "asof_join_purchase_click",
+        "incremental_new_rows",
+        "union_dedup",
+    ],
+)
+def test_timezone_independence(name, spark, sf_dir):
+    """The driver controls its own session time zone; every timestamp
+    query must produce identical results under ANY tz (guaranteed by
+    keeping events.ts TIMESTAMP_NTZ — wall-clock semantics — and
+    extracting epochs via timeutil's NTZ-safe arithmetic)."""
+    utc_rows = sorted(
+        map(repr, REGISTRY[name].fn(spark, sf_dir).collect())
+    )
+    other = spark.newSession()
+    try:
+        other.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo_rows = sorted(
+            map(repr, REGISTRY[name].fn(other, sf_dir).collect())
+        )
+    finally:
+        other.conf.set("spark.sql.session.timeZone", "UTC")
+    assert utc_rows == tokyo_rows
