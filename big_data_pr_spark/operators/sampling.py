@@ -93,6 +93,88 @@ def stratified_sample_hash(
     )
 
 
+def pack_bins_whole_docs(
+    df: DataFrame,
+    capacity: int,
+    shard_col: str = "source",
+    tokens_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-document bin packing: greedy first-fit-decreasing per
+    shard. Unlike :func:`pack_context_windows` (concat-and-chunk, docs
+    may straddle pack boundaries), every document lands whole in one
+    pack — the layout for training recipes that forbid cross-document
+    attention without masking. Documents longer than ``capacity`` get
+    their own pack, flagged ``oversize``.
+
+    FFD is inherently sequential state (open-bin remaining capacities),
+    so this is a per-shard ``applyInPandas`` — Arrow-batched, linear in
+    shard size, state = open-bin list (bounded by shard_tokens /
+    capacity). Shards pack independently and in parallel; FFD waste is
+    ≤ 11/9·OPT + 1 bins per shard. Deterministic: ties broken by id.
+
+    Returns ``(id, shard, n_tok, pack_id, oversize)`` with ``pack_id``
+    unique within the shard.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(shard_col, StringType()),
+            StructField(tokens_col, LongType()),
+            StructField("pack_id", LongType()),
+            StructField("oversize", BooleanType()),
+        ]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values([tokens_col, id_col], ascending=[False, True])
+        bins = []  # remaining capacity per open bin
+        assign = []
+        oversize = []
+        for n in pdf[tokens_col]:
+            n = int(n)
+            if n > capacity:
+                bins.append(-1)  # closed oversize bin
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= n:
+                    bins[b] = rem - n
+                    assign.append(b)
+                    break
+            else:
+                bins.append(capacity - n)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                shard_col: pdf[shard_col].values,
+                tokens_col: pdf[tokens_col].values,
+                "pack_id": assign,
+                "oversize": oversize,
+            }
+        )
+
+    cols = [id_col, shard_col, tokens_col]
+    return (
+        df.select(*cols)
+        .groupBy(shard_col)
+        .applyInPandas(pack, out_schema)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

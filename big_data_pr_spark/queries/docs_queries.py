@@ -999,3 +999,22 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pack_bins_ffd",
+    None,  # FFD assignment is sequential-greedy (non-SQL-expressible);
+    # invariants pinned in tests/test_sampling.py::test_pack_bins_*
+    doc="Whole-document bin packing (first-fit-decreasing per source "
+    "shard, 512-token capacity): every doc lands whole in one pack — "
+    "the no-cross-document-attention layout complementing "
+    "pack_context_windows' concat-and-chunk. Sequential open-bin state "
+    "=> per-shard applyInPandas (Arrow-batched, linear scan, bins "
+    "bounded by shard_tokens/capacity); shards pack in parallel; "
+    "ties id-broken so re-runs are byte-identical.",
+)
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tok", text.n_tokens(F.col("text"))
+    )
+    return sampling.pack_bins_whole_docs(docs, 512)

@@ -52,3 +52,41 @@ def test_pack_offsets_within_capacity_and_contiguous(spark, sf_dir):
         assert rows[0]["pack_id"] == 0 and rows[0]["pack_offset"] == 0, shard
         for a, b in zip(rows, rows[1:]):
             assert b["pack_id"] >= a["pack_id"], shard
+
+
+def test_pack_bins_whole_docs_invariants(spark):
+    from big_data_pr_spark.operators.sampling import pack_bins_whole_docs
+
+    rows = [(i, "s%d" % (i % 2), 1 + (i * 37) % 400) for i in range(60)]
+    rows += [(100, "s0", 900), (101, "s1", 2000)]  # oversize docs
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = pack_bins_whole_docs(df, 512).collect()
+    assert len(out) == len(rows)  # every doc packed exactly once
+
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in out:
+        if not r["oversize"]:
+            fill[(r["source"], r["pack_id"])] += r["n_tok"]
+    assert fill and all(v <= 512 for v in fill.values())
+    # oversize docs isolated in their own packs
+    oversized = [r for r in out if r["oversize"]]
+    assert {r["doc_id"] for r in oversized} == {100, 101}
+    for r in oversized:
+        assert (r["source"], r["pack_id"]) not in fill
+
+    # FFD can't use more bins than docs, nor fewer than the volume bound
+    import math
+
+    for shard in ("s0", "s1"):
+        shard_rows = [r for r in out if r["source"] == shard and not r["oversize"]]
+        n_bins = len({r["pack_id"] for r in shard_rows})
+        lower = math.ceil(sum(r["n_tok"] for r in shard_rows) / 512)
+        assert lower <= n_bins <= len(shard_rows)
+        # FFD guarantee: within 11/9 OPT + 1 of the volume lower bound
+        assert n_bins <= math.ceil(11 * lower / 9) + 1
+
+    # deterministic across runs
+    again = pack_bins_whole_docs(df, 512).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
