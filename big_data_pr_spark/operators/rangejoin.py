@@ -1,0 +1,63 @@
+"""Bucketized range join — point-in-interval without a cartesian.
+
+Spark's Catalyst has no range-join optimization: a join whose ONLY
+predicate is ``point BETWEEN start AND end`` plans as
+BroadcastNestedLoop/cartesian + filter — O(|L|·|R|) at 100 TB. The
+standard fix is bucketization: quantize time into fixed buckets,
+explode each interval to the buckets it covers, key points by their
+bucket, and equi-join on the bucket id. The equi-join hash-partitions
+both sides; each point meets only the intervals overlapping its
+bucket, so work is O(points + Σ interval_spans) — candidates bounded
+by bucket width, not table sizes.
+
+A point lies in exactly ONE bucket, so each (interval, point) pair
+meets at most once — no post-join dedup. Pick ``bucket_width`` near
+the typical interval length: wider ⇒ fewer explode rows but more
+false candidates filtered after the join; narrower ⇒ the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..timeutil import epoch_seconds
+
+
+def point_in_interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    point_col: str = "ts",
+    bucket_width_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``points`` to every interval containing them
+    (``start <= point < end``) via bucket equi-join. Returns the
+    interval columns + the point columns (both sides' columns must not
+    collide apart from the internal ``__bkt``)."""
+    start_s = epoch_seconds(F.col(start_col))
+    end_s = epoch_seconds(F.col(end_col))
+    # buckets covered by [start, end): floor(start/w) .. floor((end-1)/w)
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(start_s / bucket_width_s),
+                F.floor((end_s - 1) / bucket_width_s),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bkt", F.floor(epoch_seconds(F.col(point_col)) / bucket_width_s)
+    )
+    # the range predicate rides IN the join condition (not a post-join
+    # filter) so outer joins keep unmatched intervals; the bucket
+    # equality is still the equi-key Catalyst hash-partitions on
+    cond = (
+        (iv["__bkt"] == pt["__bkt"])
+        & (pt[point_col] >= iv[start_col])
+        & (pt[point_col] < iv[end_col])
+    )
+    return iv.join(pt, cond, how).drop(iv["__bkt"]).drop(pt["__bkt"])

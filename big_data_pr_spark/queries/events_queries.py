@@ -994,3 +994,52 @@ def macd_12_26_9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("signal", 6).alias("signal"),
         F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
     ).orderBy("symbol", "bucket")
+
+
+@register(
+    "interval_clicks_in_hot_windows",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    hot AS (
+      SELECT bucket - INTERVAL 30 MINUTE AS w_start,
+             bucket + INTERVAL 90 MINUTE AS w_end
+      FROM candles WHERE symbol = 'purchase' AND n_trades >= 3
+    )
+    SELECT w_start, w_end, count(c.ts) AS n_clicks
+    FROM hot LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      ON c.ts >= w_start AND c.ts < w_end
+    GROUP BY w_start, w_end
+    ORDER BY w_start
+    """,
+    doc="Point-in-interval range join WITHOUT a cartesian: click "
+    "activity around hot purchase hours ([hour-30min, hour+90min) "
+    "windows). Catalyst plans a bare range predicate as nested-loop + "
+    "filter (O(L*R)); operators/rangejoin.py bucketizes instead — "
+    "intervals explode to the hour buckets they cover, points key by "
+    "their single bucket, and the equi-join bounds candidates by "
+    "bucket width. The oracle is the naive overlap join (same "
+    "semantics, tractable at fixture scale).",
+)
+def interval_clicks_in_hot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    candles = _candles(spark, sf_dir)
+    hot = candles.filter(
+        (F.col("symbol") == "purchase") & (F.col("n_trades") >= 3)
+    ).select(
+        (F.col("bucket") - F.expr("INTERVAL 30 MINUTE")).alias("w_start"),
+        (F.col("bucket") + F.expr("INTERVAL 90 MINUTE")).alias("w_end"),
+    )
+    clicks = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("ts")
+    )
+    joined = point_in_interval_join(
+        hot, clicks, "w_start", "w_end", "ts", bucket_width_s=3600, how="left"
+    )
+    return (
+        joined.groupBy("w_start", "w_end")
+        .agg(F.count("ts").alias("n_clicks"))
+        .orderBy("w_start")
+    )

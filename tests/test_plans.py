@@ -303,3 +303,14 @@ def test_interchange_format_round_trips(spark, sf_dir, tmp_path):
             plan = plan_str(back.filter(F.col("l_orderkey") == 1))
             pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
             assert pushed and "l_orderkey" in pushed[0], (fmt, plan)
+
+
+def test_range_join_bucketized_no_nested_loop(q):
+    """The point-in-interval join must plan as an equi-join on the
+    bucket key (range predicate as residual condition) — never a
+    BroadcastNestedLoop/cartesian, which is what a bare range predicate
+    would produce and what dies at 100 TB."""
+    plan = plan_str(q("interval_clicks_in_hot_windows"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # some equi join strategy was chosen
