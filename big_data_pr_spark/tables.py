@@ -58,7 +58,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (serving layer uses SQL)."""
+# derived serving views (reference app.py's canned query surface,
+# SQL-first): view name -> registry query that defines it
+SERVING_VIEWS = {
+    "candles_sma": "ohlcv_candles_sma",
+    "latest_per_user": "latest_event_per_user",
+    "daily_vwap": "vwap_daily",
+    "corpus_card": "corpus_profile",
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str, serving: bool = True) -> None:
+    """Register every fixture table as a temp view, plus the derived
+    serving views (lazy — a view is just its logical plan; nothing runs
+    until queried, and Catalyst prunes/pushes through it)."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    if serving:
+        from .queries import REGISTRY
+
+        for view, query in SERVING_VIEWS.items():
+            REGISTRY[query].fn(spark, sf_dir).createOrReplaceTempView(view)
