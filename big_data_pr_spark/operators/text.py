@@ -226,3 +226,68 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % MOD,
     )
     return df.withColumn("md5", F.md5(t)).withColumn("rolling_hash", roll)
+
+
+def bigrams(text_col: str) -> Column:
+    """Adjacent token pairs as 'w1 w2' strings (wall of the doc's
+    whitespace tokens) — [] for single-token docs."""
+    toks = tokens(F.col(text_col))
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text", k: float = 0.5):
+    """Estimate an add-k-smoothed bigram language model over the corpus:
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``.
+
+    Returns (lm_df with columns bigram/w1/logp, vocab_size). Counts are
+    plain grouped aggregates (one shuffle each, vocabulary-bounded
+    output) — distributed LM estimation is counting, which is what an
+    engine is for.
+    """
+    bg = df.select(F.explode(bigrams(text_col)).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.select("w").distinct().count()
+    lm = (
+        c2.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(c1, F.col("w1") == F.col("w"))
+        .select(
+            "bigram",
+            "w1",
+            "c2",
+            F.log((F.col("c2") + k) / (F.col("c1") + k * vocab)).alias("logp"),
+        )
+    )
+    return lm, vocab
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each document under a bigram LM: mean negative log-prob of
+    its bigrams (lower = more fluent under the corpus distribution) —
+    the CCNet-style LM-perplexity quality filter. Docs with no bigrams
+    are dropped (undefined score).
+
+    Scale: explode + one shuffle join on the bigram key (the LM side is
+    vocabulary²-bounded — broadcast when it fits, shuffle-join when
+    not) + a per-doc aggregate. All counting and log arithmetic stays
+    JVM-side.
+    """
+    doc_bg = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("bigram"))
+    return (
+        doc_bg.join(lm.select("bigram", "logp"), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("nll"),
+        )
+    )

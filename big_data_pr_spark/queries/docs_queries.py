@@ -1018,3 +1018,64 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok", text.n_tokens(F.col("text"))
     )
     return sampling.pack_bins_whole_docs(docs, 512)
+
+
+_BG_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS vs FROM uni),
+    lm AS (SELECT bigram, c2,
+                  ln((c2 + 0.5) / (c1 + 0.5 * vs)) AS logp
+           FROM c2 JOIN c1 ON string_split(bigram, ' ')[1] = w CROSS JOIN v)
+"""
+
+
+@register(
+    "bigram_lm_top",
+    f"""
+    WITH {_BG_SQL}
+    SELECT bigram, c2 AS n, round(logp, 6) AS logp
+    FROM lm ORDER BY n DESC, bigram LIMIT 50
+    """,
+    doc="Distributed bigram language-model estimation (add-0.5 "
+    "smoothing): P(w2|w1) from corpus-wide bigram/unigram counts — "
+    "LM training at engine scale IS counting. Two vocabulary-bounded "
+    "grouped aggregates + one join keyed by the leading token; top-50 "
+    "via TakeOrderedAndProject (operators/text.py::bigram_lm).",
+)
+def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lm, _ = text.bigram_lm(docs)
+    return (
+        lm.select("bigram", F.col("c2").alias("n"), F.round("logp", 6).alias("logp"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "perplexity_scores",
+    f"""
+    WITH {_BG_SQL}
+    SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 6) AS nll
+    FROM bg JOIN lm USING (bigram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="CCNet-style LM-perplexity quality filter: every document "
+    "scored by mean negative log-prob of its bigrams under the "
+    "corpus bigram LM (high nll = out-of-distribution/junk text, the "
+    "signal used to gate web scrapes before training). Explode + one "
+    "shuffle join on the bigram key (LM side vocabulary-bounded — "
+    "broadcast when it fits) + per-doc aggregate; all arithmetic "
+    "JVM-side (operators/text.py::perplexity_score).",
+)
+def perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lm, _ = text.bigram_lm(docs)
+    return text.perplexity_score(docs, lm).orderBy("doc_id")
