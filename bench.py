@@ -60,6 +60,15 @@ HEADLINE = [
     "subword_top_tokens",
     "embedding_quantize",
     "incremental_agg_merge",
+    "validate_orders",
+    "vwap_daily",
+    "bollinger_bands",
+    "rsi_cutler_14",
+    "weighted_sample_quality",
+    "corpus_profile",
+    "perplexity_scores",
+    "pack_bins_ffd",
+    "interval_clicks_in_hot_windows",
 ]
 
 
