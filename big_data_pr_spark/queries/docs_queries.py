@@ -1079,3 +1079,26 @@ def perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lm, _ = text.bigram_lm(docs)
     return text.perplexity_score(docs, lm).orderBy("doc_id")
+
+
+@register(
+    "bpe_merge_rules",
+    None,  # iterative count-and-merge loop (driver only sees the
+    # winning pair per round) — non-SQL-expressible; hand-checkable
+    # merges + determinism pinned in tests/test_bpe.py
+    doc="Distributed BPE tokenizer training (operators/bpe.py): 10 "
+    "merge rules learned over the documents corpus. The corpus is "
+    "scanned ONCE into (distinct word, count, symbols) state; each "
+    "round is a vocabulary-bounded pair-count aggregate + top-1 + an "
+    "Arrow-batched merge over the state, lineage truncated per round. "
+    "Work scales with |vocabulary| per iteration, never corpus tokens.",
+)
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_order int, left string, right string, freq long",
+    )
