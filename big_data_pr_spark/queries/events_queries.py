@@ -1043,3 +1043,25 @@ def interval_clicks_in_hot_windows(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("ts").alias("n_clicks"))
         .orderBy("w_start")
     )
+
+
+@register(
+    "cms_event_type_counts",
+    None,  # xxhash64 cell placement is engine-internal -> rows-only;
+    # one-sided-error/merge guarantees pinned in tests/test_sketch.py
+    doc="Count-min sketch frequency estimates per event_type "
+    "(operators/sketch.py, w=256 d=4): the mergeable at-scale swap for "
+    "exact per-key counts — the 100 TB stream reduces to a d*w-cell "
+    "state that merges across partitions/windows by cell-wise "
+    "addition; estimates never undercount and are within e/w*N. One "
+    "grouped aggregate to build (map-side combine bounds the shuffle "
+    "at d*w per mapper), broadcast probe to read.",
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events").select("event_type")
+    sketch = cms_build(ev, "event_type")
+    return cms_estimate(
+        sketch, ev.select("event_type").distinct(), "event_type"
+    ).orderBy("event_type")
