@@ -179,3 +179,47 @@ def test_quantize_int8_error_bound(spark, vec):
         recon = np.asarray(r["q_vec"], dtype=np.float64) * scale
         assert np.all(np.abs(stored - recon) <= scale / 2 + 1e-12)
         assert r["rms_err"] <= scale / 2 + 1e-9
+
+
+@given(
+    changesets=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),                  # key
+                st.sampled_from(["I", "U", "D"]),   # op
+                st.integers(-100, 100),             # value payload
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(**SETTINGS)
+def test_cdc_merge_matches_dict_model(spark, changesets):
+    """Applying arbitrary I/U/D changesets sequentially through
+    merge_changes must equal the naive last-wins dict model."""
+    from big_data_pr_spark.operators.cdc import merge_changes
+
+    schema = "k long, v long, op string, seq long"
+    table = spark.createDataFrame([], "k long, v long")
+    model: dict[int, int] = {}
+    seq = 0
+    for cs in changesets:
+        rows = []
+        staged: dict[int, tuple[int, str, int]] = {}
+        for k, op, v in cs:
+            seq += 1
+            rows.append((k, v, op, seq))
+            # model: highest seq per key wins within the changeset
+            staged[k] = (seq, op, v)
+        for k, (_, op, v) in staged.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        changes = spark.createDataFrame(rows, schema)
+        table = merge_changes(table, changes, "k", "seq")
+    got = {r["k"]: r["v"] for r in table.collect()}
+    assert got == model
