@@ -201,18 +201,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_assign",
-    None,  # clusters derive from xxhash64-based LSH pairs → rows-only
-    doc="Near-dup cluster assignment: MinHash-LSH pairs → connected "
-    "components (min-label propagation + path compression, O(log "
-    "diameter) iterations) → every doc labeled with its cluster's min "
-    "id and a survivor flag. Handles transitive chains (A≈B≈C) that "
-    "pairwise dedup misses. Behavioral test with planted chains in "
-    "tests/test_dedup_similarity.py.",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT sid, count(*) AS set_size FROM sh GROUP BY sid),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    filtered AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.sid = id_a
+      JOIN sizes sb ON sb.sid = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.005
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM sym
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+    ),
+    labels AS (
+      SELECT node, least(node, min(reach)) AS cluster_id
+      FROM walk GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_survivor
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    ORDER BY d.doc_id
+    """,
+    doc="Near-dup cluster assignment: exact n-gram-Jaccard pairs → "
+    "connected components (min-label propagation + path compression, "
+    "O(log diameter) iterations) → every doc labeled with its cluster's "
+    "min id and a survivor flag. Handles transitive chains (A≈B≈C) that "
+    "pairwise dedup misses. Edges come from the oracle-expressible "
+    "Jaccard verifier so the CLUSTER DECISION itself is hash-checked "
+    "against a DuckDB WITH RECURSIVE min-label fixpoint; the same "
+    "``dedup_clusters`` operator runs unchanged over MinHash-LSH pairs "
+    "at scale (behavioral chain tests in tests/test_dedup_similarity.py).",
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
-    return dedup.dedup_clusters(docs, pairs)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.005, max_doc_freq=100)
+    return dedup.dedup_clusters(docs, pairs.select("id_a", "id_b"))
 
 
 @register(
