@@ -33,76 +33,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["ohlcv_candles_sma"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness harness verifies queries in dict order (r2/r3
-# both recorded exactly the first 50 entries), so the registry's import
-# order — TPC-H first — left the training-data families unverified.
-# _FRONT orders a family-diverse headline set first: reference-parity
-# OHLCV/events ops, TPC-H core, join/agg/window variants, then one or
-# more representatives of every training-data family (dedup, similarity,
-# text analysis, corpus hygiene, sampling/packing, multimodal). The
-# remaining registry entries follow and are still covered by the local
-# oracle suite (tests/test_queries_oracle.py, all 102 at sf0.001).
+# The driver's correctness harness verifies only the FIRST 50 queries()
+# entries in dict order (observed r2/r3/r4). _FRONT is therefore a
+# per-round ROTATION of the verified window: DRIVER_LEDGER.json records
+# every query that has ever received a driver-green row (r2-r4: 76 of
+# 122), and this round's window spends its 50 slots on (a) the flagship,
+# (b) the 33 oracle-backed queries never yet driver-verified (32 added
+# after earlier windows filled + dedup_cluster_assign, newly
+# oracle-backed this round), and (c) 16 already-green representatives so
+# every operator family keeps at least one row in the current round's
+# CORRECTNESS file (guard: tests/test_queries_oracle.py::
+# test_driver_window_family_coverage, which also pins len == 50 — the
+# r4 window silently dropped its 51st entry). Queries outside the
+# window remain covered by the local oracle suite at sf0.001.
 _FRONT = [
-    # reference parity: OHLCV/events pipeline (SURVEY §2.1-§2.10)
+    # flagship (ohlcv family)
     "ohlcv_candles_sma",
-    "sma_events",
-    "ema_events",
-    "latest_event_per_user",
-    "high_watermark",
-    "incremental_new_rows",
-    "sliding_window_stats",
-    "scalar_datetime",
-    "union_dedup",
-    "asof_join_purchase_click",
-    "realtime_stats_join",
-    "forecast_linear",
-    "json_props_agg",
-    "sessionize_events",
-    "incremental_agg_merge",
-    # TPC-H core + hard plans
-    "q1_pricing",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q2_min_cost_supplier_v",
-    "q9_product_profit_v",
-    "q21_waiting_supplier_v",
-    # data validation + dataset profiling
-    "validate_orders",
-    "corpus_profile",
-    # join / agg / window variants
-    "join_semi_discounted",
-    "join_anti_customers",
-    "pivot_status_qty",
-    "grouping_sets_pricing",
-    "range_frame_rolling_sum",
-    # training-data pipeline: dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # --- never driver-verified, oracle-backed (rotated in this round) ---
+    # technical-analysis / OHLCV extensions
+    "vwap_daily",
+    "bollinger_bands",
+    "rsi_cutler_14",
+    "macd_12_26_9",
+    "unpivot_ohlc",
+    # events: stats / windows / anomalies
+    "value_percentiles",
+    "value_histogram",
+    "stats_moments",
+    "zscore_anomalies",
+    "ntile_value_quartiles",
+    "percent_rank_cume_dist",
+    "window_first_last_nth",
+    "gap_fill_forward",
+    "rolling_corr_pairs",
+    "session_window_native",
+    "string_agg_statuses",
+    "conditional_distinct_users",
+    "explode_top_terms",
+    # funnel / retention / diff
+    "funnel_time_to_purchase",
+    "cohort_retention",
+    "snapshot_diff_orders",
+    "interval_clicks_in_hot_windows",
+    # text analysis / LM scoring
+    "tfidf_top_terms",
+    "bigram_lm_top",
+    "perplexity_scores",
+    "fuzzy_supplier_pairs",
+    # corpus hygiene / profiling
+    "boilerplate_ngrams",
+    "repetition_ratio",
+    "profile_orders",
+    # sampling
+    "stratified_sample_hash",
+    "weighted_sample_quality",
+    # dedup cluster decision (oracle-backed as of round 5)
     "dedup_cluster_assign",
-    # similarity search
-    "knn_cosine_bruteforce",
-    "embedding_dup_pairs",
-    "embedding_centroids",
-    # text analysis + corpus hygiene
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "contamination_ngram",
-    "split_by_hash",
-    "corpus_clean_pipeline",
-    "pii_scrub",
-    "chunk_documents",
-    "subword_top_tokens",
-    # similarity / quantization
-    "embedding_quantize",
-    # sampling / packing / multimodal
-    "stratified_sample_exact",
-    "pack_context_windows",
-    "multimodal_meta",
+    # multimodal (r4's 51st entry, outside that window)
     "multimodal_frames",
+    # --- already-green family representatives (coverage insurance) ---
+    "sma_events",  # window
+    "high_watermark",  # watermark/incremental
+    "sliding_window_stats",  # streaming-batch
+    "q1_pricing",  # tpch
+    "q21_waiting_supplier_v",  # tpch hard plan
+    "join_semi_discounted",  # join
+    "join_anti_customers",  # join
+    "grouping_sets_pricing",  # agg-ext
+    "dedup_exact",  # dedup
+    "dedup_minhash_lsh",  # dedup (rows-only)
+    "knn_cosine_bruteforce",  # similarity
+    "embedding_quantize",  # similarity/quantization
+    "text_stats",  # text
+    "incremental_agg_merge",  # incremental
+    "validate_orders",  # validation
+    "multimodal_meta",  # multimodal
 ]
 
 

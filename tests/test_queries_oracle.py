@@ -56,28 +56,58 @@ def test_driver_window_family_coverage():
     entries can never silently push a family out of the verified set."""
     import __spark_entry__ as e
 
+    # the r4 window had 51 _FRONT entries, silently dropping the 51st —
+    # pin the rotation list itself to exactly 50 known registry names
+    from big_data_pr_spark.queries import REGISTRY
+
+    assert len(e._FRONT) == 50
+    assert len(set(e._FRONT)) == 50
+    assert set(e._FRONT) <= set(REGISTRY)
     front50 = list(e.queries())[:50]
-    assert len(set(front50)) == 50
+    assert front50 == e._FRONT
     families = {
-        "ohlcv": ["ohlcv_candles_sma"],
-        "window": ["sma_events", "ema_events"],
+        "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands"],
+        "window": ["sma_events", "window_first_last_nth", "gap_fill_forward"],
         "watermark": ["high_watermark", "incremental_new_rows"],
-        "streaming-batch": ["sliding_window_stats"],
+        "streaming-batch": ["sliding_window_stats", "session_window_native"],
         "tpch": ["q1_pricing", "q21_waiting_supplier_v"],
         "join": ["join_semi_discounted", "join_anti_customers"],
-        "agg-ext": ["pivot_status_qty", "grouping_sets_pricing"],
+        "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments"],
         "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign"],
         "similarity": ["knn_cosine_bruteforce", "embedding_quantize"],
-        "text": ["text_stats", "quality_score", "chunk_documents"],
-        "hygiene": ["contamination_ngram", "split_by_hash", "pii_scrub"],
-        "sampling": ["stratified_sample_exact", "pack_context_windows"],
-        "multimodal": ["multimodal_meta"],
-        "incremental": ["incremental_agg_merge"],
+        "text": ["text_stats", "tfidf_top_terms", "perplexity_scores"],
+        "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio"],
+        "sampling": ["stratified_sample_exact", "stratified_sample_hash", "weighted_sample_quality"],
+        "multimodal": ["multimodal_meta", "multimodal_frames"],
+        "incremental": ["incremental_agg_merge", "snapshot_diff_orders"],
         "validation": ["validate_orders"],
-        "profiling": ["corpus_profile"],
+        "profiling": ["corpus_profile", "profile_orders"],
     }
     for fam, names in families.items():
         assert any(n in front50 for n in names), (fam, names)
+
+
+def test_driver_ledger_consistent():
+    """DRIVER_LEDGER.json (cumulative driver-green names from past
+    CORRECTNESS files) only names real registry queries, and the current
+    window spends its slots on never-verified queries first: every
+    oracle-backed registry query absent from the ledger must be inside
+    the 50-slot window."""
+    import json
+
+    import __spark_entry__ as e
+    from big_data_pr_spark.queries import REGISTRY
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "DRIVER_LEDGER.json")) as f:
+        ledger = json.load(f)["queries"]
+    assert set(ledger) <= set(REGISTRY)
+    never = {
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in ledger
+    }
+    window = set(e._FRONT)
+    assert never <= window, sorted(never - window)
 
 
 @pytest.mark.parametrize(
