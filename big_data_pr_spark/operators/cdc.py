@@ -75,9 +75,18 @@ def apply_changes(
     seq_col: str,
     op_col: str = "op",
 ) -> int:
-    """MERGE ``changes`` into the parquet table at ``table_path`` with an
-    atomic staging-swap write. Creates the table from the changeset's
-    inserts if it doesn't exist. Returns the post-apply row count."""
+    """MERGE ``changes`` into the parquet table at ``table_path`` with a
+    staging-swap write. Creates the table from the changeset's inserts
+    if it doesn't exist. Returns the post-apply row count.
+
+    Swap protocol: write staging, rename live → ``.old``, rename
+    staging → live, delete ``.old``. The no-table window is the gap
+    between the two renames (two metadata ops), not a full recursive
+    delete — and a crash inside it leaves ``.old`` on disk for manual
+    recovery instead of losing the table. The guarantee is
+    LOCAL-FILESYSTEM only (``os.rename`` atomicity); on an object store
+    this step belongs to a table format with a transactional commit
+    protocol (Delta/Iceberg — see SCALE.md)."""
     if os.path.isdir(table_path):
         target = spark.read.parquet(table_path)
         merged = merge_changes(target, changes, key_col, seq_col, op_col)
@@ -87,7 +96,12 @@ def apply_changes(
         ).drop(op_col, seq_col)
     staging = table_path.rstrip("/") + ".merging"
     merged.write.mode("overwrite").parquet(staging)
+    old = table_path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(table_path):
-        shutil.rmtree(table_path)
+        os.rename(table_path, old)
     os.rename(staging, table_path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return spark.read.parquet(table_path).count()

@@ -24,23 +24,45 @@ higher-order functions) — no Python in the hot path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Widen an under-parallel input to the session's default
+    """Widen an under-parallel input to the session's shuffle
     parallelism before a CPU-heavy narrow stage (shingling/hashing).
 
-    Only repartitions when the source has FEWER partitions than cores —
-    a small single-file fixture otherwise runs the whole map in one
-    task. At 100 TB the corpus already has thousands of partitions and
-    this is a no-op (never forces a full-corpus shuffle); AQE coalesces
-    the downstream side but cannot split an undersized scan."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    Only repartitions when the backing scan has FEWER files than the
+    target width — a small single-file fixture otherwise runs the whole
+    map in one task. At 100 TB the corpus already has thousands of
+    files and this is a no-op (never forces a full-corpus shuffle).
+    Width is estimated from ``df.inputFiles()`` — NOT
+    ``df.rdd.getNumPartitions()``, which forces a JVM RDD plan
+    materialization per call and is unavailable under Spark Connect; a
+    non-scan-backed relation (in-memory fixture) reports 0 files and is
+    widened, which is the right call for anything small enough to be a
+    local relation."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
+
+# Persisted benchmark shingle sets (one per distinct benchmark passed to
+# contamination()); released explicitly so long-lived apps don't pin
+# executor storage forever.
+_BENCH_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def release_benchmark_caches() -> int:
+    """Unpersist every benchmark shingle set cached by
+    :func:`contamination`. Returns the number released."""
+    n = len(_BENCH_SHINGLE_CACHES)
+    for df in _BENCH_SHINGLE_CACHES:
+        df.unpersist()
+    _BENCH_SHINGLE_CACHES.clear()
+    return n
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -141,7 +163,16 @@ def jaccard_pairs(
     (stop-shingles) before the pair join — the skew guard that keeps the
     inverted-index join bounded at scale.
     """
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    # The exploded index feeds four consumers (sizes, doc-freq, both
+    # join sides); persist so the shingling map runs once. DISK_ONLY,
+    # not the MEMORY_AND_DISK default: this relation is CORPUS-scale
+    # (every shingle hash of every doc) and at 100 TB the default would
+    # evict-thrash executor memory — spilled 8-byte-long rows re-read
+    # sequentially are cheaper than re-hashing, and cheaper than
+    # fighting the block manager for memory the joins need.
+    sh = hashed_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.DISK_ONLY
+    )
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("set_size"))
     rare = (
         sh.groupBy("shash")
@@ -183,6 +214,7 @@ def contamination(
     text_col: str = "text",
     n: int = 5,
     broadcast_benchmark: bool = True,
+    cache_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check for training corpora: per corpus
     document, how many of its distinct word ``n``-grams appear anywhere
@@ -207,7 +239,13 @@ def contamination(
     # reused by every decontam pass, so cache it — Spark's plan-identity
     # cache lookup makes later calls (and the broadcast rebuild per
     # repeated run) read the materialized set instead of re-shingling.
-    bench_sh = bench_sh.persist()
+    # Same-plan re-calls dedupe in the CacheManager, but each DISTINCT
+    # benchmark pins a new cached relation for the app lifetime — so the
+    # handle is tracked for release_benchmark_caches(), and callers
+    # doing a one-shot pass can opt out with cache_benchmark=False.
+    if cache_benchmark:
+        bench_sh = bench_sh.persist()
+        _BENCH_SHINGLE_CACHES.append(bench_sh)
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     # single pass over the corpus shingles: the left join marks hits,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..timeutil import epoch_seconds
+from ..timeutil import epoch_micros
 
 
 def point_in_interval_join(
@@ -36,21 +36,35 @@ def point_in_interval_join(
     """Join ``points`` to every interval containing them
     (``start <= point < end``) via bucket equi-join. Returns the
     interval columns + the point columns (both sides' columns must not
-    collide apart from the internal ``__bkt``)."""
-    start_s = epoch_seconds(F.col(start_col))
-    end_s = epoch_seconds(F.col(end_col))
+    collide apart from the internal ``__bkt``).
+
+    Bucket coverage is computed at MICROSECOND precision (timestamp's
+    full resolution): truncating to whole seconds would drop the last
+    bucket of an interval whose ``end`` has a fractional-second
+    component (e.g. [00:30:00, 01:00:00.500) with 1 h buckets must
+    cover bucket 1 to reach a point at 01:00:00.200).
+
+    With ``how='left'``/``'outer'``, an unmatched interval spanning k
+    buckets comes back k times (one null-padded row per exploded
+    bucket): callers must aggregate or ``dropDuplicates`` on the
+    interval key. Inner joins need no dedup — a point lies in exactly
+    one bucket, so each (interval, point) pair meets at most once.
+    """
+    width_us = F.lit(int(bucket_width_s) * 1_000_000)
+    start_us = epoch_micros(F.col(start_col))
+    end_us = epoch_micros(F.col(end_col))
     # buckets covered by [start, end): floor(start/w) .. floor((end-1)/w)
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(start_s / bucket_width_s),
-                F.floor((end_s - 1) / bucket_width_s),
+                F.floor(start_us / width_us),
+                F.floor((end_us - 1) / width_us),
             )
         ),
     )
     pt = points.withColumn(
-        "__bkt", F.floor(epoch_seconds(F.col(point_col)) / bucket_width_s)
+        "__bkt", F.floor(epoch_micros(F.col(point_col)) / width_us)
     )
     # the range predicate rides IN the join condition (not a post-join
     # filter) so outer joins keep unmatched intervals; the bucket

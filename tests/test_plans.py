@@ -338,3 +338,31 @@ def test_dynamic_partition_pruning_on_star_join(spark, sf_dir, tmp_path):
     plan = plan_str(joined)
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() > 0
+
+
+def test_no_rdd_api_in_source():
+    """The engine must stay on the DataFrame API: `.rdd` forces a JVM
+    RDD plan materialization and is unavailable under Spark Connect
+    (round-4 advice). Docstrings may mention it; code may not."""
+    import os
+    import tokenize
+
+    root = os.path.join(os.path.dirname(__file__), "..", "big_data_pr_spark")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+
+            with open(path, "rb") as f:
+                toks = list(tokenize.tokenize(f.readline))
+            for prev, tok in zip(toks, toks[1:]):
+                if (
+                    prev.type == tokenize.OP
+                    and prev.string == "."
+                    and tok.type == tokenize.NAME
+                    and tok.string == "rdd"
+                ):
+                    offenders.append(f"{path}:{tok.start[0]}")
+    assert not offenders, offenders
