@@ -349,6 +349,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk_batch",
+    None,  # approximate (centroid-probe restriction) → rows-only
+    doc="Batch-query IVF ANN as ONE join: every query row computes its "
+    "probe cells Arrow-batched, explodes, and the broadcast query side "
+    "equi-joins the cell-assigned corpus — corpus scanned once for ALL "
+    "queries, per-query top-k via a WindowGroupLimit-capped row_number "
+    "(no driver loop, no per-query jobs). Result-identical to the loop "
+    "form (pinned in tests/test_dedup_similarity.py).",
+)
+def ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_ivf_topk_batch(emb, qs, k=10, n_list=16, n_probe=4)
+
+
+@register(
     "ann_lsh_topk",
     None,  # approximate + RNG-plane buckets → rows-only
     doc="ANN top-k via random-hyperplane LSH bucket restriction + exact "

@@ -201,3 +201,42 @@ def test_lsh_bucket_distribution(spark, sf_dir):
     bucketed = similarity.with_lsh_bucket(emb, dim=64, n_planes=4)
     counts = bucketed.groupBy("lsh_bucket").count().collect()
     assert 2 <= len(counts) <= 16  # 4 planes → ≤16 buckets, spread out
+
+
+def test_ivf_batch_matches_loop_form(spark, sf_dir):
+    """The join-form batch IVF (one corpus scan for ALL queries, no
+    driver loop) must return exactly what the per-query loop form
+    returns, for a multi-row query table."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=10, n_list=8, n_probe=4)
+    loop = similarity.ann_ivf_topk(emb, qs, **kw).collect()
+    batch = similarity.ann_ivf_topk_batch(emb, qs, **kw).collect()
+    key = lambda r: (r["query_id"], r["vec_id"], r["cos_sim"])
+    assert sorted(map(key, batch)) == sorted(map(key, loop))
+    # every query got exactly k results
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in batch)
+    assert set(per_q) == {0, 1, 2, 3, 4} and set(per_q.values()) == {10}
+
+
+def test_ivf_batch_plan_is_single_join_plus_window(spark, sf_dir):
+    """Plan shape: one equi-join on the probe cell + one row_number
+    window — not a unionByName chain of per-query subplans."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    df = similarity.ann_ivf_topk_batch(emb, qs, k=10, n_list=8, n_probe=4)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one join node in the tree (the broadcast cell equi-join)
+    assert plan.count("BroadcastHashJoin Inner") == 1
+    assert "Window" in plan
+    # rank pushdown: WindowGroupLimit caps window input at k per query
+    assert "WindowGroupLimit" in plan
+    assert "Union" not in plan
