@@ -74,6 +74,10 @@ HEADLINE = [
     "perplexity_scores",
     "pack_bins_ffd",
     "interval_clicks_in_hot_windows",
+    "knn_batch_topk",
+    "cross_split_contamination",
+    "mixture_weights",
+    "doc_length_histogram",
 ]
 
 
