@@ -94,6 +94,7 @@ _FRONT = [
     # round-5 additions (oracle-backed, never driver-verified)
     "knn_batch_topk",
     "cross_split_contamination",
+    "split_by_cluster",
     "mixture_weights",
     "doc_length_histogram",
     # --- already-green family representatives (coverage insurance) ---
@@ -105,7 +106,6 @@ _FRONT = [
     "grouping_sets_pricing",  # agg-ext
     "dedup_exact",  # dedup
     "knn_cosine_bruteforce",  # similarity
-    "embedding_quantize",  # similarity/quantization
     "text_stats",  # text
     "incremental_agg_merge",  # incremental
     "validate_orders",  # validation

@@ -1332,3 +1332,106 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("len_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens"))
     )
+
+
+@register(
+    "split_by_cluster",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT sid, count(*) AS set_size FROM sh GROUP BY sid),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    filtered AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.sid = id_a
+      JOIN sizes sb ON sb.sid = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM sym
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+    ),
+    labels AS (
+      SELECT node, least(node, min(reach)) AS cluster_id
+      FROM walk GROUP BY node
+    ),
+    assign AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    ),
+    surv AS (
+      SELECT a.cluster_id,
+             CASE WHEN substr(md5(d.text),1,1) <= 'b' THEN 'train'
+                  WHEN substr(md5(d.text),1,1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT DISTINCT cluster_id FROM assign) a
+      JOIN documents d ON d.doc_id = a.cluster_id
+    )
+    SELECT a.doc_id, a.cluster_id, s.split
+    FROM assign a JOIN surv s USING (cluster_id)
+    ORDER BY a.doc_id
+    """,
+    doc="Leakage-SAFE grouped split — the fix for what "
+    "cross_split_contamination measures: every document inherits the "
+    "split of its near-dup cluster's survivor (md5 of the survivor's "
+    "text), so no near-dup pair can straddle train/val/test. Cluster "
+    "assignment is the oracle-checked connected-components decision; "
+    "the split lookup is a |clusters|-sized join (the survivor id IS a "
+    "doc id, so one join to documents fetches the keying text).",
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, max_doc_freq=100)
+    clusters = dedup.dedup_clusters(docs, pairs.select("id_a", "id_b"))
+    # Scale shape: a doc's own hash split IS the survivor split for
+    # every singleton (cluster_id == doc_id), so the override join only
+    # has to touch docs in non-trivial clusters — an EDGE-bounded
+    # relation, broadcastable at any corpus size. The corpus itself is
+    # never shuffled: own-split is a narrow map, both joins broadcast.
+    own = text.hash_split(docs).select("doc_id", "split")
+    nontrivial = clusters.filter(
+        F.col("cluster_id") != F.col("doc_id")
+    ).select("doc_id", "cluster_id")
+    surv_split = (
+        nontrivial.select("cluster_id")
+        .distinct()
+        .join(
+            own.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("split").alias("surv_split"),
+            ),
+            "cluster_id",
+        )
+    )
+    fixed = nontrivial.join(F.broadcast(surv_split), "cluster_id")
+    return (
+        own.join(
+            F.broadcast(fixed.select("doc_id", "cluster_id", "surv_split")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("surv_split", F.col("split")).alias("split"),
+        )
+    )

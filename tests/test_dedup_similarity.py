@@ -240,3 +240,31 @@ def test_ivf_batch_plan_is_single_join_plus_window(spark, sf_dir):
     # rank pushdown: WindowGroupLimit caps window input at k per query
     assert "WindowGroupLimit" in plan
     assert "Union" not in plan
+
+
+def test_split_by_cluster_eliminates_cross_split_leakage(spark, sf_dir):
+    """The grouped split is the FIX for what cross_split_contamination
+    audits: rekeying every doc to its cluster survivor's split must
+    leave zero near-dup pairs straddling splits."""
+    from big_data_pr_spark.queries import REGISTRY
+
+    pairs = dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=100
+    ).select("id_a", "id_b")
+    grouped = REGISTRY["split_by_cluster"].fn(spark, sf_dir)
+    sa = grouped.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = grouped.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    leaked = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert leaked.isEmpty()
+    # and the audit query finds a nonzero baseline on the plain split
+    # (otherwise this test would pass vacuously)
+    audit = REGISTRY["cross_split_contamination"].fn(spark, sf_dir)
+    assert audit.count() > 0
