@@ -366,3 +366,26 @@ def test_no_rdd_api_in_source():
                 ):
                     offenders.append(f"{path}:{tok.start[0]}")
     assert not offenders, offenders
+
+
+def test_mixture_weights_two_exchanges_no_python(q):
+    """One corpus aggregation + the global window over the |langs|-row
+    aggregate — nothing else, and no Python boundary."""
+    plan = plan_str(q("mixture_weights"), "simple")
+    assert plan.count("Exchange") <= 2
+    assert "Python" not in plan
+
+
+def test_doc_length_histogram_single_exchange(q):
+    plan = plan_str(q("doc_length_histogram"), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+def test_split_by_cluster_broadcasts_override_not_corpus(q):
+    """The cluster-split override must reach the corpus via BROADCAST
+    joins (the non-trivial-cluster relation is edge-bounded); the static
+    plan keeps the two explicit broadcast hints and never runs Python."""
+    plan = plan_str(q("split_by_cluster"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Python" not in plan
