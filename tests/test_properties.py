@@ -223,3 +223,67 @@ def test_cdc_merge_matches_dict_model(spark, changesets):
         table = merge_changes(table, changes, "k", "seq")
     got = {r["k"]: r["v"] for r in table.collect()}
     assert got == model
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(1, 400_000)),
+        min_size=1,
+        max_size=8,
+    ),
+    points=st.lists(st.integers(0, 1_000_000), min_size=1, max_size=20),
+    width=st.sampled_from([1, 7, 60]),
+)
+@settings(**SETTINGS)
+def test_rangejoin_matches_naive_at_millis(spark, intervals, points, width):
+    """Bucketized point-in-interval == naive range join for arbitrary
+    MILLISECOND-precision bounds (the round-4 advice bug class: bucket
+    coverage must not truncate to whole seconds)."""
+    from big_data_pr_spark.operators.rangejoin import point_in_interval_join
+
+    iv = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(intervals)],
+        "iv_id long, s long, e long",
+    ).select(
+        "iv_id",
+        F.timestamp_millis(F.col("s")).cast("timestamp_ntz").alias("start"),
+        F.timestamp_millis(F.col("e")).cast("timestamp_ntz").alias("end"),
+    )
+    pt = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "p_id long, ms long"
+    ).select("p_id", F.timestamp_millis(F.col("ms")).cast("timestamp_ntz").alias("ts"))
+    got = sorted(
+        (r.iv_id, r.p_id)
+        for r in point_in_interval_join(iv, pt, bucket_width_s=width)
+        .select("iv_id", "p_id")
+        .collect()
+    )
+    naive = sorted(
+        (r.iv_id, r.p_id)
+        for r in iv.join(pt, (pt.ts >= iv.start) & (pt.ts < iv.end))
+        .select("iv_id", "p_id")
+        .collect()
+    )
+    assert got == naive
+
+
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 10_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_mixture_weights_normalized_and_monotone(spark, groups):
+    from big_data_pr_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(g, n) for g, n in groups], "g long, n_tok long"
+    )
+    out = mixture_weights(df, ["g"], "n_tok", alpha=0.5).collect()
+    total = sum(r.weight for r in out)
+    assert abs(total - 1.0) < 1e-4  # rounded to 6dp per row
+    by_mass = sorted(out, key=lambda r: r.n_tokens)
+    for lo, hi in zip(by_mass, by_mass[1:]):
+        assert lo.weight <= hi.weight + 1e-9  # monotone in token mass
