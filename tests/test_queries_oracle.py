@@ -130,6 +130,11 @@ def test_driver_ledger_consistent():
         "asof_join_purchase_click",
         "incremental_new_rows",
         "union_dedup",
+        "macd_12_26_9",
+        "rsi_cutler_14",
+        "session_window_native",
+        "funnel_time_to_purchase",
+        "interval_clicks_in_hot_windows",
     ],
 )
 def test_timezone_independence(name, spark, sf_dir):
