@@ -97,8 +97,8 @@ _FRONT = [
     "split_by_cluster",
     "mixture_weights",
     "doc_length_histogram",
+    "rolling_median_value",
     # --- already-green family representatives (coverage insurance) ---
-    "sma_events",  # window
     "high_watermark",  # watermark/incremental
     "sliding_window_stats",  # streaming-batch
     "q1_pricing",  # tpch

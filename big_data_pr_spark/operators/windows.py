@@ -165,3 +165,41 @@ def topk(df: DataFrame, order_cols: Sequence[Column], k: int) -> DataFrame:
     partition keeps a k-heap, driver merges; no global sort.
     """
     return df.orderBy(*order_cols).limit(k)
+
+
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    window: int,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing-window median per key — the robust (outlier-proof)
+    twin of the trailing SMA.
+
+    Spark has no exact median window aggregate, so the frame's values
+    are collected and sorted per row JVM-side (``collect_list`` +
+    ``sort_array`` inside the window) and the middle element(s) picked
+    with ``element_at`` — interpolating the two middle values for even
+    frames, matching ``quantile_cont(0.5)``. Cost is O(window log
+    window) per row on an array bounded by the FRAME (never the
+    partition), riding the same single shuffle + sort every other
+    window aggregate over this key uses — acceptable for bounded
+    trailing frames (e.g. 25 rows); for large frames swap in
+    ``approx_percentile`` as the mergeable at-scale estimate.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return df.withColumn(
+        out_col,
+        F.when(n % 2 == 1, mid).otherwise((lo + hi) / 2),
+    )

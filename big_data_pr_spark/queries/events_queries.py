@@ -1065,3 +1065,35 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         sketch, ev.select("event_type").distinct(), "event_type"
     ).orderBy("event_type")
+
+
+@register(
+    "rolling_median_value",
+    """
+    SELECT event_id, event_type, ts, value,
+           round(median(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med_25
+    FROM events
+    ORDER BY event_type, ts, event_id
+    """,
+    doc="Exact trailing 25-row median per event type — the robust twin "
+    "of sma_events (operators/windows.py::rolling_median): frame values "
+    "sorted JVM-side per row, middle element(s) picked with element_at "
+    "(even frames interpolate, matching quantile_cont(0.5)). Frame-"
+    "bounded O(w log w) per row on the one per-key shuffle; swap "
+    "approx_percentile in for large frames at scale.",
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import rolling_median
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_median(
+        ev, "value", ["event_type"], ["ts", "event_id"], 25, "med_25"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.round("med_25", 6).alias("med_25"),
+    )
