@@ -48,10 +48,12 @@ def _fan_out(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
-# Persisted benchmark shingle sets (one per distinct benchmark passed to
-# contamination()); released explicitly so long-lived apps don't pin
-# executor storage forever.
+# Persisted relations (benchmark shingle sets from contamination(),
+# exploded shingle indexes from jaccard_pairs()); released explicitly so
+# long-lived apps don't pin executor storage forever. Same-plan re-calls
+# dedupe in Spark's CacheManager — only DISTINCT inputs accumulate.
 _BENCH_SHINGLE_CACHES: list[DataFrame] = []
+_SHINGLE_INDEX_CACHES: list[DataFrame] = []
 
 
 def release_benchmark_caches() -> int:
@@ -61,6 +63,16 @@ def release_benchmark_caches() -> int:
     for df in _BENCH_SHINGLE_CACHES:
         df.unpersist()
     _BENCH_SHINGLE_CACHES.clear()
+    return n
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every exploded shingle index persisted by
+    :func:`jaccard_pairs`. Returns the number released."""
+    n = len(_SHINGLE_INDEX_CACHES)
+    for df in _SHINGLE_INDEX_CACHES:
+        df.unpersist()
+    _SHINGLE_INDEX_CACHES.clear()
     return n
 
 
@@ -173,6 +185,7 @@ def jaccard_pairs(
     sh = hashed_shingles(df, id_col, text_col, n).persist(
         StorageLevel.DISK_ONLY
     )
+    _SHINGLE_INDEX_CACHES.append(sh)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("set_size"))
     rare = (
         sh.groupBy("shash")

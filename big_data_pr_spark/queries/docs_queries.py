@@ -1435,3 +1435,28 @@ def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("surv_split", F.col("split")).alias("split"),
         )
     )
+
+
+@register(
+    "bpe_encode_tokens",
+    None,  # greedy merge application over trained rules → rows-only
+    # (training order depends on engine-internal tie-breaking; encode
+    # correctness is pinned by round-trip tests in tests/test_bpe.py)
+    doc="Tokenizer round-trip: BPE merges trained on the corpus "
+    "(operators/bpe.py::train_bpe, vocabulary-bounded rounds) applied "
+    "back to every document (apply_bpe — Arrow-batched greedy merge in "
+    "rule order), returning per-doc BPE token counts vs whitespace "
+    "counts. The compression ratio a tokenizer team watches when "
+    "retraining on a new corpus mix.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import apply_bpe, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    enc = apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_whitespace"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+    ).orderBy("doc_id")
