@@ -98,9 +98,9 @@ _FRONT = [
     "mixture_weights",
     "doc_length_histogram",
     "rolling_median_value",
+    "source_overlap",
     # --- already-green family representatives (coverage insurance) ---
     "high_watermark",  # watermark/incremental
-    "sliding_window_stats",  # streaming-batch
     "q1_pricing",  # tpch
     "join_semi_discounted",  # join
     "grouping_sets_pricing",  # agg-ext

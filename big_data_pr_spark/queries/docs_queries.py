@@ -1460,3 +1460,34 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_whitespace"),
         F.size("bpe_tokens").cast("long").alias("n_bpe"),
     ).orderBy("doc_id")
+
+
+@register(
+    "source_overlap",
+    """
+    WITH h AS (SELECT DISTINCT md5(text) AS ch, source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_contents
+    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
+    GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplicate-content audit: for every source pair, "
+    "how many distinct contents appear in BOTH — the 'how much of "
+    "source B is already in source A' question asked before adding a "
+    "scrape to the mix. One shuffle on the content digest (the "
+    "exact-dedup key), self-join bounded by per-content source lists "
+    "(distinct sources per content, never doc x doc).",
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        F.md5(F.col("text")).alias("ch"), "source"
+    ).distinct()
+    a = h.select("ch", F.col("source").alias("source_a"))
+    b = h.select("ch", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "ch")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )
