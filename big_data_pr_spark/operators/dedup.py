@@ -175,18 +175,24 @@ def jaccard_pairs(
     (stop-shingles) before the pair join — the skew guard that keeps the
     inverted-index join bounded at scale.
     """
-    # The exploded index feeds four consumers (sizes, doc-freq, both
-    # join sides); persist so the shingling map runs once. DISK_ONLY,
-    # not the MEMORY_AND_DISK default: this relation is CORPUS-scale
-    # (every shingle hash of every doc) and at 100 TB the default would
-    # evict-thrash executor memory — spilled 8-byte-long rows re-read
+    # Shingle ONCE into the compact pre-explode form (sid, array<long>)
+    # and persist THAT: both consumers — the exploded inverted index
+    # (doc-freq + both self-join sides) and the per-doc set sizes (just
+    # the array length, no aggregation) — derive from it with narrow
+    # ops, so the text is tokenized/hashed exactly once and the old
+    # corpus-scale groupBy that re-aggregated the exploded index into
+    # set sizes is gone entirely. DISK_ONLY, not the MEMORY_AND_DISK
+    # default: this relation is corpus-scale and at 100 TB the default
+    # would evict-thrash executor memory — spilled array rows re-read
     # sequentially are cheaper than re-hashing, and cheaper than
     # fighting the block manager for memory the joins need.
-    sh = hashed_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.DISK_ONLY
-    )
-    _SHINGLE_INDEX_CACHES.append(sh)
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("set_size"))
+    arr = _fan_out(df).select(
+        F.col(id_col).alias("sid"),
+        shingle_hash_array(text_col, n).alias("__sh_arr"),
+    ).persist(StorageLevel.DISK_ONLY)
+    _SHINGLE_INDEX_CACHES.append(arr)
+    sh = arr.select("sid", F.explode("__sh_arr").alias("shash"))
+    sizes = arr.select("sid", F.size("__sh_arr").alias("set_size"))
     rare = (
         sh.groupBy("shash")
         .agg(F.count(F.lit(1)).alias("df_"))
