@@ -99,11 +99,11 @@ _FRONT = [
     "doc_length_histogram",
     "rolling_median_value",
     "source_overlap",
+    "mixture_sample",
     # --- already-green family representatives (coverage insurance) ---
     "high_watermark",  # watermark/incremental
     "q1_pricing",  # tpch
     "join_semi_discounted",  # join
-    "grouping_sets_pricing",  # agg-ext
     "dedup_exact",  # dedup
     "knn_cosine_bruteforce",  # similarity
     "text_stats",  # text

@@ -1491,3 +1491,46 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_contents"))
     )
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH t AS (SELECT lang, {_NT} AS n_tok FROM documents),
+    a AS (SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+          FROM t GROUP BY lang),
+    w AS (SELECT lang, n_docs,
+                 round(sqrt(CAST(n_tokens AS DOUBLE))
+                       / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6)
+                   AS weight
+          FROM a)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN w USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < ceil(weight * 200 * 65536 / n_docs)
+    ORDER BY d.doc_id
+    """,
+    doc="Mixture MATERIALIZATION: mixture_weights' sqrt-smoothed "
+    "per-language weights drive the deterministic hash-prefix sampler "
+    "toward a 200-doc budget — small languages upsampled relative to "
+    "proportional, the per-doc keep decision still a narrow md5 map "
+    "with the |langs|-row weight table broadcast back. The composition "
+    "step between computing a training mix and emitting it.",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_tok = docs.withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    w = sampling.mixture_weights(with_tok, ["lang"], "n_tok", alpha=0.5)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(w.select("lang", "n_docs", "weight")), "lang")
+        .filter(
+            bucket
+            < F.ceil(F.col("weight") * 200 * 65536 / F.col("n_docs"))
+        )
+        .select("doc_id", "lang", "source")
+    )
