@@ -100,11 +100,11 @@ _FRONT = [
     "rolling_median_value",
     "source_overlap",
     "mixture_sample",
+    "dedup_semantic_clusters",
     # --- already-green family representatives (coverage insurance) ---
     "high_watermark",  # watermark/incremental
     "q1_pricing",  # tpch
     "join_semi_discounted",  # join
-    "dedup_exact",  # dedup
     "knn_cosine_bruteforce",  # similarity
     "text_stats",  # text
     "incremental_agg_merge",  # incremental

@@ -1534,3 +1534,46 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_COS_EXPR} >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    walk AS (
+      SELECT src AS node, dst AS reach FROM sym
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+    ),
+    labels AS (
+      SELECT node, least(node, min(reach)) AS cluster_id
+      FROM walk GROUP BY node
+    )
+    SELECT e.vec_id,
+           coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+           e.vec_id = coalesce(l.cluster_id, e.vec_id) AS is_survivor
+    FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+    ORDER BY e.vec_id
+    """,
+    doc="SemDeDup-shaped SEMANTIC dedup decision: embedding near-dup "
+    "pairs (exact cosine >= 0.4 here; the LSH candidate generator is "
+    "the 100 TB swap) fed through the same connected-components -> "
+    "min-id-survivor operator the text path uses — semantically "
+    "redundant groups collapse to one kept representative even when "
+    "no two texts share n-grams. Cluster decision hash-checked against "
+    "the recursive DuckDB fixpoint.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb, threshold=0.4)
+    return dedup.dedup_clusters(
+        emb, pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
