@@ -78,6 +78,9 @@ HEADLINE = [
     "cross_split_contamination",
     "mixture_weights",
     "doc_length_histogram",
+    "rolling_median_value",
+    "source_overlap",
+    "mixture_sample",
 ]
 
 

@@ -268,3 +268,17 @@ def test_split_by_cluster_eliminates_cross_split_leakage(spark, sf_dir):
     # (otherwise this test would pass vacuously)
     audit = REGISTRY["cross_split_contamination"].fn(spark, sf_dir)
     assert audit.count() > 0
+
+
+def test_release_tracked_caches(spark, sf_dir):
+    """contamination() and jaccard_pairs() register their persisted
+    relations; the release APIs unpersist and clear them so long-lived
+    apps can bound executor storage."""
+    docs = load(spark, sf_dir, "documents").limit(50)
+    bench_docs = load(spark, sf_dir, "documents").limit(5)
+    dedup.contamination(docs, bench_docs).count()
+    dedup.jaccard_pairs(docs, threshold=0.5).count()
+    assert dedup.release_benchmark_caches() >= 1
+    assert dedup.release_shingle_caches() >= 1
+    assert dedup.release_benchmark_caches() == 0  # idempotent
+    assert dedup.release_shingle_caches() == 0
