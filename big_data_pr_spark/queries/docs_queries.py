@@ -1465,31 +1465,69 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_overlap",
     """
-    WITH h AS (SELECT DISTINCT md5(text) AS ch, source FROM documents)
-    SELECT a.source AS source_a, b.source AS source_b,
-           count(*) AS n_shared_contents
-    FROM h a JOIN h b ON a.ch = b.ch AND a.source < b.source
-    GROUP BY source_a, source_b ORDER BY source_a, source_b
+    WITH sh AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS g
+      FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_shared,
+           round(n_shared / (na.n + nb.n - n_shared), 6) AS shingle_jaccard
+    FROM inter
+    JOIN sizes na ON na.source = source_a
+    JOIN sizes nb ON nb.source = source_b
+    ORDER BY source_a, source_b
     """,
-    doc="Cross-source duplicate-content audit: for every source pair, "
-    "how many distinct contents appear in BOTH — the 'how much of "
-    "source B is already in source A' question asked before adding a "
-    "scrape to the mix. One shuffle on the content digest (the "
-    "exact-dedup key), self-join bounded by per-content source lists "
-    "(distinct sources per content, never doc x doc).",
+    doc="Cross-source n-gram overlap audit: for every source pair, the "
+    "count of distinct word-3-grams present in BOTH and the Jaccard of "
+    "the two shingle sets — the 'how much of source B is already in "
+    "source A' question asked before adding a scrape to the mix "
+    "(content-level dups collapse per source first, so the metric "
+    "measures shared LANGUAGE MATERIAL, not copy counts). Per-source "
+    "distinct shingle sets are |vocab|-bounded; the pair join is keyed "
+    "by shingle with pairs-per-shingle bounded by source-pair count, "
+    "never doc x doc.",
 )
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    h = docs.select(
-        F.md5(F.col("text")).alias("ch"), "source"
-    ).distinct()
-    a = h.select("ch", F.col("source").alias("source_a"))
-    b = h.select("ch", F.col("source").alias("source_b"))
-    return (
-        a.join(b, "ch")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(dedup.shingle_hash_array("text", 3)).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6
+            ).alias("shingle_jaccard"),
+        )
     )
 
 
