@@ -67,13 +67,21 @@ def release_benchmark_caches() -> int:
 
 
 def release_shingle_caches() -> int:
-    """Unpersist every exploded shingle index persisted by
-    :func:`jaccard_pairs`. Returns the number released."""
+    """Unpersist every shingle-derived relation persisted by
+    :func:`jaccard_pairs` (and registered via :func:`track_cache`).
+    Returns the number released."""
     n = len(_SHINGLE_INDEX_CACHES)
     for df in _SHINGLE_INDEX_CACHES:
         df.unpersist()
     _SHINGLE_INDEX_CACHES.clear()
     return n
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Register an externally persisted shingle-derived relation so
+    :func:`release_shingle_caches` can free it."""
+    _SHINGLE_INDEX_CACHES.append(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

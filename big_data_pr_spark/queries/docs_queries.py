@@ -1498,21 +1498,44 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never doc x doc.",
 )
 def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shuffle, NO self-join: per shingle, collect the (<= |sources|)
+    # distinct source set — map-side partial collect_set dedupes, so the
+    # exchange carries one row per (shingle, partial set) — then emit
+    # each set's source pairs with nested array transforms (narrow) and
+    # count. The join form the oracle uses would materialize
+    # |shared-shingles| x pairs-per-shingle rows through a second
+    # corpus-scale shuffle; this shape's post-shuffle work is
+    # vocabulary-bounded. Per-source set sizes fall out of the same
+    # aggregated relation.
     docs = load(spark, sf_dir, "documents")
-    sh = (
+    sets = (
         docs.select(
             "source",
             F.explode(dedup.shingle_hash_array("text", 3)).alias("g"),
         )
-        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .persist()
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("source").alias("source_a"), "g")
-    b = sh.select(F.col("source").alias("source_b"), "g")
+    dedup.track_cache(sets)
+    sizes = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sets.filter(F.size("ss") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.source_a", "p.source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
