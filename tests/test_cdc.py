@@ -68,3 +68,61 @@ def test_merge_changes_pure_dataframe(spark):
         for r in merge_changes(target, changes, "k", "seq").collect()
     }
     assert out == {2: 2.0, 3: 3.0}
+
+
+def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
+    """foreachBatch CDC sink: streamed changesets MERGE into the table
+    with the same final state a single batch merge produces, and
+    re-running the stream over the same input (fresh checkpoint,
+    existing table) is a no-op — replay-safe at-least-once delivery."""
+    import json as _json
+
+    from big_data_pr_spark.operators.cdc import merge_changes
+    from big_data_pr_spark.streaming import cdc_sink
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def msg(key, op, seq, payload):
+        return _json.dumps({"key": key, "op": op, "seq": seq, "payload": payload})
+
+    batch1 = [msg(1, "I", 1, "a"), msg(2, "I", 2, "b"), msg(3, "I", 3, "c")]
+    batch2 = [msg(2, "U", 4, "b2"), msg(3, "D", 5, None), msg(4, "I", 6, "d")]
+    (in_dir / "b1.json").write_text("\n".join(batch1) + "\n")
+    (in_dir / "b2.json").write_text("\n".join(batch2) + "\n")
+
+    from big_data_pr_spark.streaming import pipeline
+
+    table = str(tmp_path / "table")
+
+    def run(cp_name):
+        raw = pipeline.file_source(spark, str(in_dir))
+        q = cdc_sink.start_cdc_apply(
+            cdc_sink.parse_change_stream(raw), table, str(tmp_path / cp_name)
+        )
+        q.awaitTermination(120)
+
+    run("cp1")
+    got = {
+        r.key: r.payload for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d"}  # 3 deleted, 2 updated
+
+    # equivalent single-batch merge over ALL changes → same state
+    all_changes = spark.createDataFrame(
+        [(1, "I", 1, "a"), (2, "I", 2, "b"), (3, "I", 3, "c"),
+         (2, "U", 4, "b2"), (3, "D", 5, None), (4, "I", 6, "d")],
+        "key long, op string, seq long, payload string",
+    )
+    empty = spark.createDataFrame([], "key long, payload string")
+    ref = {
+        r.key: r.payload
+        for r in merge_changes(empty, all_changes, "key", "seq").collect()
+    }
+    assert got == ref
+
+    # replay the whole stream with a FRESH checkpoint onto the existing
+    # table: last-wins merge makes it a no-op
+    run("cp2")
+    again = {r.key: r.payload for r in spark.read.parquet(table).collect()}
+    assert again == got
