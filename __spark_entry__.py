@@ -101,14 +101,25 @@ _FRONT = [
     "source_overlap",
     "mixture_sample",
     "dedup_semantic_clusters",
+    "dedup_spans",
+    "candles_daily_rollup",
     # --- already-green family representatives (coverage insurance) ---
     "high_watermark",  # watermark/incremental
     "q1_pricing",  # tpch
     "join_semi_discounted",  # join
     "knn_cosine_bruteforce",  # similarity
-    "text_stats",  # text
-    "incremental_agg_merge",  # incremental
     "validate_orders",  # validation
+]
+
+# Oracle-backed queries added AFTER this round's 50-slot window was
+# frozen and locally 50/50-verified: they cannot displace the rotation
+# targets mid-round, so they wait for the next rotation.
+# tests/test_queries_oracle.py::test_driver_ledger_consistent pins
+# (never-driver-verified − window) == exactly this list, so the
+# exemption can never silently absorb forgotten queries.
+_POST_FREEZE = [
+    "salted_join_segment_revenue",
+    "funnel_strict_sequence",
 ]
 
 

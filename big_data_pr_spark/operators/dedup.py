@@ -611,3 +611,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (chunk) dedup — fixed-width approximation of substring dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Span-level exact dedup: chunk each document into non-overlapping
+    ``chunk_words``-word segments, keep only the globally FIRST
+    occurrence of each distinct segment (ordered by (id, position)),
+    and reassemble the surviving segments per document.
+
+    This is the scalable Spark form of suffix-array exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): fixed-width chunking approximates
+    arbitrary-substring removal to within one chunk of span
+    granularity, while costing one exchange keyed on the segment
+    digest plus one hash aggregate by document id — instead of a
+    corpus-scale suffix array. Extends the reference's whole-document
+    id-level dedup (batch_processor.py:132-148) down to intra-document
+    spans.
+
+    Returns one row per input document: ``(id, total_chunks,
+    kept_chunks, clean_text)`` where ``clean_text`` is the
+    concatenation of surviving segments in original order (empty
+    string when every segment was seen earlier).
+
+    100 TB posture: the first-occurrence window partitions on
+    ``md5(segment)`` — a 128-bit content digest (same convention as
+    :func:`exact_duplicates`), so the shuffle key is 32 bytes however
+    long the segment is. Boilerplate mega-segments concentrate rows on
+    one digest, but the per-key work is a single ``row_number`` scan
+    and those rows are exactly the ones being deleted — the skew is
+    self-limiting. Reassembly is one exchange by document id.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    segments = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(segments).alias("chunk_idx", "segment")
+    )
+    w = Window.partitionBy(F.md5("segment")).orderBy(id_col, "chunk_idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "segment")
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("kept_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["segment"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

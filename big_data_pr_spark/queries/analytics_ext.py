@@ -877,3 +877,99 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.matches("o_orderpriority", "^[1-5]-[A-Z]+$"),
     ]
     return X.check(orders, rules)
+
+
+# ---------------------------------------------------------------------------
+# Salted join — hot-key-safe revenue per market segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)      AS n_orders,
+           round(sum(o_totalprice), 2)   AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Orders x customer revenue per market segment executed through "
+    "the SALTED join path (operators/skew.py:salted_join): the fact "
+    "side's key is scattered over 8 salt sub-keys and the dimension "
+    "replicated x8, so a hot customer lands in 8 reducers instead of "
+    "one. The oracle is the PLAIN equi-join — the hash gate verifies "
+    "that salting is result-identical. At 100 TB this is the plan-"
+    "level fallback when one key dominates and AQE's skew splitting "
+    "cannot apply (broadcast disabled by dimension size).",
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, "c_custkey", n_salt=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strict-sequence funnel — MATCH_RECOGNIZE-style adjacency pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_strict_sequence",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt2
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           min(ts)                  AS first_match_ts
+    FROM seq
+    WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Strict-adjacency sequence pattern (MATCH_RECOGNIZE "
+    "view->click->purchase with no intervening event): lead(1)/lead(2) "
+    "over the per-user ordered stream, filter, count per user. "
+    "Complements funnel_time_to_purchase (eventual conversion) with "
+    "the CONTIGUOUS-pattern semantics streaming CEP engines sell. One "
+    "exchange by user_id; both leads share a single window sort.",
+)
+def funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("nxt1") == "click")
+            & (F.col("nxt2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+        )
+        .orderBy("user_id")
+    )

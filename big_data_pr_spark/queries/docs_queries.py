@@ -1638,3 +1638,41 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(
         emb, pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+@register(
+    "dedup_spans",
+    """
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, CAST(ceil(len(string_split(text,' ')) / 10.0)
+                                       AS BIGINT))) AS INT) AS chunk_idx,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(string_split(text,' ')) / 10.0) AS BIGINT)),
+               i -> array_to_string(string_split(text,' ')[i*10 + 1 : i*10 + 10],
+                                    ' '))) AS segment
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, segment,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                           AS total_chunks,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS kept_chunks,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN segment END, ' '
+                               ORDER BY chunk_idx), '')       AS clean_text
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Span-level exact dedup (fixed 10-word chunks approximating "
+    "suffix-array substring dedup): globally first occurrence of each "
+    "distinct segment survives, documents are reassembled from their "
+    "surviving spans. One digest-keyed exchange + one doc-id "
+    "aggregate; shuffle key is the 128-bit md5 of the segment, never "
+    "the string (operators/dedup.py:dedup_spans).",
+)
+def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dedup_spans(docs, chunk_words=10).orderBy("doc_id")

@@ -1097,3 +1097,50 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("med_25", 6).alias("med_25"),
     )
+
+
+@register(
+    "candles_daily_rollup",
+    f"""
+    WITH candles AS ({_CANDLES_SQL})
+    SELECT symbol,
+           date_trunc('day', bucket)          AS day,
+           arg_min("open", bucket)            AS "open",
+           max(high)                          AS high,
+           min(low)                           AS low,
+           arg_max("close", bucket)           AS "close",
+           round(sum(volume), 4)              AS volume,
+           CAST(sum(n_trades) AS BIGINT)      AS n_trades,
+           CAST(count(*) AS BIGINT)           AS n_hours
+    FROM candles
+    GROUP BY symbol, date_trunc('day', bucket)
+    ORDER BY symbol, day
+    """,
+    doc="Hierarchical continuous-aggregate rollup (TimescaleDB "
+    "hypertable shape): DAILY candles computed FROM the hourly candle "
+    "aggregate, not from raw events — open/close via arg_min/arg_max "
+    "over the hour buckets, high/low/volume/n_trades merged. The "
+    "two-level plan is the at-scale posture: the hourly layer is 3-4 "
+    "orders of magnitude smaller than raw events, so every coarser "
+    "resolution (day/week/month) re-aggregates the rollup, never the "
+    "100 TB base table. Extends reference batch_processor.py:109-115 "
+    "(single-resolution candles) to the resolution hierarchy.",
+)
+def candles_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _candles(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            "symbol",
+            trunc_wallclock("day", F.col("bucket")).cast("date").alias("day"),
+        )
+        .agg(
+            F.min_by("open", "bucket").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "bucket").alias("close"),
+            F.round(F.sum("volume"), 4).alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("symbol", "day")
+    )

@@ -282,3 +282,39 @@ def test_release_tracked_caches(spark, sf_dir):
     assert dedup.release_shingle_caches() >= 1
     assert dedup.release_benchmark_caches() == 0  # idempotent
     assert dedup.release_shingle_caches() == 0
+
+
+def test_dedup_spans_removes_planted_span(spark):
+    """A 10-word span copied verbatim into a later doc is removed from
+    that doc; the first occurrence survives; unique spans are kept."""
+    span = "one two three four five six seven eight nine ten"
+    rows = [
+        (10, span + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (20, span + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (30, "entirely fresh words with no overlap at all in here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_spans(df, chunk_words=10).collect()
+    }
+    assert out[10]["kept_chunks"] == 2 and out[10]["total_chunks"] == 2
+    assert out[10]["clean_text"] == rows[0][1]
+    # doc 20 loses the copied first chunk, keeps its unique tail
+    assert out[20]["kept_chunks"] == 1 and out[20]["total_chunks"] == 2
+    assert out[20]["clean_text"] == "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    assert out[30]["kept_chunks"] == 1  # 10 words -> 1 chunk, kept
+    assert out[30]["clean_text"] == rows[2][1]
+
+
+def test_dedup_spans_fully_duplicate_doc_empties(spark):
+    """A document that is chunk-for-chunk identical to an earlier one
+    reassembles to the empty string (everything was seen before)."""
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_spans(df, chunk_words=10).collect()}
+    assert out[1]["clean_text"] == text
+    assert out[2]["kept_chunks"] == 0
+    assert out[2]["clean_text"] == ""

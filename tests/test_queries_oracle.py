@@ -107,7 +107,12 @@ def test_driver_ledger_consistent():
         if s.oracle is not None and n not in ledger
     }
     window = set(e._FRONT)
-    assert never <= window, sorted(never - window)
+    # queries registered after the round's window was frozen may wait
+    # for the next rotation, but ONLY those explicitly declared
+    assert never - window == set(e._POST_FREEZE), sorted(
+        (never - window) ^ set(e._POST_FREEZE)
+    )
+    assert not (set(e._POST_FREEZE) & window)
 
 
 @pytest.mark.parametrize(
@@ -135,6 +140,8 @@ def test_driver_ledger_consistent():
         "session_window_native",
         "funnel_time_to_purchase",
         "interval_clicks_in_hot_windows",
+        "candles_daily_rollup",
+        "funnel_strict_sequence",
     ],
 )
 def test_timezone_independence(name, spark, sf_dir):
