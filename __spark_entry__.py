@@ -120,6 +120,7 @@ _FRONT = [
 _POST_FREEZE = [
     "salted_join_segment_revenue",
     "funnel_strict_sequence",
+    "bloom_prefilter_urgent_revenue",
 ]
 
 

@@ -81,6 +81,10 @@ HEADLINE = [
     "rolling_median_value",
     "source_overlap",
     "mixture_sample",
+    "dedup_spans",
+    "candles_daily_rollup",
+    "salted_join_segment_revenue",
+    "funnel_strict_sequence",
 ]
 
 

@@ -973,3 +973,52 @@ def funnel_strict_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join — explicit runtime-filter shuffle reduction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prefilter_urgent_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Revenue of line items on URGENT orders, with the fact side "
+    "pre-filtered through a broadcast collapsed-key digest of the "
+    "surviving order keys (operators/bloomfilter.py — a k=1 Bloom "
+    "filter realized as a broadcast semi-join on hash buckets) BEFORE "
+    "the equi-join: only fact rows that might match ever shuffle. The "
+    "oracle is the plain join — collisions are removed by the real "
+    "join, so the hash gate proves the prefilter is result-neutral. "
+    "The explicit form of Catalyst's runtime bloom filter, for when "
+    "the selective set is another operator's output and the cost "
+    "model won't fire.",
+)
+def bloom_prefilter_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomfilter import hashset_prefilter
+
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pre = hashset_prefilter(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        pre.join(urgent, pre["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -389,3 +389,27 @@ def test_split_by_cluster_broadcasts_override_not_corpus(q):
     plan = plan_str(q("split_by_cluster"), "simple")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Python" not in plan
+
+
+def test_bloom_prefilter_semi_join_before_main_join(q, spark):
+    """The collapsed-key prefilter must appear as a broadcast LEFT SEMI
+    probe on the fact side feeding the real equi-join — the fact table
+    is filtered before any shuffle, and the broadcast side is the
+    distinct-bucket digest, not the dimension rows."""
+    plan = plan_str(q("bloom_prefilter_urgent_revenue"))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hashset_prefilter_no_false_negatives(spark):
+    """Property: every true join key survives the prefilter even with a
+    tiny bucket space (forcing heavy collisions)."""
+    from big_data_pr_spark.operators.bloomfilter import hashset_prefilter
+
+    big = spark.range(0, 2000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 2000, 100).withColumnRenamed("id", "k2")
+    out = hashset_prefilter(big, keys, "k", "k2", num_buckets=256)
+    got = {r["k"] for r in out.collect()}
+    expected = set(range(0, 2000, 100))
+    assert expected <= got  # no false negatives
+    assert len(got) < 2000  # but the filter did remove something
