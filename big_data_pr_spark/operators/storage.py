@@ -165,3 +165,81 @@ def compact(
         [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")]
     )
     return len(data_files), files_after
+
+
+def zorder_column(
+    df: DataFrame, cols: Sequence[str], bits_per_col: int = 16
+) -> DataFrame:
+    """Append a ``__z`` Morton (Z-order) key interleaving the bits of
+    the given numeric columns, each min-max scaled to ``bits_per_col``
+    bits first.
+
+    Sorting a table by ``__z`` clusters rows so that EVERY listed
+    column's parquet row-group min/max stats become selective at once —
+    multi-dimensional data skipping, where a plain sort only serves its
+    leading column. This is the layout behind Delta/Iceberg OPTIMIZE
+    ZORDER; here it is ~30 codegen'd bit ops on top of a normal
+    range-partitioned write, no engine support needed.
+
+    The min/max scaling stats are one tiny aggregate collected to the
+    driver (2 longs per column) — the only non-distributed step, O(cols).
+    Total key width = len(cols) × bits_per_col must fit 63 bits.
+    """
+    k = len(cols)
+    if k * bits_per_col > 63:
+        raise ValueError("zorder key wider than 63 bits; lower bits_per_col")
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits_per_col) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top)
+                    .cast("long"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, bit).bitwiseAND(F.lit(1)),
+                    bit * k + j,
+                )
+            )
+    return df.withColumn("__z", z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits_per_col: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-clustered on the
+    Z-order key of ``cols``: each output file covers a small hyper-
+    rectangle of the key space, so filters on ANY combination of the
+    z-ordered columns skip most row groups (verified by footer-stats
+    assertion in tests/test_layout.py). The shuffle is one
+    repartitionByRange on the 8-byte key."""
+    (
+        zorder_column(df, cols, bits_per_col)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
