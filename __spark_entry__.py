@@ -121,6 +121,7 @@ _POST_FREEZE = [
     "salted_join_segment_revenue",
     "funnel_strict_sequence",
     "bloom_prefilter_urgent_revenue",
+    "dedup_minhash_md5",
 ]
 
 

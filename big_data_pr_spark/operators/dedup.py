@@ -684,3 +684,85 @@ def dedup_spans(
             ).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash (md5-derived hashes) — oracle-checkable LSH
+# ---------------------------------------------------------------------------
+
+
+def md5_56(col) -> F.Column:
+    """56-bit integer from md5 digest bytes 8..14 (little-endian) —
+    chosen because DuckDB computes the identical value as
+    ``md5_number_lower(x) & (2^56 - 1)``, so any operator built on it
+    is exactly replayable by the SQL oracle. 56 bits keeps the sum
+    inside a signed long with no sign games; uniformity is what
+    MinHash needs, not width."""
+    hexs = F.md5(col)
+    total = F.lit(0).cast("long")
+    for i in range(7):
+        byte = F.conv(F.substring(hexs, 17 + 2 * i, 2), 16, 10).cast("long")
+        total = total + F.shiftleft(byte, 8 * i)
+    return total
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with md5-derived hash functions —
+    the ORACLE-PARITY twin of :func:`minhash_lsh_pairs`. Same banded
+    shape (signatures ride the band explode; shuffle keyed by (band,
+    band-slice), never all-pairs), but ``h_i(s) = md5_56(i || '#' ||
+    s)`` instead of seeded xxhash64, so DuckDB reproduces every
+    signature bit and the driver hash-gates the full LSH decision.
+
+    ~3× more signature-build CPU than the xxhash64 fast path (16 md5s
+    of the shingle string vs 16 xxhash64s of a pre-hashed long) — use
+    the fast path in production, this one to certify the algorithm.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(md5_56(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy("sid")
+        .agg(*aggs)
+        .select("sid", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .cache()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "sid", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("sid", "sig", "bb.band", "bb.bkey")
+    x, y = banded.alias("x"), banded.alias("y")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda a, b: a == b),
+            lambda eq: eq,
+        )
+    )
+    return (
+        x.join(y, ["band", "bkey"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )

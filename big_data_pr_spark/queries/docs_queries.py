@@ -1676,3 +1676,51 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.dedup_spans(docs, chunk_words=10).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_md5",
+    """
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    hashes AS (
+      SELECT sid, s.seed,
+             min(CAST(md5_number_lower(CAST(s.seed AS VARCHAR) || '#' || shingle)
+                      & 72057594037927935 AS BIGINT)) AS mh
+      FROM sh, (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY sid, s.seed
+    ),
+    sigs AS (
+      SELECT sid, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY sid
+    ),
+    banded AS (
+      SELECT sid, sig, b.band,
+             sig[CAST(b.band*4+1 AS INT) : CAST(b.band*4+4 AS INT)] AS bkey
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT x.sid AS id_a, y.sid AS id_b,
+           round(len(list_filter(list_transform(range(1, 17),
+                 i -> x.sig[i] = y.sig[i]), e -> e)) / 16.0, 6) AS est_jaccard
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bkey = y.bkey AND x.sid < y.sid
+    WHERE round(len(list_filter(list_transform(range(1, 17),
+                i -> x.sig[i] = y.sig[i]), e -> e)) / 16.0, 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="MinHash+LSH near-dup pairs with ENGINE-PORTABLE hash functions "
+    "(h_i = low-56-bits-of-md5(i || '#' || shingle), identical in Spark "
+    "and DuckDB), so the complete LSH decision — signatures, banding, "
+    "candidate generation, similarity estimate — is hash-gated by the "
+    "oracle rather than rows-only. Production uses the xxhash64 fast "
+    "path (dedup_minhash_lsh, ~3x cheaper signatures); this twin "
+    "certifies the algorithm end-to-end.",
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_md5(docs).orderBy("id_a", "id_b")

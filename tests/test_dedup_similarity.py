@@ -318,3 +318,14 @@ def test_dedup_spans_fully_duplicate_doc_empties(spark):
     assert out[1]["clean_text"] == text
     assert out[2]["kept_chunks"] == 0
     assert out[2]["clean_text"] == ""
+
+
+def test_minhash_md5_recall_on_planted(planted):
+    """The oracle-parity md5 MinHash variant finds the exact copy and
+    the near-dup, like the xxhash64 fast path."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_md5(planted, min_est_jaccard=0.5).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0  # exact copy: identical signatures
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup collides in >=1 band
