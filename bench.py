@@ -85,6 +85,8 @@ HEADLINE = [
     "candles_daily_rollup",
     "salted_join_segment_revenue",
     "funnel_strict_sequence",
+    "bloom_prefilter_urgent_revenue",
+    "dedup_minhash_md5",
 ]
 
 
