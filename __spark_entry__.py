@@ -122,6 +122,7 @@ _POST_FREEZE = [
     "funnel_strict_sequence",
     "bloom_prefilter_urgent_revenue",
     "dedup_minhash_md5",
+    "dedup_simhash_md5",
 ]
 
 

@@ -766,3 +766,75 @@ def minhash_lsh_pairs_md5(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 56,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with ENGINE-PORTABLE md5-derived token
+    hashes — the oracle-parity twin of :func:`simhash_pairs` (which
+    stays the production fast path on xxhash64 + packed-long popcount).
+
+    Per distinct token, one ``md5_56``; per document, 56 signed bit
+    votes as ONE grouped aggregate (explode → 56 conditional sums,
+    map-side partial — the token hash is computed exactly once).
+    Signatures kept as bit ARRAYS so band keys and Hamming distance
+    are plain array ops DuckDB evaluates identically. Banded equality
+    (``bands`` > ``max_hamming`` ⇒ pigeonhole recall guarantee) bounds
+    the candidate join; exact Hamming verifies.
+    """
+    rows_per_band = bits // bands
+    th = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).select("sid", md5_56(F.col("tok")).alias("h"))
+    votes = th.groupBy("sid").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sigbits = F.array(
+        *[
+            F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+            for b in range(bits)
+        ]
+    )
+    sig = votes.select("sid", sigbits.alias("sig")).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "sid", "sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("sid", "sig", "bb.band", "bb.bkey")
+    x, y = banded.alias("x"), banded.alias("y")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda a, b: a != b),
+            lambda ne: ne,
+        )
+    )
+    return (
+        x.join(y, ["band", "bkey"])
+        .filter(F.col("x.sid") < F.col("y.sid"))
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1724,3 +1724,48 @@ def dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs_md5(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_md5",
+    """
+    WITH th AS (
+      SELECT doc_id AS sid,
+             CAST(md5_number_lower(unnest(list_distinct(string_split(text,' '))))
+                  & 72057594037927935 AS BIGINT) AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT sid, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(range(0, 56)) AS bit) b
+      GROUP BY sid, b.bit
+    ),
+    sigs AS (
+      SELECT sid, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY bit) AS sig
+      FROM votes GROUP BY sid
+    ),
+    banded AS (
+      SELECT sid, sig, b.band,
+             sig[CAST(b.band*14+1 AS INT) : CAST(b.band*14+14 AS INT)] AS bkey
+      FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT x.sid AS id_a, y.sid AS id_b,
+           len(list_filter(list_transform(range(1, 57),
+               i -> x.sig[i] != y.sig[i]), e -> e)) AS hamming
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.bkey = y.bkey AND x.sid < y.sid
+    WHERE len(list_filter(list_transform(range(1, 57),
+              i -> x.sig[i] != y.sig[i]), e -> e)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup pairs with ENGINE-PORTABLE hashes: md5_56 "
+    "token hashes, 56 signed bit votes per doc, banded equality "
+    "(4x14-bit, pigeonhole-complete for Hamming <= 3) + exact Hamming "
+    "verify — the full SimHash decision hash-gated by the oracle. "
+    "Production path stays dedup_simhash (xxhash64, packed-long "
+    "popcount); this twin certifies the algorithm bit-for-bit.",
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs_md5(docs).orderBy("id_a", "id_b")

@@ -329,3 +329,15 @@ def test_minhash_md5_recall_on_planted(planted):
     }
     assert pairs.get((0, 1)) == 1.0  # exact copy: identical signatures
     assert (0, 2) in pairs or (1, 2) in pairs  # near-dup collides in >=1 band
+
+
+def test_simhash_md5_on_planted(planted):
+    """The oracle-parity md5 SimHash twin: identical docs at Hamming 0,
+    the near-dup within the band-guaranteed radius, unrelated apart."""
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_md5(planted, max_hamming=8, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (4, 5) not in pairs
