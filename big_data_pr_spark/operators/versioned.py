@@ -155,3 +155,50 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(d)
             dropped.append(v)
     return dropped
+
+
+def optimize_version(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_cols: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    note: str = "",
+) -> int:
+    """Delta-style OPTIMIZE [ZORDER BY] as a version commit: rewrite
+    the current version into ~``target_file_bytes`` files — plain
+    bin-packing, or Morton-clustered on ``zorder_cols`` so every listed
+    column's row-group stats prune (storage.zorder_column) — and commit
+    the result as the NEXT version. Readers of the old layout are
+    untouched (immutable dirs); the pointer flip publishes the
+    optimized layout atomically. Content is identical by construction;
+    only the physical layout changes."""
+    import math
+
+    cur = current_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {table_dir}")
+    data_dir = _vdir(table_dir, cur)
+    total = sum(
+        os.path.getsize(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_version(spark, table_dir, cur)
+    if zorder_cols:
+        from .storage import zorder_column
+
+        df = (
+            zorder_column(df, zorder_cols)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(n_out)
+    return write_version(
+        df,
+        table_dir,
+        note or f"optimize v{cur}"
+        + (f" zorder={','.join(zorder_cols)}" if zorder_cols else ""),
+    )

@@ -100,3 +100,36 @@ def test_snapshot_diff_between_versions(spark, tdir):
 def test_empty_table_raises(spark, tdir):
     with pytest.raises(FileNotFoundError):
         versioned.read_version(spark, tdir)
+
+
+def test_optimize_version_compacts_and_preserves(spark, tmp_path):
+    from big_data_pr_spark.tables import load
+    from big_data_pr_spark.timeutil import epoch_micros
+
+    tdir = str(tmp_path / "opt")
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", epoch_micros("ts").alias("ts_us"), "value"
+    )
+    versioned.write_version(ev.repartition(64), tdir, "fragmented load")
+    v2 = versioned.optimize_version(
+        spark, tdir, zorder_cols=["user_id", "ts_us"]
+    )
+    assert v2 == 2
+    d1, d2 = (
+        [
+            f
+            for f in os.listdir(os.path.join(tdir, f"v{v:06d}"))
+            if f.endswith(".parquet")
+        ]
+        for v in (1, 2)
+    )
+    assert len(d1) == 64 and len(d2) < 8  # small files compacted
+    a = versioned.read_version(spark, tdir, 1).agg(
+        F.sum("event_id"), F.count("*")
+    ).first()
+    b = versioned.read_version(spark, tdir, 2).agg(
+        F.sum("event_id"), F.count("*")
+    ).first()
+    assert tuple(a) == tuple(b)
+    note = versioned.versions(tdir)[-1]["note"]
+    assert "zorder=user_id,ts_us" in note
