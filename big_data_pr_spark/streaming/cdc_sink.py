@@ -80,3 +80,52 @@ def start_cdc_apply(
         .queryName("cdc_apply")
         .start()
     )
+
+
+def start_versioned_cdc_apply(
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    trigger: str | None = None,
+) -> StreamingQuery:
+    """Streaming MERGE into an MVCC VERSIONED table: every micro-batch
+    commits a new immutable version (operators/versioned.py), so the
+    sink additionally gives
+
+    - zero reader disturbance (a scan pinned to version N never sees a
+      swap window, however many batches land meanwhile), and
+    - per-batch time travel: the table's history IS the stream's epoch
+      history, so any past state can be re-read or diffed for audit.
+
+    Replays after a crash commit an extra version with identical
+    content (merge idempotency) — state stays exactly-once, history
+    gains a benign duplicate entry noted with its epoch id. Pair with
+    ``versioned.vacuum`` on a maintenance cadence to bound storage.
+    """
+    from ..operators.versioned import merge_version
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_version(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key_col=key_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            note=f"stream epoch {epoch_id}",
+        )
+
+    trig = {"processingTime": trigger} if trigger else {"availableNow": True}
+    return (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trig)
+        .queryName("versioned_cdc_apply")
+        .start()
+    )

@@ -126,3 +126,52 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
     run("cp2")
     again = {r.key: r.payload for r in spark.read.parquet(table).collect()}
     assert again == got
+
+
+def test_streaming_versioned_cdc_commits_epoch_history(spark, tmp_path):
+    """The versioned streaming sink: same final state as the swap sink,
+    plus a queryable per-epoch version history, and a reader pinned
+    mid-stream is never disturbed by later commits."""
+    import json as _json
+
+    from big_data_pr_spark.operators import versioned
+    from big_data_pr_spark.streaming import cdc_sink, pipeline
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def msg(key, op, seq, payload):
+        return _json.dumps({"key": key, "op": op, "seq": seq, "payload": payload})
+
+    (in_dir / "b1.json").write_text(
+        "\n".join([msg(1, "I", 1, "a"), msg(2, "I", 2, "b")]) + "\n"
+    )
+    table = str(tmp_path / "vtable")
+    raw = pipeline.file_source(spark, str(in_dir))
+    q = cdc_sink.start_versioned_cdc_apply(
+        cdc_sink.parse_change_stream(raw), table, str(tmp_path / "cp1")
+    )
+    q.awaitTermination(120)
+    v_after_b1 = versioned.current_version(table)
+    assert v_after_b1 is not None
+    pinned = versioned.read_version(spark, table, v_after_b1)
+
+    (in_dir / "b2.json").write_text(
+        "\n".join([msg(2, "U", 3, "b2"), msg(3, "I", 4, "c")]) + "\n"
+    )
+    raw2 = pipeline.file_source(spark, str(in_dir))
+    q2 = cdc_sink.start_versioned_cdc_apply(
+        cdc_sink.parse_change_stream(raw2), table, str(tmp_path / "cp1")
+    )
+    q2.awaitTermination(120)
+
+    latest = {
+        r.key: r.payload for r in versioned.read_version(spark, table).collect()
+    }
+    assert latest == {1: "a", 2: "b2", 3: "c"}
+    # the pinned pre-b2 snapshot is untouched by the later commit
+    assert {r.key: r.payload for r in pinned.collect()} == {1: "a", 2: "b"}
+    # epoch notes recorded in history
+    notes = [m["note"] for m in versioned.versions(table)]
+    assert any("stream epoch" in n for n in notes)
+    assert versioned.current_version(table) > v_after_b1
