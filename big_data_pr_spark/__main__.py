@@ -139,6 +139,30 @@ def cmd_rag(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    from .operators import versioned
+
+    if args.history:
+        for m in versioned.versions(args.table):
+            print(json.dumps(m))
+        return 0
+    out: dict = {"table": args.table}
+    if args.optimize:
+        spark = _spark("maintain")
+        out["optimized_to_version"] = versioned.optimize_version(
+            spark,
+            args.table,
+            zorder_cols=args.zorder or None,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+    if args.vacuum_keep is not None:
+        out["vacuumed_versions"] = versioned.vacuum(
+            args.table, keep_last=args.vacuum_keep
+        )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -194,6 +218,20 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registry queries")
     ls.set_defaults(fn=cmd_list)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="versioned-table maintenance: --history prints manifests; "
+        "--optimize rewrites the current version (optionally Z-ordered) "
+        "as a new atomic commit; --vacuum-keep N drops older data dirs",
+    )
+    mt.add_argument("--table", required=True, help="versioned table directory")
+    mt.add_argument("--history", action="store_true")
+    mt.add_argument("--optimize", action="store_true")
+    mt.add_argument("--zorder", nargs="+", help="columns to Z-order by")
+    mt.add_argument("--target-file-mb", type=int, default=128)
+    mt.add_argument("--vacuum-keep", type=int, default=None)
+    mt.set_defaults(fn=cmd_maintain)
 
     cp = sub.add_parser(
         "corpus",

@@ -94,3 +94,30 @@ def test_rag_subcommand_build_then_query(spark, sf_dir, tmp_path, capsys):
     assert "cos_sim" in out
     # neither --build nor --query is an error
     assert main(["rag", "--index", idx]) == 2
+
+
+def test_maintain_subcommand_optimize_vacuum_history(spark, tmp_path, capsys):
+    import json as _json
+
+    from big_data_pr_spark.operators import versioned
+
+    tdir = str(tmp_path / "vt")
+    df = spark.range(100).selectExpr("id as k", "cast(id as string) as val")
+    versioned.write_version(df.repartition(16), tdir, "load")
+    rc = main(
+        ["maintain", "--table", tdir, "--optimize", "--zorder", "k",
+         "--vacuum-keep", "1"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["optimized_to_version"] == 2
+    assert out["vacuumed_versions"] == [1]
+    rc = main(["maintain", "--table", tdir, "--history"])
+    assert rc == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [m["version"] for m in lines] == [1, 2]
+    assert "zorder=k" in lines[-1]["note"]
+    # the optimized table still reads correctly
+    assert versioned.read_version(spark, tdir).count() == 100
