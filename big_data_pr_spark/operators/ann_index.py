@@ -90,3 +90,35 @@ def probe_ivf_index(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to an existing index: assign each new
+    vector to its nearest EXISTING centroid (no retrain) and append to
+    that cell's partition directory. Returns the number appended.
+
+    The at-scale maintenance contract: appends are new files inside
+    the assigned cells' directories — probes keep pruning exactly as
+    before and immediately see the new vectors; nothing is rewritten.
+    Centroids drift as the distribution shifts; rebuild (write_ivf_
+    index, idempotent) on a maintenance cadence when probe recall
+    degrades — the same OPTIMIZE rhythm as storage compaction."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cent_rows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    cents = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        cents[r["cell"]] = r["centroid"]
+    assigned = df.withColumn("cell", _assign_cell_udf(cents)(F.col(vec_col)))
+    # cut lineage before writing into the directory tree probes read
+    assigned = assigned.localCheckpoint(eager=True)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    return assigned.count()

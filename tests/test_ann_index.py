@@ -62,3 +62,36 @@ def test_ivf_index_rebuild_is_idempotent(spark, sf_dir, tmp_path):
     assert (c1 == c2).all()  # deterministic seeds + Lloyd -> same centroids
     n = spark.read.parquet(os.path.join(out, "vectors")).count()
     assert n == 100
+
+
+def test_append_to_ivf_index_searchable_without_rebuild(spark, sf_dir, tmp_path):
+    from big_data_pr_spark.operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(base, idx, n_list=8)
+    target = emb.filter(F.col("vec_id") == 450).first()
+    # before the append, the held-out vector is not findable
+    pre = ann_index.probe_ivf_index(
+        spark, idx, target["embedding"], k=5, n_probe=8
+    ).collect()
+    assert all(r["vec_id"] != 450 for r in pre)
+    n = ann_index.append_to_ivf_index(extra, idx)
+    assert n == extra.count()
+    # after: an exhaustive probe finds the vector itself at rank 1
+    post = ann_index.probe_ivf_index(
+        spark, idx, target["embedding"], k=5, n_probe=8
+    ).collect()
+    assert post[0]["vec_id"] == 450 and post[0]["cos_sim"] == 1.0
+    # the probe still partition-prunes (append preserved the layout)
+    probe_df = ann_index.probe_ivf_index(
+        spark, idx, target["embedding"], k=5, n_probe=2
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain()
+    assert "PartitionFilters" in buf.getvalue()
