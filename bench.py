@@ -87,6 +87,7 @@ HEADLINE = [
     "funnel_strict_sequence",
     "bloom_prefilter_urgent_revenue",
     "dedup_minhash_md5",
+    "dedup_simhash_md5",
 ]
 
 
