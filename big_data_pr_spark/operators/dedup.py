@@ -383,7 +383,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     hash_cols = [f"h{i}" for i in range(num_hashes)]
-    sig = (
+    sig = track_cache(
         minhash_signatures(df, id_col, text_col, n, num_hashes)
         .select(F.col(id_col).alias("sid"), F.array(*hash_cols).alias("sig"))
         .cache()
@@ -579,7 +579,7 @@ def simhash_pairs(
     recall guarantee."""
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
-    sig = simhash(df, id_col, text_col).cache()
+    sig = track_cache(simhash(df, id_col, text_col).cache())
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -732,7 +732,7 @@ def minhash_lsh_pairs_md5(
         F.min(md5_56(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = (
+    sig = track_cache(
         sh.groupBy("sid")
         .agg(*aggs)
         .select("sid", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -809,7 +809,7 @@ def simhash_pairs_md5(
             for b in range(bits)
         ]
     )
-    sig = votes.select("sid", sigbits.alias("sig")).cache()
+    sig = track_cache(votes.select("sid", sigbits.alias("sig")).cache())
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

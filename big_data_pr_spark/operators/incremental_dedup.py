@@ -86,7 +86,7 @@ def minhash_dedup_incremental(
     exploded bands for appending."""
     rows_per_band = num_hashes // bands
     hash_cols = [f"h{i}" for i in range(num_hashes)]
-    sig = (
+    sig = dedup.track_cache(
         dedup.minhash_signatures(new_docs, id_col, text_col, n, num_hashes)
         .select(F.col(id_col).alias("sid"), F.array(*hash_cols).alias("sig"))
         .cache()
