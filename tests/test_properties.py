@@ -287,3 +287,41 @@ def test_mixture_weights_normalized_and_monotone(spark, groups):
     by_mass = sorted(out, key=lambda r: r.n_tokens)
     for lo, hi in zip(by_mass, by_mass[1:]):
         assert lo.weight <= hi.weight + 1e-9  # monotone in token mass
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=25).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_dedup_spans_matches_model(spark, docs, k):
+    """dedup_spans ≡ the obvious sequential model: chunk every doc into
+    k-word segments in (doc_id, position) order, keep a segment iff its
+    text was never seen before, reassemble."""
+    from big_data_pr_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["total_chunks"], r["kept_chunks"], r["clean_text"])
+        for r in dedup_spans(df, chunk_words=k).collect()
+    }
+    seen: set[str] = set()
+    for i, t in enumerate(docs):
+        words = t.split(" ")
+        chunks = [
+            " ".join(words[j : j + k]) for j in range(0, len(words), k)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        assert got[i] == (len(chunks), len(kept), " ".join(kept)), (i, t)
