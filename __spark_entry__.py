@@ -123,6 +123,8 @@ _POST_FREEZE = [
     "bloom_prefilter_urgent_revenue",
     "dedup_minhash_md5",
     "dedup_simhash_md5",
+    "gbt_score_events",
+    "kmeans_assign",
 ]
 
 

@@ -538,3 +538,84 @@ def ann_lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a DRIVER-HELD centroid, as a pure column
+    expression: Σ (xᵢ−cᵢ)² folded left-to-right in double — the same
+    element order DuckDB's ``list_sum(list_transform(...))`` uses, so
+    iteration-1 distances (raw-vector centroids) are bit-identical
+    across engines."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column; returns
+    ``(id, cluster, dist)`` — corpus clustering for mixture balancing /
+    semantic sharding of training data.
+
+    Deterministic by construction (no RNG): init centroids are the k
+    lowest-``id`` vectors; ties in the nearest-centroid argmin break to
+    the lowest cluster id — so the whole run is SQL-expressible and the
+    cluster DECISION is oracle-checkable (``kmeans_assign`` in the
+    registry), unlike seeded samplers.
+
+    Scale shape: centroids are a driver-sized k×dim artifact (exactly
+    like ``ivf_centroids``); each ASSIGN pass is a zero-shuffle narrow
+    map against k literal arrays (k·dim constants folded into codegen);
+    each RECOMPUTE is ``posexplode`` + ONE partially-aggregated shuffle
+    on (cluster, dim) → k·dim rows back to the driver. Rows never move
+    between executors; at 100 TB the only growth is scan time.
+    """
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents: dict[int, list[float]] = {
+        i: [float(x) for x in r[0]] for i, r in enumerate(init)
+    }
+
+    def assign(c: dict[int, list[float]]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(F.col(vec_col), cent).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in sorted(c.items())
+            ]
+        )
+        best = F.array_min(pairs)  # struct order: dist, then cid (tie-break)
+        return df.select(
+            id_col,
+            vec_col,
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["v"])
+        # a cluster that captured no vectors DROPS OUT (same semantics
+        # as the SQL oracle, where its recomputed centroid is absent)
+        cents = {
+            cid: [dims[p] for p in sorted(dims)] for cid, dims in by_cluster.items()
+        }
+        assigned = assign(cents)
+    return assigned.drop(vec_col)

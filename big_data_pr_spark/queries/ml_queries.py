@@ -1,0 +1,257 @@
+"""ML-adjacent queries: tree-ensemble inference/training and embedding
+clustering (reference ``app.py:195-244`` — the XGBoost forecast path —
+plus the corpus-clustering stage of a training-data pipeline).
+
+Oracle strategy:
+
+- ``gbt_score_events`` certifies the tree-ensemble INFERENCE path with
+  a hash-checked oracle: a fixed literal ensemble (all thresholds and
+  leaf values exact binary fractions, so score arithmetic is bit-exact
+  in both engines) evaluated by the vectorized numpy traversal on the
+  Spark side and nested CASE WHEN on the DuckDB side.
+- ``kmeans_assign`` certifies the clustering DECISION: deterministic
+  Lloyd (first-k init, lowest-cid tie-break) is replayed in pure SQL.
+- ``gbt_train_docs`` / ``forecast_gbt`` exercise distributed TRAINING —
+  float accumulation order across engines makes a value-hash oracle
+  meaningless there, so they are rows-only with behavioral tests
+  (tests/test_gbt.py) asserting fit quality and determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..operators.gbt import GBTModel, Tree, fit_gbt, predict_gbt
+from ..tables import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Fixed literal ensemble — the inference-parity oracle.
+# All constants are exact binary fractions / small integers: the score
+# is a sum of dyadics, bit-identical across engines, so no rounding
+# slack is needed (round(4) is belt-and-braces).
+# ---------------------------------------------------------------------------
+
+_SCORE_MODEL = GBTModel(
+    features=["value", "hour"],
+    base_score=0.5,
+    trees=[
+        # value < 50 ? (hour < 12 ? -1.25 : -0.5) : (value < 200 ? 0.75 : 2.0)
+        Tree(
+            feature=[0, 1, -1, -1, 0, -1, -1],
+            threshold=[50.0, 12.0, 0.0, 0.0, 200.0, 0.0, 0.0],
+            left=[1, 2, 2, 3, 5, 5, 6],
+            right=[4, 3, 2, 3, 6, 5, 6],
+            value=[0.0, 0.0, -1.25, -0.5, 0.0, 0.75, 2.0],
+        ),
+        # hour < 6 ? -0.25 : (value < 120 ? 0.125 : 1.5)
+        Tree(
+            feature=[1, -1, 0, -1, -1],
+            threshold=[6.0, 0.0, 120.0, 0.0, 0.0],
+            left=[1, 1, 3, 3, 4],
+            right=[2, 1, 4, 3, 4],
+            value=[0.0, -0.25, 0.0, 0.125, 1.5],
+        ),
+    ],
+)
+
+
+@register(
+    "gbt_score_events",
+    """
+    SELECT event_id,
+           round(CAST(0.5
+             + CASE WHEN value < 50
+                    THEN CASE WHEN extract(hour FROM ts) < 12 THEN -1.25 ELSE -0.5 END
+                    ELSE CASE WHEN value < 200 THEN 0.75 ELSE 2.0 END END
+             + CASE WHEN extract(hour FROM ts) < 6 THEN -0.25
+                    ELSE CASE WHEN value < 120 THEN 0.125 ELSE 1.5 END END
+             AS DOUBLE), 4) AS score
+    FROM events ORDER BY event_id
+    """,
+    doc="Tree-ensemble inference parity (reference app.py:207-218 serves "
+    "xgboost artifacts): a fixed 2-tree GBT evaluated by the Arrow-batched "
+    "numpy traversal (operators/gbt.py) vs nested CASE WHEN in the oracle. "
+    "Zero shuffle; one pandas UDF over two feature columns. The same "
+    "predict path serves models parsed from xgboost's public JSON dump "
+    "(GBTModel.from_xgboost_dump), so real reference artifacts plug in "
+    "without the xgboost package.",
+)
+def gbt_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+    )
+    return (
+        predict_gbt(ev, _SCORE_MODEL)
+        .select("event_id", F.round("score", 4).alias("score"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "gbt_train_docs",
+    None,  # distributed training: float accumulation order is engine-
+    # specific, so no value-hash oracle; behavioral tests in test_gbt.py
+    doc="Distributed histogram-GBDT training (LightGBM data-parallel "
+    "shape, operators/gbt.py:fit_gbt): predict documents.n_chars from "
+    "token statistics. Per tree level ONE stack+groupBy(node,feat,bin) "
+    "partial agg — only the (nodes×features×bins) gradient histogram "
+    "reaches the driver; rows never move. Output is the scored corpus.",
+)
+def gbt_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_uniq"),
+        F.length(F.element_at(toks, 1)).cast("double").alias("first_len"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    model = fit_gbt(
+        feats,
+        features=["n_tokens", "n_uniq", "first_len"],
+        label="n_chars",
+        n_trees=8,
+        max_depth=3,
+        n_bins=16,
+        learning_rate=0.5,
+    )
+    return (
+        predict_gbt(feats, model)
+        .select("doc_id", F.round("score", 2).alias("pred_n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_SQDIST = (
+    "list_sum(list_transform(generate_series(1, {dim}), d -> "
+    "(e.embedding[d]::DOUBLE - i.c[d]{cast}) * "
+    "(e.embedding[d]::DOUBLE - i.c[d]{cast})))"
+)
+
+
+@register(
+    "kmeans_assign",
+    f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, i.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_KM_SQDIST.format(dim=_KM_DIM, cast="::DOUBLE")}, i.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster AS cid, list(v ORDER BY dim) AS c FROM (
+        SELECT a1.cluster, i.dim, avg(a1.embedding[i.dim]::DOUBLE) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) i
+        GROUP BY a1.cluster, i.dim)
+      GROUP BY cluster
+    )
+    SELECT vec_id, cluster, round(dist, 4) AS dist FROM (
+      SELECT e.vec_id, i.cid AS cluster,
+             {_KM_SQDIST.format(dim=_KM_DIM, cast="")} AS dist,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_KM_SQDIST.format(dim=_KM_DIM, cast="")}, i.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c1 i)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="Deterministic 2-iteration Lloyd k-means over the embedding "
+    "corpus (operators/similarity.py:kmeans_lloyd) — semantic sharding / "
+    "mixture balancing for training data. First-k init + lowest-cid "
+    "tie-break make the cluster decision SQL-replayable. Scale: assign "
+    "passes are zero-shuffle narrow maps against k×dim literal "
+    "centroids; recompute is one posexplode partial-agg shuffle "
+    "returning k·dim rows to the driver.",
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_lloyd(emb, k=_KM_K, iters=2)
+    return out.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist")
+    ).orderBy("vec_id")
+
+
+_FGBT_LAGS = 6
+_FGBT_STEPS = 24
+
+
+@register(
+    "forecast_gbt",
+    None,  # trained-model recursion: no float-stable SQL oracle;
+    # determinism + shape pinned in test_gbt.py
+    doc="U1 with a REAL trained tree model (reference app.py:195-244 "
+    "runs an xgboost regressor recursively): fit a histogram GBDT on "
+    "lag-1..6 close features across ALL symbols (distributed, "
+    "operators/gbt.py), then per symbol run the predict→append→slide "
+    "loop 24 steps inside applyInPandas (one group per symbol — the "
+    "k-row window never crosses the driver).",
+)
+def forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from .events_queries import _candles  # noqa: PLC0415
+
+    candles = _candles(spark, sf_dir).select("symbol", "bucket", "close")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    lag_cols = [
+        F.lag("close", i).over(w).alias(f"lag{i}") for i in range(1, _FGBT_LAGS + 1)
+    ]
+    feats = candles.select("close", *lag_cols).dropna()
+    model = fit_gbt(
+        feats,
+        features=[f"lag{i}" for i in range(1, _FGBT_LAGS + 1)],
+        label="close",
+        n_trees=12,
+        max_depth=3,
+        n_bins=32,
+        learning_rate=0.4,
+    )
+    spec = model.to_json()
+
+    def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
+        mdl = GBTModel.from_json(spec)
+        pdf = pdf.sort_values("bucket").tail(_FGBT_LAGS)
+        window = pdf["close"].to_numpy(dtype=np.float64)
+        if len(window) < _FGBT_LAGS:  # short series: left-pad with first close
+            window = np.concatenate(
+                [np.full(_FGBT_LAGS - len(window), window[0]), window]
+            )
+        preds = []
+        for _ in range(_FGBT_STEPS):
+            x = window[::-1][: _FGBT_LAGS]  # lag1 = most recent
+            p = float(mdl.predict(x.reshape(1, -1))[0])
+            preds.append(p)
+            window = np.append(window[1:], p)
+        return pd.DataFrame(
+            {
+                "symbol": pdf["symbol"].iloc[0],
+                "step": range(1, _FGBT_STEPS + 1),
+                "forecast": [round(p, 4) for p in preds],
+            }
+        )
+
+    return (
+        candles.groupBy("symbol")
+        .applyInPandas(per_symbol, schema="symbol string, step int, forecast double")
+        .orderBy("symbol", "step")
+    )

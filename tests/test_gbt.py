@@ -1,0 +1,134 @@
+"""Behavioral tests for the distributed histogram GBDT
+(operators/gbt.py) — the rows-only side of the tree-model family
+(gbt_train_docs / forecast_gbt); inference parity is oracle-checked via
+the gbt_score_events registry query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_pr_spark.operators.gbt import GBTModel, Tree, fit_gbt, predict_gbt
+
+
+@pytest.fixture(scope="module")
+def step_df(spark):
+    """Deterministic step-function data: y = 5·[x0 ≥ 0.5] + 2·[x1 ≥ 0.25]."""
+    rows = []
+    for i in range(400):
+        x0 = (i % 20) / 20.0
+        x1 = (i % 8) / 8.0
+        y = (5.0 if x0 >= 0.5 else 0.0) + (2.0 if x1 >= 0.25 else 0.0)
+        rows.append((i, float(x0), float(x1), y))
+    return spark.createDataFrame(rows, "id long, x0 double, x1 double, y double")
+
+
+def _mse(df, model):
+    rows = predict_gbt(df, model).select("y", "score").collect()
+    return float(np.mean([(r["y"] - r["score"]) ** 2 for r in rows]))
+
+
+def test_fit_recovers_step_function(spark, step_df):
+    model = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=10, max_depth=2, n_bins=16)
+    assert _mse(step_df, model) < 0.05  # var(y) ≈ 7 — near-perfect fit
+
+
+def test_fit_mse_monotone_in_trees(spark, step_df):
+    model = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=8, max_depth=2, n_bins=16)
+    errs = []
+    for k in range(0, len(model.trees) + 1, 2):
+        trunc = GBTModel(model.features, model.trees[:k], model.base_score)
+        errs.append(_mse(step_df, trunc))
+    assert all(b <= a + 1e-9 for a, b in zip(errs, errs[1:])), errs
+
+
+def test_fit_deterministic(spark, step_df):
+    a = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=4, max_depth=2)
+    b = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=4, max_depth=2)
+    assert a.to_json() == b.to_json()
+
+
+def test_predict_gbt_matches_driver_predict(spark, step_df):
+    model = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=4, max_depth=2)
+    rows = predict_gbt(step_df, model).orderBy("id").collect()
+    X = np.array([[r["x0"], r["x1"]] for r in rows])
+    expect = model.predict(X)
+    got = np.array([r["score"] for r in rows])
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
+
+
+def test_json_roundtrip(spark, step_df):
+    model = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=3, max_depth=2)
+    clone = GBTModel.from_json(model.to_json())
+    X = np.array([[0.1, 0.9], [0.7, 0.0], [0.5, 0.25]])
+    np.testing.assert_array_equal(model.predict(X), clone.predict(X))
+
+
+def test_from_xgboost_dump_parity():
+    """Hand-written tree in xgboost's public get_dump(dump_format='json')
+    node format; prediction checked against hand-evaluated paths,
+    including the missing→yes-branch default."""
+    dump = [
+        {
+            "nodeid": 0,
+            "split": "f0",
+            "split_condition": 2.0,
+            "yes": 1,
+            "no": 2,
+            "children": [
+                {"nodeid": 1, "leaf": -0.5},
+                {
+                    "nodeid": 2,
+                    "split": "f1",
+                    "split_condition": 10.0,
+                    "yes": 3,
+                    "no": 4,
+                    "children": [
+                        {"nodeid": 3, "leaf": 0.25},
+                        {"nodeid": 4, "leaf": 1.0},
+                    ],
+                },
+            ],
+        }
+    ]
+    m = GBTModel.from_xgboost_dump(dump, features=["f0", "f1"], base_score=0.5)
+    X = np.array(
+        [
+            [1.0, 0.0],  # f0<2 → -0.5
+            [3.0, 5.0],  # f0≥2, f1<10 → 0.25
+            [3.0, 20.0],  # f0≥2, f1≥10 → 1.0
+            [np.nan, 20.0],  # missing f0 → yes branch → -0.5
+        ]
+    )
+    np.testing.assert_allclose(m.predict(X), [0.0, 0.75, 1.5, 0.0])
+
+
+def test_tree_predict_vectorized_matches_scalar():
+    t = Tree(
+        feature=[0, -1, -1],
+        threshold=[1.5, 0.0, 0.0],
+        left=[1, 1, 2],
+        right=[2, 1, 2],
+        value=[0.0, -1.0, 3.0],
+    )
+    X = np.array([[0.0], [1.5], [2.0]])
+    np.testing.assert_array_equal(t.predict(X), [-1.0, 3.0, 3.0])
+
+
+def test_kmeans_lloyd_basic(spark):
+    """Two well-separated blobs → 2-means splits them exactly, inertia
+    non-increasing across iterations (Lloyd invariant)."""
+    from big_data_pr_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [float(10 * (i % 2)) + (i % 5) * 0.1, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out1 = kmeans_lloyd(df, k=2, iters=1).collect()
+    out2 = kmeans_lloyd(df, k=2, iters=3).collect()
+    by2 = {r["vec_id"]: r["cluster"] for r in out2}
+    # blob parity: all even ids together, all odd ids together
+    assert len({by2[i] for i in range(0, 50, 2)}) == 1
+    assert len({by2[i] for i in range(1, 50, 2)}) == 1
+    assert {by2[0], by2[1]} == {0, 1}
+    inertia1 = sum(r["dist"] for r in out1)
+    inertia2 = sum(r["dist"] for r in out2)
+    assert inertia2 <= inertia1 + 1e-9

@@ -413,3 +413,24 @@ def test_hashset_prefilter_no_false_negatives(spark):
     expected = set(range(0, 2000, 100))
     assert expected <= got  # no false negatives
     assert len(got) < 2000  # but the filter did remove something
+
+
+def test_gbt_score_no_data_shuffle_arrow_batched(q):
+    """Tree-ensemble inference is a pure narrow map: one Arrow-batched
+    pandas UDF (ArrowEvalPython) straight off the scan. The ONLY
+    exchange is the rangepartitioning for the presentation ORDER BY —
+    no hashpartitioning (data) shuffle, no join."""
+    plan = plan_str(q("gbt_score_events"), "simple")
+    assert "ArrowEvalPython" in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1  # the output sort only
+
+
+def test_kmeans_assign_no_data_shuffle(q):
+    """After the driver-sized centroid collect, the ASSIGN pass is a
+    zero-shuffle map against k×dim literal centroids — no join, no
+    Python, no hashpartitioning exchange (only the output sort)."""
+    plan = plan_str(q("kmeans_assign"), "simple")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1  # the output sort only
+    assert "Python" not in plan
