@@ -125,6 +125,7 @@ _POST_FREEZE = [
     "dedup_simhash_md5",
     "gbt_score_events",
     "kmeans_assign",
+    "jsonl_roundtrip_stats",
 ]
 
 

@@ -1769,3 +1769,58 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs_md5(docs).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# File-format source/sink round-trip (§2.1 S6-family: the engine's
+# sink formats must preserve values bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_roundtrip_stats",
+    """
+    SELECT source, lang,
+           count(*)                            AS n_docs,
+           sum(n_chars)                        AS sum_chars,
+           sum(len(text))                      AS sum_text_len,
+           min(doc_id)                         AS min_doc_id,
+           max(doc_id)                         AS max_doc_id
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="JSON-lines sink → source round-trip certification (the "
+    "reference's ingest payloads are JSON: stream_processor.py parses "
+    "Kafka JSON, historical_crawler.py writes JSON rows). The corpus is "
+    "written as JSONL (one Spark JSON sink pass), read back with an "
+    "EXPLICIT schema (no inference scan — mandatory at 100 TB), and "
+    "aggregated; the oracle computes the same aggregate from the "
+    "original parquet, so any value lost or mangled in JSON "
+    "encode/decode (unicode escapes, large ints, nulls) flips the "
+    "hash. Scale: sink and source are both parallel narrow passes; "
+    "the aggregate is one partial-agg shuffle on (source, lang).",
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_jsonl",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(out_dir)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )
