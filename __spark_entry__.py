@@ -126,6 +126,8 @@ _POST_FREEZE = [
     "gbt_score_events",
     "kmeans_assign",
     "jsonl_roundtrip_stats",
+    "corpus_shuffle_shards",
+    "token_budget_select",
 ]
 
 

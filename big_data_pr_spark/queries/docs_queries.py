@@ -1824,3 +1824,77 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining data layout: global shuffle + token-budget selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+    SELECT doc_id,
+           strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS shard,
+           row_number() OVER (
+             PARTITION BY strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+             ORDER BY md5(text), doc_id
+           ) AS pos
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Deterministic global corpus shuffle into 16 training shards — "
+    "the pre-training data-loader layout step: shard = first md5(text) "
+    "nibble, within-shard order = md5 sort (engine-independent "
+    "pseudo-random permutation; no RNG, so replayable and "
+    "oracle-checkable). Scale: ONE hash-partition shuffle on shard, "
+    "within-shard sort is per-partition; this is exactly the physical "
+    "layout a 100 TB corpus write-out needs (one shard = one output "
+    "partition group).",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    shard = F.expr("locate(substr(md5(text), 1, 1), '0123456789abcdef') - 1")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_budget_select",
+    """
+    SELECT doc_id, n_chars, cum_chars FROM (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (
+               ORDER BY md5(text), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_chars
+      FROM documents)
+    WHERE cum_chars <= 80000 ORDER BY doc_id
+    """,
+    doc="Token-budget corpus selection: take documents in deterministic "
+    "shuffled order (md5 sort) until the cumulative size budget is "
+    "spent — how a fixed-token-count training mix is materialized from "
+    "a larger pool. Global ordered cumulative sum = range-partitioned "
+    "sort + running total (Spark executes the window after a range "
+    "exchange; no driver involvement).",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        Window.orderBy(F.md5(F.col("text")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum_chars"))
+        .filter(F.col("cum_chars") <= 80000)
+        .orderBy("doc_id")
+    )
