@@ -128,6 +128,7 @@ _POST_FREEZE = [
     "jsonl_roundtrip_stats",
     "corpus_shuffle_shards",
     "token_budget_select",
+    "pack_bins_ffd_global",
 ]
 
 

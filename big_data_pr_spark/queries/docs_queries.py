@@ -1898,3 +1898,59 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_chars") <= 80000)
         .orderBy("doc_id")
     )
+
+
+_FFD_POS = "coalesce(list_position(list_transform(st.bins, b -> b >= o.n_tok), true), 0)"
+
+
+@register(
+    "pack_bins_ffd_global",
+    f"""
+    WITH RECURSIVE
+    ordered AS (
+      SELECT doc_id, {_NT} AS n_tok,
+             row_number() OVER (ORDER BY {_NT} DESC, doc_id) AS rn
+      FROM documents
+    ),
+    st(i, bins, assign) AS (
+      SELECT 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT st.i + 1,
+             CASE
+               WHEN o.n_tok > 512 THEN list_append(st.bins, CAST(-1 AS BIGINT))
+               WHEN {_FFD_POS} = 0 THEN list_append(st.bins, 512 - o.n_tok)
+               ELSE list_transform(range(1, len(st.bins) + 1),
+                     k -> CASE WHEN k = {_FFD_POS}
+                               THEN st.bins[k] - o.n_tok ELSE st.bins[k] END)
+             END,
+             CASE
+               WHEN o.n_tok > 512 OR {_FFD_POS} = 0
+                 THEN list_append(st.assign, CAST(len(st.bins) AS BIGINT))
+               ELSE list_append(st.assign, CAST({_FFD_POS} - 1 AS BIGINT))
+             END
+      FROM st JOIN ordered o ON o.rn = st.i + 1
+    )
+    SELECT o.doc_id, o.n_tok,
+           fin.assign[CAST(o.rn AS INT)] AS pack_id,
+           o.n_tok > 512 AS oversize
+    FROM (SELECT assign FROM st ORDER BY i DESC LIMIT 1) fin, ordered o
+    ORDER BY o.doc_id
+    """,
+    doc="First-fit-decreasing bin packing over the WHOLE corpus in one "
+    "deterministic order (n_tok desc, doc_id) — the exact-parity twin "
+    "of pack_bins_ffd: the same sequential open-bin FFD state the "
+    "per-shard operator runs per source is replayed by the oracle as a "
+    "recursive-CTE fixpoint (one state row per document, list-typed "
+    "bin capacities), so the PACKING DECISION itself is hash-checked. "
+    "Single group = one applyInPandas task; the 100 TB path remains "
+    "pack_bins_ffd's per-shard parallel form (shards pack "
+    "independently), which this query certifies algorithmically.",
+)
+def pack_bins_ffd_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("n_tok", text.n_tokens(F.col("text")))
+        .withColumn("all_shard", F.lit("all"))
+    )
+    packed = sampling.pack_bins_whole_docs(docs, 512, shard_col="all_shard")
+    return packed.select("doc_id", "n_tok", "pack_id", "oversize").orderBy("doc_id")
