@@ -259,7 +259,10 @@ def fit_gbt(
                 n_tot = sum(n for _, n in any_f.values())
                 best_gain, best = 0.0, None
                 parent = s_tot * s_tot / n_tot if n_tot else 0.0
-                for fi, bins in by_feat.items():
+                # ascending feature order: equal-gain ties break to the
+                # lowest feature index, independent of dict/collect order
+                for fi in sorted(by_feat):
+                    bins = by_feat[fi]
                     s_l = 0.0
                     n_l = 0
                     for b in range(n_bins - 1):
