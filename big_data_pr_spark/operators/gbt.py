@@ -236,6 +236,13 @@ def fit_gbt(
         splits: dict[int, tuple[int, int]] = {}
         closed: set[int] = set()
         node_e: Column = F.lit(0)
+        # node_sums[nid] = (Σr, n) over the node's rows — from the
+        # node's own histogram row, or (for children born at the last
+        # level) from the parent split's left/right partial sums. Leaf
+        # values fall out of these, so NO separate leaf-aggregation
+        # pass is needed: max_depth corpus passes per tree, not
+        # max_depth + 1.
+        node_sums: dict[int, tuple[float, int]] = {}
 
         for _level in range(max_depth):
             hist = (
@@ -254,9 +261,12 @@ def fit_gbt(
             for nid, by_feat in per_node.items():
                 if nid in closed or nid in splits:
                     continue
-                any_f = next(iter(by_feat.values()))
-                s_tot = sum(s for s, _ in any_f.values())
-                n_tot = sum(n for _, n in any_f.values())
+                # sorted bin order: totals are reproducible regardless
+                # of collect row order (leaf values derive from them)
+                any_f = by_feat[min(by_feat)]
+                s_tot = sum(any_f[b][0] for b in sorted(any_f))
+                n_tot = sum(any_f[b][1] for b in sorted(any_f))
+                node_sums[nid] = (s_tot, n_tot)
                 best_gain, best = 0.0, None
                 parent = s_tot * s_tot / n_tot if n_tot else 0.0
                 # ascending feature order: equal-gain ties break to the
@@ -279,6 +289,15 @@ def fit_gbt(
                     closed.add(nid)
                 else:
                     level_splits[nid] = best
+                    fi, bt = best
+                    s_l = sum(
+                        by_feat[fi][b][0] for b in sorted(by_feat[fi]) if b <= bt
+                    )
+                    n_l = sum(
+                        by_feat[fi][b][1] for b in sorted(by_feat[fi]) if b <= bt
+                    )
+                    node_sums[2 * nid + 1] = (s_l, n_l)
+                    node_sums[2 * nid + 2] = (s_tot - s_l, n_tot - n_l)
             if not level_splits:
                 break
             splits.update(level_splits)
@@ -290,14 +309,13 @@ def fit_gbt(
                 w = (w.when if w is not None else F.when)(node_e == nid, child)
             node_e = w.otherwise(node_e)
 
-        # leaf values: mean residual per terminal node, scaled by lr
-        leaf_rows = (
-            base.select(node_e.alias("node"), resid)
-            .groupBy("node")
-            .agg(F.avg("r").alias("v"))
-            .collect()
-        )
-        leaf_val = {int(r["node"]): learning_rate * float(r["v"]) for r in leaf_rows}
+        # leaf values: mean residual per terminal node, scaled by lr —
+        # straight from the tracked histogram sums (no extra pass)
+        leaf_val = {
+            nid: learning_rate * s / n
+            for nid, (s, n) in node_sums.items()
+            if nid not in splits and n > 0
+        }
 
         tree = _tree_from_splits(splits, leaf_val, features, edges, width, n_bins)
         model.trees.append(tree)
