@@ -129,6 +129,7 @@ _POST_FREEZE = [
     "corpus_shuffle_shards",
     "token_budget_select",
     "pack_bins_ffd_global",
+    "logreg_score_events",
 ]
 
 

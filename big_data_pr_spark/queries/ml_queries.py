@@ -255,3 +255,74 @@ def forecast_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(per_symbol, schema="symbol string, step int, forecast double")
         .orderBy("symbol", "step")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear classifier (logistic regression) — the fastText-style corpus
+# gating model
+# ---------------------------------------------------------------------------
+
+from ..operators.logreg import LogRegModel, fit_logreg, score_expr  # noqa: E402
+
+_LR_SCORE = LogRegModel(
+    features=["value", "hour"], weights=[0.01, 0.05], bias=-2.0
+)
+
+
+@register(
+    "logreg_score_events",
+    """
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.01 * value
+                                    + 0.05 * extract(hour FROM ts)))), 6) AS prob
+    FROM events ORDER BY event_id
+    """,
+    doc="GLM (logistic) inference parity: sigmoid over a literal linear "
+    "model evaluated as a pure codegen column expression "
+    "(operators/logreg.py:score_expr — no UDF at all) vs the identical "
+    "arithmetic in DuckDB. Zero shuffle; certifies the linear-scorer "
+    "serving path the trained classifiers reuse.",
+)
+def logreg_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+    )
+    return ev.select(
+        "event_id", F.round(score_expr(_LR_SCORE), 6).alias("prob")
+    ).orderBy("event_id")
+
+
+@register(
+    "lang_classifier_docs",
+    None,  # iterative float training: no cross-engine value hash;
+    # parity vs a sequential numpy replica in tests/test_logreg.py
+    doc="Distributed linear language classifier (is-English gate — the "
+    "fastText-style corpus filter): logistic regression trained by "
+    "full-batch GD where each iteration is ONE m+1-sum aggregation "
+    "(operators/logreg.py:fit_logreg); features are cheap token "
+    "statistics computed as narrow maps. Scoring is the same literal "
+    "expression — zero shuffle, no Python.",
+)
+def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        text.n_tokens(F.col("text")).cast("double").alias("n_tok"),
+        (F.length("text") / text.n_tokens(F.col("text"))).alias("avg_len"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+            / F.size(toks)
+        ).alias("stop_ratio"),
+        (F.col("lang") == "en").cast("double").alias("is_en"),
+    )
+    model = fit_logreg(
+        feats, ["n_tok", "avg_len", "stop_ratio"], "is_en", n_iters=30, lr=0.5
+    )
+    return feats.select(
+        "doc_id", F.round(score_expr(model), 4).alias("p_en")
+    ).orderBy("doc_id")
