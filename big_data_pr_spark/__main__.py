@@ -163,6 +163,63 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_model(args: argparse.Namespace) -> int:
+    """Trained-model artifact lifecycle (reference ``app.py:22-23,
+    207-218`` loads ``trained_models/*.pkl``; here artifacts are
+    engine-portable JSON): ``--train`` fits distributed and writes the
+    artifact, ``--score`` loads it and scores the corpus. An xgboost
+    JSON dump (``Booster.get_dump(dump_format='json')``) can be scored
+    directly via ``--from-xgboost-dump``."""
+    import json as _json
+    import os
+
+    from .operators.gbt import GBTModel, fit_gbt, predict_gbt
+    from .operators.logreg import LogRegModel, fit_logreg, score_expr
+    from .queries.ml_queries import doc_gbt_features, doc_lang_features
+    from .tables import load
+
+    spark = _spark("model")
+    docs = load(spark, args.sf_dir, "documents")
+    if args.train:
+        if args.train == "gbt":
+            feats = doc_gbt_features(docs)
+            model = fit_gbt(
+                feats,
+                ["n_tokens", "n_uniq", "first_len"],
+                "n_chars",
+                n_trees=args.n_trees,
+                max_depth=args.max_depth,
+            )
+        else:
+            feats = doc_lang_features(docs)
+            model = fit_logreg(
+                feats, ["n_tok", "avg_len", "stop_ratio"], "is_en",
+                n_iters=args.n_iters,
+            )
+        os.makedirs(os.path.dirname(os.path.abspath(args.artifact)), exist_ok=True)
+        with open(args.artifact, "w") as f:
+            f.write(model.to_json())
+        print(_json.dumps({"artifact": args.artifact, "kind": args.train}))
+        return 0
+    # --score path
+    with open(args.artifact) as f:
+        raw = f.read()
+    if args.from_xgboost_dump:
+        model = GBTModel.from_xgboost_dump(
+            _json.loads(raw), features=args.features or ["n_tokens", "n_uniq", "first_len"]
+        )
+        scored = predict_gbt(doc_gbt_features(docs), model)
+    else:
+        spec = _json.loads(raw)
+        if "trees" in spec:
+            scored = predict_gbt(doc_gbt_features(docs), GBTModel.from_json(raw))
+        else:
+            lr = LogRegModel.from_json(raw)
+            scored = doc_lang_features(docs).withColumn("score", score_expr(lr))
+    scored.select("doc_id", "score").orderBy("doc_id").show(args.limit)
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -219,6 +276,25 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("list", help="list registry queries")
     ls.set_defaults(fn=cmd_list)
 
+    md = sub.add_parser(
+        "model",
+        help="model artifact lifecycle: --train gbt|logreg fits "
+        "distributed and writes a JSON artifact; --score loads and "
+        "scores the corpus (xgboost JSON dumps score directly via "
+        "--from-xgboost-dump)",
+    )
+    md.add_argument("--artifact", required=True, help="model JSON path")
+    md.add_argument("--train", choices=["gbt", "logreg"])
+    md.add_argument("--score", action="store_true")
+    md.add_argument("--from-xgboost-dump", action="store_true")
+    md.add_argument("--features", nargs="+")
+    md.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    md.add_argument("--n-trees", type=int, default=8)
+    md.add_argument("--max-depth", type=int, default=3)
+    md.add_argument("--n-iters", type=int, default=30)
+    md.add_argument("--limit", type=int, default=10)
+    md.set_defaults(fn=cmd_model)
+
     mt = sub.add_parser(
         "maintain",
         help="versioned-table maintenance: --history prints manifests; "
@@ -271,6 +347,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "stream" and args.source == "file" and not args.path:
         ap.error("--path is required with --source file")
+    if args.cmd == "model" and not (args.train or args.score):
+        ap.error("pass --train gbt|logreg or --score")
     return args.fn(args)
 
 

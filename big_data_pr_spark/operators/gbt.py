@@ -143,7 +143,10 @@ class GBTModel:
                     val[i] = float(n["leaf"])
                     return i
                 split = n["split"]
-                feat[i] = name_to_idx.get(split, int(str(split).lstrip("f") or 0))
+                if split in name_to_idx:
+                    feat[i] = name_to_idx[split]
+                else:  # xgboost default feature names: f0, f1, ...
+                    feat[i] = int(str(split).lstrip("f") or 0)
                 thr[i] = float(n["split_condition"])
                 kids = {c["nodeid"]: c for c in n["children"]}
                 lo[i] = add(kids[n["yes"]])

@@ -36,6 +36,19 @@ class LogRegModel:
     mean: list[float] = field(default_factory=list)
     std: list[float] = field(default_factory=list)
 
+    def to_json(self) -> str:
+        import json  # noqa: PLC0415
+
+        return json.dumps({"kind": "logreg", **self.__dict__})
+
+    @classmethod
+    def from_json(cls, s: str) -> LogRegModel:
+        import json  # noqa: PLC0415
+
+        d = json.loads(s)
+        d.pop("kind", None)
+        return cls(**d)
+
 
 def score_expr(model: LogRegModel, cols: dict[str, Column] | None = None) -> Column:
     """``σ(Σ wⱼ·(xⱼ−μⱼ)/σⱼ + b)`` as a single codegen expression."""

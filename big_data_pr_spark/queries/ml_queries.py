@@ -102,16 +102,21 @@ def gbt_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial agg — only the (nodes×features×bins) gradient histogram "
     "reaches the driver; rows never move. Output is the scored corpus.",
 )
-def gbt_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def doc_gbt_features(docs: DataFrame) -> DataFrame:
+    """Token-statistic features for the n_chars regressor (shared by
+    the registry query and the `model` CLI)."""
     toks = F.split(F.col("text"), " ")
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         F.size(toks).cast("double").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("double").alias("n_uniq"),
         F.length(F.element_at(toks, 1)).cast("double").alias("first_len"),
         F.col("n_chars").cast("double").alias("n_chars"),
     )
+
+
+def gbt_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = doc_gbt_features(load(spark, sf_dir, "documents"))
     model = fit_gbt(
         feats,
         features=["n_tokens", "n_uniq", "first_len"],
@@ -305,12 +310,13 @@ def logreg_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statistics computed as narrow maps. Scoring is the same literal "
     "expression — zero shuffle, no Python.",
 )
-def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_lang_features(docs: DataFrame) -> DataFrame:
+    """Cheap token statistics for the is-English linear gate (shared by
+    the registry query and the `model` CLI)."""
     from ..operators import text  # noqa: PLC0415
 
-    docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         text.n_tokens(F.col("text")).cast("double").alias("n_tok"),
         (F.length("text") / text.n_tokens(F.col("text"))).alias("avg_len"),
@@ -320,6 +326,10 @@ def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stop_ratio"),
         (F.col("lang") == "en").cast("double").alias("is_en"),
     )
+
+
+def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = doc_lang_features(load(spark, sf_dir, "documents"))
     model = fit_logreg(
         feats, ["n_tok", "avg_len", "stop_ratio"], "is_en", n_iters=30, lr=0.5
     )

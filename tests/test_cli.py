@@ -121,3 +121,40 @@ def test_maintain_subcommand_optimize_vacuum_history(spark, tmp_path, capsys):
     assert "zorder=k" in lines[-1]["note"]
     # the optimized table still reads correctly
     assert versioned.read_version(spark, tdir).count() == 100
+
+
+def test_model_train_score_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """model --train writes a JSON artifact; --score loads it and
+    scores the corpus (the reference's trained_models lifecycle,
+    app.py:207-218, with engine-portable JSON instead of pickles)."""
+    art = str(tmp_path / "lang.json")
+    assert main(
+        ["model", "--train", "logreg", "--artifact", art, "--sf-dir", sf_dir,
+         "--n-iters", "5"]
+    ) == 0
+    meta = json.loads(capsys.readouterr().out.strip())
+    assert meta["kind"] == "logreg"
+    assert main(["model", "--score", "--artifact", art, "--sf-dir", sf_dir]) == 0
+    assert "doc_id" in capsys.readouterr().out
+
+
+def test_model_score_xgboost_dump(spark, sf_dir, tmp_path, capsys):
+    """An xgboost get_dump(json) artifact scores directly — no xgboost
+    package needed."""
+    dump = [
+        {
+            "nodeid": 0, "split": "n_tokens", "split_condition": 50.0,
+            "yes": 1, "no": 2,
+            "children": [
+                {"nodeid": 1, "leaf": 100.0},
+                {"nodeid": 2, "leaf": 400.0},
+            ],
+        }
+    ]
+    art = tmp_path / "xgb.json"
+    art.write_text(json.dumps(dump))
+    assert main(
+        ["model", "--score", "--from-xgboost-dump", "--artifact", str(art),
+         "--sf-dir", sf_dir]
+    ) == 0
+    assert "doc_id" in capsys.readouterr().out
