@@ -130,6 +130,7 @@ _POST_FREEZE = [
     "token_budget_select",
     "pack_bins_ffd_global",
     "logreg_score_events",
+    "ann_lsh_topk_lit",
 ]
 
 

@@ -619,3 +619,23 @@ def kmeans_lloyd(
         }
         assigned = assign(cents)
     return assigned.drop(vec_col)
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Hyperplane-LSH bucket as a PURE column expression (no Python):
+    bit i is set iff plane_i · x > 0, dot folded left-to-right in
+    double — the same element order as DuckDB ``list_sum``, so the
+    bucket decision is engine-portable when the planes are literal
+    constants. Whole-stage-codegen'd; use for the oracle-certified LSH
+    path (the pandas-UDF `with_lsh_bucket` remains the at-scale batch
+    variant with numpy dot)."""
+    b: Column = F.lit(0)
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b

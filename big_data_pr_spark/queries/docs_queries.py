@@ -1954,3 +1954,73 @@ def pack_bins_ffd_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = sampling.pack_bins_whole_docs(docs, 512, shard_col="all_shard")
     return packed.select("doc_id", "n_tok", "pack_id", "oversize").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN with LITERAL planes — the oracle-certified twin of
+# ann_lsh_topk (whose numpy-dot bucket UDF stays the batch path)
+# ---------------------------------------------------------------------------
+
+_LSH_LIT_PLANES: list[list[float]] = [
+    [round(float(x), 6) for x in row]
+    for row in similarity._hyperplanes(64, 8, seed=42)
+]
+
+
+def _lsh_bucket_sql(alias: str) -> str:
+    terms = []
+    for i, p in enumerate(_LSH_LIT_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"d -> CAST({alias}.embedding[d] AS DOUBLE) * ({lit})[d])) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_topk_lit",
+    f"""
+    WITH b AS (
+      SELECT e.vec_id, e.embedding, {_lsh_bucket_sql('e')} AS bucket
+      FROM embeddings e
+    )
+    SELECT b.vec_id AS query_id, a.vec_id, {_COS_EXPR} AS cos_sim
+    FROM b a, (SELECT * FROM b WHERE vec_id = 0) b
+    WHERE a.bucket = b.bucket AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc="Hyperplane-LSH approximate top-k with the ENTIRE decision "
+    "oracle-certified: 8 literal hyperplanes (seeded, rounded to 6 dp "
+    "so both engines parse identical doubles), bucket bits via pure "
+    "codegen sign-of-dot expressions (operators/similarity.py:"
+    "lsh_bucket_expr — NO Python anywhere), exact cosine re-rank "
+    "inside the query's bucket. Certifies the bucketing algorithm "
+    "bit-for-bit; ann_lsh_topk (numpy-dot pandas UDF) stays the "
+    "high-throughput batch variant.",
+)
+def ann_lsh_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.withColumn(
+        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), _LSH_LIT_PLANES)
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__q"),
+        F.col("bucket").alias("__qb"),
+    )
+    return (
+        b.join(F.broadcast(q), b["bucket"] == F.col("__qb"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("__q")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
