@@ -131,6 +131,7 @@ _POST_FREEZE = [
     "pack_bins_ffd_global",
     "logreg_score_events",
     "ann_lsh_topk_lit",
+    "csv_roundtrip_stats",
 ]
 
 

@@ -2024,3 +2024,55 @@ def ann_lsh_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "csv_roundtrip_stats",
+    """
+    SELECT source, lang,
+           count(*)       AS n_docs,
+           sum(n_chars)   AS sum_chars,
+           sum(len(text)) AS sum_text_len,
+           min(doc_id)    AS min_doc_id,
+           max(doc_id)    AS max_doc_id
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="CSV sink → source round-trip certification (S1/S6: the "
+    "reference's primary batch format — historical_crawler.py writes "
+    "CSVs, batch_processor.py re-reads them with an explicit schema). "
+    "The corpus is written as quoted CSV, read back with an explicit "
+    "schema (header on, no inference pass), and aggregated; the oracle "
+    "computes the same aggregate from the original parquet, so any "
+    "value mangled by CSV quoting/escaping flips the hash.",
+)
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_csv",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    docs.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(out_dir)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", True)
+        .csv(out_dir)
+    )
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )
