@@ -132,6 +132,7 @@ _POST_FREEZE = [
     "logreg_score_events",
     "ann_lsh_topk_lit",
     "csv_roundtrip_stats",
+    "ann_ivf_topk_lit",
 ]
 
 

@@ -2076,3 +2076,88 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+_IVF_LIT_K = 16
+_IVF_LIT_PROBE = 4
+_IVF_SQD = (
+    "list_sum(list_transform(generate_series(1, 64), d -> "
+    "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE)) * "
+    "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE))))"
+)
+
+
+@register(
+    "ann_ivf_topk_lit",
+    f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+            LIMIT {_IVF_LIT_K})
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, i.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVF_SQD.format(a='e', b='i.c')}, i.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT i.cid FROM init i, (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+      ORDER BY {_IVF_SQD.format(a='e', b='i.c')}, i.cid LIMIT {_IVF_LIT_PROBE}
+    )
+    SELECT b.vec_id AS query_id, a.vec_id, {_COS_EXPR} AS cos_sim
+    FROM cells a
+    JOIN probe p ON a.cell = p.cid
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) b
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+    doc="IVF approximate top-k with the ENTIRE search decision "
+    "oracle-certified (completing the ANN family triple: exact "
+    "knn_cosine_bruteforce, LSH ann_lsh_topk_lit, IVF here): coarse "
+    "cells = the 16 lowest-id vectors (deterministic, unrefined), "
+    "assignment = zero-shuffle argmin against literal centroids (same "
+    "fold order as the SQL replay, bit-identical distances), probe = "
+    "the 4 cells nearest the query, exact cosine re-rank inside probed "
+    "cells. The trained/refined path stays ann_ivf_topk + the at-rest "
+    "partition-pruned index (operators/ann_index.py).",
+)
+def ann_ivf_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    init = emb.orderBy("vec_id").limit(_IVF_LIT_K).select("vec_id", "embedding").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in init]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+
+    # probe-cell selection on the driver — sequential left-to-right sum,
+    # the same fold order as the oracle's list_sum, so near-tie probe
+    # ordering can never diverge
+    d = [sum((ci - qi) * (ci - qi) for ci, qi in zip(c, qvec)) for c in cents]
+    probe = [cid for cid, _ in sorted(enumerate(d), key=lambda t: (t[1], t[0]))[:_IVF_LIT_PROBE]]
+
+    pairs = F.array(
+        *[
+            F.struct(
+                similarity._sq_dist_to_literal(F.col("embedding"), c).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+    cell = F.array_min(pairs)["cid"]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    return (
+        emb.withColumn("cell", cell)
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), qlit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
