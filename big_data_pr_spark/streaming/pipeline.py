@@ -301,6 +301,34 @@ def enrich_stream(
     return parsed.join(F.broadcast(dim), key, "left")
 
 
+def score_stream(parsed: DataFrame, model_json: str, out_col: str = "score") -> DataFrame:
+    """Real-time model inference riding the stream (the reference
+    serves forecasts from ``trained_models/*.pkl`` per HTTP request,
+    ``app.py:195-244``; here the trained artifact scores every candle
+    in-flight instead).
+
+    Accepts either JSON artifact kind from the ``model`` CLI:
+
+    - GBT → Arrow-batched vectorized tree traversal (pandas UDF);
+    - logistic regression → pure codegen sigmoid (no Python at all).
+
+    Both are STATELESS narrow maps: no watermark, no state store, no
+    shuffle — valid in any output mode, and model refresh is a query
+    restart away (the artifact is a closure constant, exactly like a
+    broadcast variable).
+    """
+    import json  # noqa: PLC0415
+
+    spec = json.loads(model_json)
+    if "trees" in spec:
+        from ..operators.gbt import GBTModel, predict_gbt  # noqa: PLC0415
+
+        return predict_gbt(parsed, GBTModel.from_json(model_json), out_col)
+    from ..operators.logreg import LogRegModel, score_expr  # noqa: PLC0415
+
+    return parsed.withColumn(out_col, score_expr(LogRegModel.from_json(model_json)))
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch sinks: keyed parquet upsert (exactly-once via idempotent key)
 # ---------------------------------------------------------------------------

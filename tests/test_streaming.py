@@ -453,3 +453,54 @@ def test_enrich_stream_broadcast_dimension(spark, tmp_path):
     _write_batch(input_dir, "b2.json", [_msg("XRP/USDT", 1, 1.1)])
     rows2 = run_once("out2")
     assert rows2["XRP/USDT"]["name"] == "Ripple"
+
+
+def test_score_stream_model_inference(spark, tmp_path):
+    """Trained-model inference rides the stream as a stateless map:
+    scores in the streaming sink equal the same model applied in batch,
+    for BOTH artifact kinds (GBT pandas-UDF path, logreg codegen path)."""
+    from big_data_pr_spark.operators.gbt import GBTModel, Tree
+    from big_data_pr_spark.operators.logreg import LogRegModel
+
+    gbt = GBTModel(
+        features=["close", "volume"],
+        base_score=1.0,
+        trees=[
+            Tree(feature=[0, -1, -1], threshold=[105.0, 0.0, 0.0],
+                 left=[1, 1, 2], right=[2, 1, 2], value=[0.0, -0.5, 2.0])
+        ],
+    )
+    lr = LogRegModel(features=["close"], weights=[0.01], bias=-1.0)
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(
+        input_dir, "b0.txt",
+        [_msg("BTC/USDT", i, close=100.0 + i) for i in range(10)],
+    )
+    parsed = pipeline.parse_stream(pipeline.file_source(spark, str(input_dir)))
+
+    for name, artifact in [("gbt", gbt.to_json()), ("lr", lr.to_json())]:
+        out = tmp_path / f"out_{name}"
+        q = (
+            pipeline.score_stream(parsed, artifact)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["close"]: round(r["score"], 10)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        batch = {
+            r["close"]: round(r["score"], 10)
+            for r in pipeline.score_stream(
+                spark.read.parquet(str(out)).drop("score"), artifact
+            ).collect()
+        }
+        assert got == batch and len(got) == 10
+        if name == "gbt":  # spot-check the tree semantics
+            assert got[100.0] == 0.5 and got[109.0] == 3.0
