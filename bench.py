@@ -90,6 +90,12 @@ HEADLINE = [
     "dedup_simhash_md5",
     "gbt_score_events",
     "kmeans_assign",
+    "logreg_score_events",
+    "corpus_shuffle_shards",
+    "token_budget_select",
+    "pack_bins_ffd_global",
+    "ann_lsh_topk_lit",
+    "ann_ivf_topk_lit",
 ]
 
 
@@ -160,6 +166,45 @@ def streaming_rows_per_sec(spark, sf_dir: str) -> float | None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
+    """One-shot distributed-training throughput: wall seconds to fit
+    the histogram GBDT (8 trees × depth 3) and the logistic classifier
+    (30 GD iterations) on the documents corpus. Run once (not per-rep):
+    training cost is dominated by fixed per-iteration job overhead at
+    this SF, so the single number is the honest one."""
+    out: dict[str, float | None] = {"gbt_fit_sec": None, "logreg_fit_sec": None}
+    try:
+        from big_data_pr_spark.operators.gbt import fit_gbt
+        from big_data_pr_spark.operators.logreg import fit_logreg
+        from big_data_pr_spark.queries.ml_queries import (
+            doc_gbt_features,
+            doc_lang_features,
+        )
+        from big_data_pr_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        t0 = time.time()
+        fit_gbt(
+            doc_gbt_features(docs),
+            ["n_tokens", "n_uniq", "first_len"],
+            "n_chars",
+            n_trees=8,
+            max_depth=3,
+        )
+        out["gbt_fit_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fit_logreg(
+            doc_lang_features(docs),
+            ["n_tok", "avg_len", "stop_ratio"],
+            "is_en",
+            n_iters=30,
+        )
+        out["logreg_fit_sec"] = round(time.time() - t0, 3)
+    except Exception as exc:  # never fail the whole bench on training
+        print(f"training bench failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -185,6 +230,7 @@ def main() -> None:
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
     stream_rps = streaming_rows_per_sec(spark, sf_dir)
+    fit_secs = training_fit_seconds(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -195,6 +241,7 @@ def main() -> None:
                 "queries_median": medians,
                 "streaming_rows_per_sec": stream_rps,
                 "streaming_input_rows": STREAM_ROWS,
+                **fit_secs,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "repeats": REPEATS,
