@@ -122,3 +122,55 @@ def append_to_ivf_index(
         os.path.join(index_dir, "vectors")
     )
     return assigned.count()
+
+
+VEC_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def vec_file_source(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines embedding stream (explicit schema — no inference;
+    the same plan runs on a Kafka source)."""
+    return spark.readStream.schema(VEC_STREAM_SCHEMA).json(path)
+
+
+def stream_into_ivf_index(
+    vec_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous index maintenance: embeddings arriving on a stream
+    are assigned to their existing IVF cell and appended per
+    micro-batch — searchable (with partition pruning intact) as soon
+    as the batch commits. The streaming half of the RAG index
+    lifecycle (build once, then keep ingesting).
+
+    Delivery contract: appends are at-least-once across crash windows —
+    an epoch marker under ``_epochs/`` makes the common restart-replay
+    a no-op, but a crash BETWEEN the parquet append and the marker
+    write can duplicate one batch. Duplicate vectors only cost probe
+    work (same id ranked twice); the id-keyed rebuild
+    (``write_ivf_index``, idempotent) on the maintenance cadence is
+    the compaction that restores exactly-once state — the same
+    OPTIMIZE rhythm as storage compaction.
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker_dir = os.path.join(index_dir, "_epochs")
+        marker = os.path.join(marker_dir, str(epoch_id))
+        if os.path.exists(marker):  # replayed epoch → already appended
+            return
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(batch_df, index_dir, id_col, vec_col)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("")
+
+    return (
+        vec_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

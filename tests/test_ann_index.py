@@ -95,3 +95,52 @@ def test_append_to_ivf_index_searchable_without_rebuild(spark, sf_dir, tmp_path)
     with contextlib.redirect_stdout(buf):
         probe_df.explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_stream_into_ivf_index(spark, sf_dir, tmp_path):
+    """Embeddings arriving on a stream become searchable incrementally:
+    two micro-batch files append into the built index, a held-out
+    vector is findable afterwards, and restarting the drained stream
+    (same checkpoint) appends nothing twice."""
+    import json
+
+    from big_data_pr_spark.operators import ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    idx = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(base, idx, n_list=8)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    extra = emb.filter(F.col("vec_id") >= 300).collect()
+    half = len(extra) // 2
+    for name, chunk in [("b0.json", extra[:half]), ("b1.json", extra[half:])]:
+        (in_dir / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                )
+                for r in chunk
+            )
+            + "\n"
+        )
+
+    stream = ann_index.vec_file_source(spark, str(in_dir))
+    q = ann_index.stream_into_ivf_index(stream, idx, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    vectors = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert vectors.count() == 500
+    target = extra[-1]
+    post = ann_index.probe_ivf_index(
+        spark, idx, target["embedding"], k=3, n_probe=8
+    ).collect()
+    assert post[0]["vec_id"] == target["vec_id"] and post[0]["cos_sim"] == 1.0
+
+    # drained restart: same checkpoint, no new files → no growth
+    q2 = ann_index.stream_into_ivf_index(
+        ann_index.vec_file_source(spark, str(in_dir)), idx, str(tmp_path / "cp")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(idx, "vectors")).count() == 500
