@@ -133,6 +133,7 @@ _POST_FREEZE = [
     "ann_lsh_topk_lit",
     "csv_roundtrip_stats",
     "ann_ivf_topk_lit",
+    "gap_fill_interpolate",
 ]
 
 

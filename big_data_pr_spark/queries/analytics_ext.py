@@ -1022,3 +1022,90 @@ def bloom_prefilter_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "gap_fill_interpolate",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    spine AS (
+        SELECT symbol,
+               unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx
+              FROM candles GROUP BY symbol)
+    ),
+    filled AS (
+        SELECT s.symbol, s.bucket, c."close" AS close,
+               last_value(c."close" IGNORE NULLS) OVER wprev  AS pv,
+               last_value(CASE WHEN c."close" IS NOT NULL THEN s.bucket END
+                          IGNORE NULLS) OVER wprev            AS pt,
+               first_value(c."close" IGNORE NULLS) OVER wnext AS nv,
+               first_value(CASE WHEN c."close" IS NOT NULL THEN s.bucket END
+                           IGNORE NULLS) OVER wnext           AS nt
+        FROM spine s LEFT JOIN candles c
+          ON s.symbol = c.symbol AND s.bucket = c.bucket
+        WINDOW
+          wprev AS (PARTITION BY s.symbol ORDER BY s.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wnext AS (PARTITION BY s.symbol ORDER BY s.bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT symbol, bucket, close,
+           round(CASE WHEN close IS NOT NULL THEN close
+                 ELSE pv + (nv - pv) * date_diff('hour', pt, bucket)
+                           / date_diff('hour', pt, nt) END, 6) AS interp_close,
+           close IS NULL AS is_gap
+    FROM filled ORDER BY symbol, bucket
+    """,
+    doc="Densify + LINEAR interpolation (the ffill twin of "
+    "gap_fill_forward): interior gaps get "
+    "prev + (next−prev)·Δt/Δtotal from the bracketing observations — "
+    "the time-series resampling a model-input pipeline uses when "
+    "carry-forward would bias a trend. Two keyed window passes "
+    "(preceding last / following first, both IGNORE NULLS) over the "
+    "hourly spine; no UDF, no driver loop.",
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    candles = _candles(spark, sf_dir).select("symbol", "bucket", "close")
+    spine = (
+        candles.groupBy("symbol")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "symbol",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    wprev = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("close").isNotNull(), F.col("bucket"))
+    joined = spine.join(candles, ["symbol", "bucket"], "left").select(
+        "symbol",
+        "bucket",
+        "close",
+        F.last("close", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wprev).alias("pt"),
+        F.first("close", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wnext).alias("nt"),
+    )
+    dh = lambda a, b: F.timestamp_diff("HOUR", F.col(a), F.col(b))  # noqa: E731
+    interp = F.when(F.col("close").isNotNull(), F.col("close")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv")) * dh("pt", "bucket") / dh("pt", "nt")
+    )
+    return joined.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(interp, 6).alias("interp_close"),
+        F.col("close").isNull().alias("is_gap"),
+    ).orderBy("symbol", "bucket")
