@@ -94,6 +94,10 @@ class GBTModel:
             out += t.predict(X)
         return out
 
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """Sigmoid of the margin — for ``objective="binary"`` models."""
+        return 1.0 / (1.0 + np.exp(-self.predict(X)))
+
     # --- serialization ------------------------------------------------
     def to_json(self) -> str:
         return json.dumps(
@@ -187,6 +191,7 @@ def fit_gbt(
     n_bins: int = 16,
     learning_rate: float = 0.3,
     min_child_rows: int = 5,
+    objective: str = "regression",
 ) -> GBTModel:
     """Histogram GBDT fit where only (nodes × features × bins) gradient
     sums ever reach the driver.
@@ -197,8 +202,18 @@ def fit_gbt(
     prefix sums. Node assignment is re-derived each level from the
     accumulated split list as a pure column expression — no per-row
     state, no Python in the scan. Variance-reduction gain:
-    ``S_L²/n_L + S_R²/n_R − S²/n`` (squared-loss gradients).
+    ``S_L²/n_L + S_R²/n_R − S²/n`` over the pseudo-residuals.
+
+    ``objective="binary"``: first-order logistic boosting (Friedman's
+    gradient boosting, not the Newton step) — trees fit the
+    pseudo-residual ``y − σ(margin)``, the model's output is the
+    MARGIN (log-odds; apply sigmoid for probability), and base_score
+    is the log-odds of the base rate. Each iteration's residual is
+    still a pure column expression (sigmoid over the accumulated
+    bin-expressed margin), so the per-tree cost is unchanged.
     """
+    if objective not in ("regression", "binary"):
+        raise ValueError(f"unknown objective {objective!r}")
     m = len(features)
     edges = _bin_edges(df, features, n_bins)
     width = {f: max((hi - lo), 1e-12) / n_bins for f, (lo, hi) in edges.items()}
@@ -216,7 +231,12 @@ def fit_gbt(
     base = df.select(F.col(label).cast("double").alias("y"), *bin_cols)
     base = base.localCheckpoint(eager=False)  # binning computed once; lineage cut
 
-    base_score = float(base.agg(F.avg("y")).collect()[0][0] or 0.0)
+    y_bar = float(base.agg(F.avg("y")).collect()[0][0] or 0.0)
+    if objective == "binary":
+        p0 = min(max(y_bar, 1e-12), 1 - 1e-12)
+        base_score = math.log(p0 / (1 - p0))
+    else:
+        base_score = y_bar
     stack_expr = "stack({}, {}) as (feat, bin)".format(
         m, ", ".join(f"{i}, b{i}" for i in range(m))
     )
@@ -228,6 +248,8 @@ def fit_gbt(
         pred = F.lit(base_score)
         for e in pred_exprs:
             pred = pred + e
+        if objective == "binary":
+            pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-pred))
         resid = (F.col("y") - pred).alias("r")
 
         # splits[node] = (feature_idx, bin_threshold) accumulated per level.

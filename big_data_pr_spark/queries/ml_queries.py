@@ -92,16 +92,6 @@ def gbt_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "gbt_train_docs",
-    None,  # distributed training: float accumulation order is engine-
-    # specific, so no value-hash oracle; behavioral tests in test_gbt.py
-    doc="Distributed histogram-GBDT training (LightGBM data-parallel "
-    "shape, operators/gbt.py:fit_gbt): predict documents.n_chars from "
-    "token statistics. Per tree level ONE stack+groupBy(node,feat,bin) "
-    "partial agg — only the (nodes×features×bins) gradient histogram "
-    "reaches the driver; rows never move. Output is the scored corpus.",
-)
 def doc_gbt_features(docs: DataFrame) -> DataFrame:
     """Token-statistic features for the n_chars regressor (shared by
     the registry query and the `model` CLI)."""
@@ -115,6 +105,16 @@ def doc_gbt_features(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "gbt_train_docs",
+    None,  # distributed training: float accumulation order is engine-
+    # specific, so no value-hash oracle; behavioral tests in test_gbt.py
+    doc="Distributed histogram-GBDT training (LightGBM data-parallel "
+    "shape, operators/gbt.py:fit_gbt): predict documents.n_chars from "
+    "token statistics. Per tree level ONE stack+groupBy(node,feat,bin) "
+    "partial agg — only the (nodes×features×bins) gradient histogram "
+    "reaches the driver; rows never move. Output is the scored corpus.",
+)
 def gbt_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = doc_gbt_features(load(spark, sf_dir, "documents"))
     model = fit_gbt(
@@ -299,17 +299,6 @@ def logreg_score_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@register(
-    "lang_classifier_docs",
-    None,  # iterative float training: no cross-engine value hash;
-    # parity vs a sequential numpy replica in tests/test_logreg.py
-    doc="Distributed linear language classifier (is-English gate — the "
-    "fastText-style corpus filter): logistic regression trained by "
-    "full-batch GD where each iteration is ONE m+1-sum aggregation "
-    "(operators/logreg.py:fit_logreg); features are cheap token "
-    "statistics computed as narrow maps. Scoring is the same literal "
-    "expression — zero shuffle, no Python.",
-)
 def doc_lang_features(docs: DataFrame) -> DataFrame:
     """Cheap token statistics for the is-English linear gate (shared by
     the registry query and the `model` CLI)."""
@@ -328,6 +317,17 @@ def doc_lang_features(docs: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "lang_classifier_docs",
+    None,  # iterative float training: no cross-engine value hash;
+    # parity vs a sequential numpy replica in tests/test_logreg.py
+    doc="Distributed linear language classifier (is-English gate — the "
+    "fastText-style corpus filter): logistic regression trained by "
+    "full-batch GD where each iteration is ONE m+1-sum aggregation "
+    "(operators/logreg.py:fit_logreg); features are cheap token "
+    "statistics computed as narrow maps. Scoring is the same literal "
+    "expression — zero shuffle, no Python.",
+)
 def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = doc_lang_features(load(spark, sf_dir, "documents"))
     model = fit_logreg(
@@ -335,4 +335,33 @@ def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "doc_id", F.round(score_expr(model), 4).alias("p_en")
+    ).orderBy("doc_id")
+
+
+@register(
+    "gbt_classifier_docs",
+    None,  # iterative float training (see gbt_train_docs); behavioral
+    # tests in tests/test_gbt.py::test_fit_binary_objective_*
+    doc="Gradient-boosted is-English classifier (objective='binary', "
+    "first-order logistic boosting): the nonlinear twin of "
+    "lang_classifier_docs on the same token-statistic features — trees "
+    "capture threshold interactions the linear gate can't. Same "
+    "histogram training shape (one stack+groupBy partial agg per tree "
+    "level); output is the per-doc probability.",
+)
+def gbt_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = doc_lang_features(load(spark, sf_dir, "documents"))
+    model = fit_gbt(
+        feats,
+        features=["n_tok", "avg_len", "stop_ratio"],
+        label="is_en",
+        n_trees=8,
+        max_depth=3,
+        learning_rate=0.5,
+        objective="binary",
+    )
+    margin = predict_gbt(feats, model)
+    return margin.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 4).alias("p_en"),
     ).orderBy("doc_id")

@@ -132,3 +132,40 @@ def test_kmeans_lloyd_basic(spark):
     inertia1 = sum(r["dist"] for r in out1)
     inertia2 = sum(r["dist"] for r in out2)
     assert inertia2 <= inertia1 + 1e-9
+
+
+def test_fit_binary_objective_separates(spark):
+    """First-order logistic boosting: separable step-function labels →
+    high accuracy, margins map to calibrated-ish probabilities."""
+    rows = []
+    for i in range(400):
+        x0 = (i % 20) / 20.0
+        x1 = (i % 8) / 8.0
+        y = 1.0 if (x0 >= 0.5) != (x1 >= 0.5) else 0.0  # XOR of two steps
+        rows.append((i, float(x0), float(x1), y))
+    df = spark.createDataFrame(rows, "id long, x0 double, x1 double, y double")
+    model = fit_gbt(
+        df, ["x0", "x1"], "y", n_trees=15, max_depth=3, n_bins=16,
+        learning_rate=0.5, objective="binary",
+    )
+    X = np.array([[r[1], r[2]] for r in rows])
+    y = np.array([r[3] for r in rows])
+    p = model.predict_proba(X)
+    acc = float(((p > 0.5) == (y > 0.5)).mean())
+    assert acc > 0.97, acc
+    # margins are real log-odds (first-order steps grow them slowly,
+    # ~0.13/tree here): confident regions are well away from zero
+    assert np.abs(model.predict(X)).max() > 1.5
+
+
+def test_fit_binary_objective_base_rate(spark):
+    """With no splittable signal, the model stays at the base-rate
+    log-odds (leaves near zero)."""
+    import math
+
+    rows = [(i, 1.0, float(i % 4 == 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x0 double, y double")
+    model = fit_gbt(df, ["x0"], "y", n_trees=3, objective="binary")
+    assert model.base_score == pytest.approx(math.log(0.25 / 0.75), abs=1e-9)
+    p = model.predict_proba(np.array([[1.0]]))
+    assert p[0] == pytest.approx(0.25, abs=1e-6)
