@@ -434,3 +434,24 @@ def test_kmeans_assign_no_data_shuffle(q):
     assert "hashpartitioning" not in plan
     assert plan.count("Exchange") == 1  # the output sort only
     assert "Python" not in plan
+
+
+def test_ann_lsh_lit_no_python_broadcast_bucket_join(q):
+    """The literal-plane LSH path runs entirely JVM-side: codegen
+    sign-of-dot bucket bits, broadcast bucket join (the 1-row query
+    side), top-k heap — no Python, and the only exchange feeds the
+    broadcast."""
+    plan = plan_str(q("ann_lsh_topk_lit"), "simple")
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_lit_zero_shuffle_pruned_scan(q):
+    """The literal-centroid IVF probe is a pure scan→filter→heap plan:
+    cell assignment and the probe-cell membership test are codegen
+    expressions, so there is NO exchange and NO Python at all."""
+    plan = plan_str(q("ann_ivf_topk_lit"), "simple")
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
