@@ -142,6 +142,11 @@ def test_driver_ledger_consistent():
         "interval_clicks_in_hot_windows",
         "candles_daily_rollup",
         "funnel_strict_sequence",
+        # round-5b additions that read ts
+        "gbt_score_events",
+        "logreg_score_events",
+        "gap_fill_interpolate",
+        "forecast_gbt",
     ],
 )
 def test_timezone_independence(name, spark, sf_dir):
