@@ -192,6 +192,7 @@ def fit_gbt(
     learning_rate: float = 0.3,
     min_child_rows: int = 5,
     objective: str = "regression",
+    reg_lambda: float = 0.0,
 ) -> GBTModel:
     """Histogram GBDT fit where only (nodes × features × bins) gradient
     sums ever reach the driver.
@@ -204,13 +205,18 @@ def fit_gbt(
     state, no Python in the scan. Variance-reduction gain:
     ``S_L²/n_L + S_R²/n_R − S²/n`` over the pseudo-residuals.
 
-    ``objective="binary"``: first-order logistic boosting (Friedman's
-    gradient boosting, not the Newton step) — trees fit the
-    pseudo-residual ``y − σ(margin)``, the model's output is the
-    MARGIN (log-odds; apply sigmoid for probability), and base_score
-    is the log-odds of the base rate. Each iteration's residual is
-    still a pure column expression (sigmoid over the accumulated
-    bin-expressed margin), so the per-tree cost is unchanged.
+    ``objective="binary"``: second-order (Newton) logistic boosting in
+    the xgboost formulation — trees fit the pseudo-residual
+    ``y − σ(margin)`` with per-row hessian ``p(1−p)`` carried through
+    the same histogram (one extra sum per bin), leaf =
+    ``Σr/(Σh+reg_lambda)``, gain = ``S²/(H+λ)`` form. The model's
+    output is the MARGIN (log-odds; ``predict_proba`` applies the
+    sigmoid), and base_score is the log-odds of the base rate. Each
+    iteration's residual/hessian are pure column expressions (sigmoid
+    over the accumulated bin-expressed margin), so per-tree cost is
+    one scan per level regardless of objective. With squared loss the
+    hessian is 1, so ``Σh == n`` and the formulas reduce exactly to
+    the classic mean-residual / variance-reduction ones.
     """
     if objective not in ("regression", "binary"):
         raise ValueError(f"unknown objective {objective!r}")
@@ -251,6 +257,11 @@ def fit_gbt(
         if objective == "binary":
             pred = F.lit(1.0) / (F.lit(1.0) + F.exp(-pred))
         resid = (F.col("y") - pred).alias("r")
+        # hessian: p(1−p) for logistic loss (Newton step, as xgboost);
+        # constant 1 for squared loss — then Σh == n exactly and the
+        # leaf/gain formulas reduce to the classic mean-residual /
+        # variance-reduction forms
+        hess = (pred * (1 - pred) if objective == "binary" else F.lit(1.0)).alias("h")
 
         # splits[node] = (feature_idx, bin_threshold) accumulated per level.
         # node_e is grown LEVEL-WISE: each level's expression references
@@ -261,27 +272,34 @@ def fit_gbt(
         splits: dict[int, tuple[int, int]] = {}
         closed: set[int] = set()
         node_e: Column = F.lit(0)
-        # node_sums[nid] = (Σr, n) over the node's rows — from the
+        # node_sums[nid] = (Σr, Σh, n) over the node's rows — from the
         # node's own histogram row, or (for children born at the last
         # level) from the parent split's left/right partial sums. Leaf
         # values fall out of these, so NO separate leaf-aggregation
         # pass is needed: max_depth corpus passes per tree, not
-        # max_depth + 1.
-        node_sums: dict[int, tuple[float, int]] = {}
+        # max_depth + 1. Newton leaf = Σr/(Σh+λ); gain =
+        # S_L²/(H_L+λ) + S_R²/(H_R+λ) − S²/(H+λ). With h≡1 (regression)
+        # these are exactly mean-residual / variance-reduction.
+        node_sums: dict[int, tuple[float, float, int]] = {}
+        lam = reg_lambda
 
         for _level in range(max_depth):
             hist = (
-                base.select(node_e.alias("node"), resid, F.expr(stack_expr))
+                base.select(node_e.alias("node"), resid, hess, F.expr(stack_expr))
                 .groupBy("node", "feat", "bin")
-                .agg(F.sum("r").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum("r").alias("s"),
+                    F.sum("h").alias("hs"),
+                    F.count("*").alias("n"),
+                )
                 .collect()
             )
-            # node → feat → bin → (s, n)
-            per_node: dict[int, dict[int, dict[int, tuple[float, int]]]] = {}
+            # node → feat → bin → (s, h, n)
+            per_node: dict[int, dict[int, dict[int, tuple[float, float, int]]]] = {}
             for row in hist:
                 per_node.setdefault(row["node"], {}).setdefault(row["feat"], {})[
                     row["bin"]
-                ] = (float(row["s"]), int(row["n"]))
+                ] = (float(row["s"]), float(row["hs"]), int(row["n"]))
             level_splits: dict[int, tuple[int, int]] = {}
             for nid, by_feat in per_node.items():
                 if nid in closed or nid in splits:
@@ -290,24 +308,32 @@ def fit_gbt(
                 # of collect row order (leaf values derive from them)
                 any_f = by_feat[min(by_feat)]
                 s_tot = sum(any_f[b][0] for b in sorted(any_f))
-                n_tot = sum(any_f[b][1] for b in sorted(any_f))
-                node_sums[nid] = (s_tot, n_tot)
+                h_tot = sum(any_f[b][1] for b in sorted(any_f))
+                n_tot = sum(any_f[b][2] for b in sorted(any_f))
+                node_sums[nid] = (s_tot, h_tot, n_tot)
                 best_gain, best = 0.0, None
-                parent = s_tot * s_tot / n_tot if n_tot else 0.0
+                parent = s_tot * s_tot / (h_tot + lam) if n_tot else 0.0
                 # ascending feature order: equal-gain ties break to the
                 # lowest feature index, independent of dict/collect order
                 for fi in sorted(by_feat):
                     bins = by_feat[fi]
                     s_l = 0.0
+                    h_l = 0.0
                     n_l = 0
                     for b in range(n_bins - 1):
                         if b in bins:
                             s_l += bins[b][0]
-                            n_l += bins[b][1]
+                            h_l += bins[b][1]
+                            n_l += bins[b][2]
                         n_r = n_tot - n_l
                         if n_l < min_child_rows or n_r < min_child_rows:
                             continue
-                        gain = s_l * s_l / n_l + (s_tot - s_l) ** 2 / n_r - parent
+                        h_r = h_tot - h_l
+                        gain = (
+                            s_l * s_l / (h_l + lam)
+                            + (s_tot - s_l) ** 2 / (h_r + lam)
+                            - parent
+                        )
                         if gain > best_gain + 1e-12:
                             best_gain, best = gain, (fi, b)
                 if best is None:
@@ -315,14 +341,12 @@ def fit_gbt(
                 else:
                     level_splits[nid] = best
                     fi, bt = best
-                    s_l = sum(
-                        by_feat[fi][b][0] for b in sorted(by_feat[fi]) if b <= bt
-                    )
-                    n_l = sum(
-                        by_feat[fi][b][1] for b in sorted(by_feat[fi]) if b <= bt
-                    )
-                    node_sums[2 * nid + 1] = (s_l, n_l)
-                    node_sums[2 * nid + 2] = (s_tot - s_l, n_tot - n_l)
+                    picked = [b for b in sorted(by_feat[fi]) if b <= bt]
+                    s_l = sum(by_feat[fi][b][0] for b in picked)
+                    h_l = sum(by_feat[fi][b][1] for b in picked)
+                    n_l = sum(by_feat[fi][b][2] for b in picked)
+                    node_sums[2 * nid + 1] = (s_l, h_l, n_l)
+                    node_sums[2 * nid + 2] = (s_tot - s_l, h_tot - h_l, n_tot - n_l)
             if not level_splits:
                 break
             splits.update(level_splits)
@@ -334,11 +358,13 @@ def fit_gbt(
                 w = (w.when if w is not None else F.when)(node_e == nid, child)
             node_e = w.otherwise(node_e)
 
-        # leaf values: mean residual per terminal node, scaled by lr —
-        # straight from the tracked histogram sums (no extra pass)
+        # leaf values: Newton step Σr/(Σh+λ) per terminal node, scaled
+        # by lr — straight from the tracked histogram sums (no extra
+        # pass). h is strictly positive (p∈(0,1) for logistic; 1 for
+        # squared loss), so the denominator never vanishes.
         leaf_val = {
-            nid: learning_rate * s / n
-            for nid, (s, n) in node_sums.items()
+            nid: learning_rate * s / (h + lam)
+            for nid, (s, h, n) in node_sums.items()
             if nid not in splits and n > 0
         }
 

@@ -343,7 +343,7 @@ def lang_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # iterative float training (see gbt_train_docs); behavioral
     # tests in tests/test_gbt.py::test_fit_binary_objective_*
     doc="Gradient-boosted is-English classifier (objective='binary', "
-    "first-order logistic boosting): the nonlinear twin of "
+    "second-order Newton logistic boosting): the nonlinear twin of "
     "lang_classifier_docs on the same token-statistic features — trees "
     "capture threshold interactions the linear gate can't. Same "
     "histogram training shape (one stack+groupBy partial agg per tree "
