@@ -182,13 +182,19 @@ def cmd_model(args: argparse.Namespace) -> int:
     docs = load(spark, args.sf_dir, "documents")
     if args.train:
         if args.train == "gbt":
-            feats = doc_gbt_features(docs)
+            if args.objective == "binary":
+                feats = doc_lang_features(docs)
+                features, label = ["n_tok", "avg_len", "stop_ratio"], "is_en"
+            else:
+                feats = doc_gbt_features(docs)
+                features, label = ["n_tokens", "n_uniq", "first_len"], "n_chars"
             model = fit_gbt(
                 feats,
-                ["n_tokens", "n_uniq", "first_len"],
-                "n_chars",
+                features,
+                label,
                 n_trees=args.n_trees,
                 max_depth=args.max_depth,
+                objective=args.objective,
             )
         else:
             feats = doc_lang_features(docs)
@@ -204,15 +210,24 @@ def cmd_model(args: argparse.Namespace) -> int:
     # --score path
     with open(args.artifact) as f:
         raw = f.read()
+    def feats_for(feature_names: list[str]):
+        lang_cols = {"n_tok", "avg_len", "stop_ratio"}
+        return (
+            doc_lang_features(docs)
+            if set(feature_names) & lang_cols
+            else doc_gbt_features(docs)
+        )
+
     if args.from_xgboost_dump:
         model = GBTModel.from_xgboost_dump(
             _json.loads(raw), features=args.features or ["n_tokens", "n_uniq", "first_len"]
         )
-        scored = predict_gbt(doc_gbt_features(docs), model)
+        scored = predict_gbt(feats_for(model.features), model)
     else:
         spec = _json.loads(raw)
         if "trees" in spec:
-            scored = predict_gbt(doc_gbt_features(docs), GBTModel.from_json(raw))
+            model = GBTModel.from_json(raw)
+            scored = predict_gbt(feats_for(model.features), model)
         else:
             lr = LogRegModel.from_json(raw)
             scored = doc_lang_features(docs).withColumn("score", score_expr(lr))
@@ -291,6 +306,12 @@ def main(argv: list[str] | None = None) -> int:
     md.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     md.add_argument("--n-trees", type=int, default=8)
     md.add_argument("--max-depth", type=int, default=3)
+    md.add_argument(
+        "--objective",
+        choices=["regression", "binary"],
+        default="regression",
+        help="gbt objective: regression (n_chars) or binary (is-English gate)",
+    )
     md.add_argument("--n-iters", type=int, default=30)
     md.add_argument("--limit", type=int, default=10)
     md.set_defaults(fn=cmd_model)

@@ -158,3 +158,14 @@ def test_model_score_xgboost_dump(spark, sf_dir, tmp_path, capsys):
          "--sf-dir", sf_dir]
     ) == 0
     assert "doc_id" in capsys.readouterr().out
+
+
+def test_model_train_binary_gbt(spark, sf_dir, tmp_path, capsys):
+    art = str(tmp_path / "gate.json")
+    assert main(
+        ["model", "--train", "gbt", "--objective", "binary", "--artifact", art,
+         "--sf-dir", sf_dir, "--n-trees", "3"]
+    ) == 0
+    json.loads(capsys.readouterr().out.strip())
+    assert main(["model", "--score", "--artifact", art, "--sf-dir", sf_dir]) == 0
+    assert "doc_id" in capsys.readouterr().out
