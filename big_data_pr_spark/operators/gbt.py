@@ -98,6 +98,16 @@ class GBTModel:
         """Sigmoid of the margin — for ``objective="binary"`` models."""
         return 1.0 / (1.0 + np.exp(-self.predict(X)))
 
+    def feature_importances(self) -> dict[str, int]:
+        """Split-count importance per feature (the model card summary;
+        xgboost's ``weight`` importance type)."""
+        counts = dict.fromkeys(self.features, 0)
+        for t in self.trees:
+            for fi in t.feature:
+                if fi >= 0:
+                    counts[self.features[fi]] += 1
+        return counts
+
     # --- serialization ------------------------------------------------
     def to_json(self) -> str:
         return json.dumps(

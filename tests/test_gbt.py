@@ -135,7 +135,7 @@ def test_kmeans_lloyd_basic(spark):
 
 
 def test_fit_binary_objective_separates(spark):
-    """First-order logistic boosting: separable step-function labels →
+    """Newton logistic boosting: separable step-function labels →
     high accuracy, margins map to calibrated-ish probabilities."""
     rows = []
     for i in range(400):
@@ -153,8 +153,7 @@ def test_fit_binary_objective_separates(spark):
     p = model.predict_proba(X)
     acc = float(((p > 0.5) == (y > 0.5)).mean())
     assert acc > 0.97, acc
-    # margins are real log-odds (first-order steps grow them slowly,
-    # ~0.13/tree here): confident regions are well away from zero
+    # margins are real log-odds: confident regions are well away from 0
     assert np.abs(model.predict(X)).max() > 1.5
 
 
@@ -169,3 +168,12 @@ def test_fit_binary_objective_base_rate(spark):
     assert model.base_score == pytest.approx(math.log(0.25 / 0.75), abs=1e-9)
     p = model.predict_proba(np.array([[1.0]]))
     assert p[0] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_feature_importances(spark, step_df):
+    model = fit_gbt(step_df, ["x0", "x1"], "y", n_trees=6, max_depth=2)
+    imp = model.feature_importances()
+    # both signal features are split on; totals equal internal node count
+    assert imp["x0"] > 0 and imp["x1"] > 0
+    n_internal = sum(1 for t in model.trees for f in t.feature if f >= 0)
+    assert sum(imp.values()) == n_internal

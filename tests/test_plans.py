@@ -455,3 +455,37 @@ def test_ann_ivf_lit_zero_shuffle_pruned_scan(q):
     assert "Python" not in plan
     assert "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+_PLAN_SWEEP_SKIP = {
+    # training queries: expensive to build (they FIT during fn()); their
+    # scoring plans are covered by the dedicated pins above and the
+    # Arrow-batched predict path is shared with gbt_score_events
+    "gbt_train_docs",
+    "forecast_gbt",
+    "lang_classifier_docs",
+    "gbt_classifier_docs",
+    "kmeans_assign",  # collects centroids during fn(); pinned above
+    "ann_ivf_topk_lit",  # collects centroids during fn(); pinned above
+    "jsonl_roundtrip_stats",  # writes a sink during fn(); agg plan trivial
+    "csv_roundtrip_stats",
+}
+
+
+def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
+    """Global invariant: NO registry query plans a row-at-a-time Python
+    UDF (BatchEvalPython). Python boundaries, where they exist at all,
+    are Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas /
+    MapInPandas) — the 10-100x cheaper path."""
+    bad = []
+    for name in sorted(REGISTRY):
+        if name in _PLAN_SWEEP_SKIP:
+            continue
+        try:
+            plan = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            bad.append((name, "BatchEvalPython in plan"))
+    assert not bad, bad
