@@ -1,20 +1,23 @@
-"""ML-adjacent queries: tree-ensemble inference/training and embedding
-clustering (reference ``app.py:195-244`` — the XGBoost forecast path —
-plus the corpus-clustering stage of a training-data pipeline).
+"""ML-adjacent queries: tree-ensemble and linear-model inference/
+training plus embedding clustering (reference ``app.py:195-244`` — the
+XGBoost forecast path — plus the model stages of a training-data
+pipeline).
 
 Oracle strategy:
 
-- ``gbt_score_events`` certifies the tree-ensemble INFERENCE path with
-  a hash-checked oracle: a fixed literal ensemble (all thresholds and
-  leaf values exact binary fractions, so score arithmetic is bit-exact
-  in both engines) evaluated by the vectorized numpy traversal on the
-  Spark side and nested CASE WHEN on the DuckDB side.
-- ``kmeans_assign`` certifies the clustering DECISION: deterministic
-  Lloyd (first-k init, lowest-cid tie-break) is replayed in pure SQL.
-- ``gbt_train_docs`` / ``forecast_gbt`` exercise distributed TRAINING —
-  float accumulation order across engines makes a value-hash oracle
-  meaningless there, so they are rows-only with behavioral tests
-  (tests/test_gbt.py) asserting fit quality and determinism.
+- INFERENCE paths are hash-certified with literal models:
+  ``gbt_score_events`` (fixed dyadic-constant tree ensemble vs nested
+  CASE WHEN) and ``logreg_score_events`` (codegen sigmoid vs identical
+  SQL arithmetic).
+- The clustering DECISION is certified by ``kmeans_assign``:
+  deterministic Lloyd (first-k init, lowest-cid tie-break) replayed in
+  pure SQL.
+- Distributed TRAINING (``gbt_train_docs``, ``gbt_classifier_docs``,
+  ``lang_classifier_docs``, ``forecast_gbt``) is rows-only — float
+  accumulation order across engines makes a value hash meaningless —
+  and is instead pinned against sequential numpy replicas of the same
+  algorithms (tests/test_gbt_reference.py, tests/test_logreg.py) plus
+  fit-quality/determinism tests (tests/test_gbt.py).
 """
 
 from __future__ import annotations
