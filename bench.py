@@ -205,6 +205,41 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
     return out
 
 
+def ann_recall(spark, sf_dir: str) -> dict[str, float | None]:
+    """Approximation quality alongside speed:
+
+    - ``ivf_recall_at_10``: the literal-centroid IVF probe's top-10 vs
+      the exact brute-force top-10 for the same query vector.
+    - ``lsh_pair_recall``: fraction of the TRUE embedding near-dup
+      pairs (exact cosine ≥ 0.4 self-join) that the banded-LSH
+      candidate generator surfaces — the metric that matters for
+      dedup; top-k-vs-global recall is ~0 by construction for a
+      bucket-restricted search over mostly-random vectors.
+    """
+    out: dict[str, float | None] = {"lsh_pair_recall": None, "ivf_recall_at_10": None}
+    try:
+        exact10 = {
+            r["vec_id"]
+            for r in REGISTRY["knn_cosine_bruteforce"].fn(spark, sf_dir).collect()
+        }
+        ivf10 = {
+            r["vec_id"] for r in REGISTRY["ann_ivf_topk_lit"].fn(spark, sf_dir).collect()
+        }
+        out["ivf_recall_at_10"] = round(len(exact10 & ivf10) / max(len(exact10), 1), 3)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in REGISTRY["embedding_dup_pairs"].fn(spark, sf_dir).collect()
+        }
+        lsh_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in REGISTRY["embedding_dup_pairs_lsh"].fn(spark, sf_dir).collect()
+        }
+        out["lsh_pair_recall"] = round(len(pairs & lsh_pairs) / max(len(pairs), 1), 3)
+    except Exception as exc:  # never fail the bench on the quality probe
+        print(f"ann recall probe failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -231,6 +266,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     stream_rps = streaming_rows_per_sec(spark, sf_dir)
     fit_secs = training_fit_seconds(spark, sf_dir)
+    recalls = ann_recall(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -242,6 +278,7 @@ def main() -> None:
                 "streaming_rows_per_sec": stream_rps,
                 "streaming_input_rows": STREAM_ROWS,
                 **fit_secs,
+                **recalls,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "repeats": REPEATS,
