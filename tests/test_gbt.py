@@ -177,3 +177,24 @@ def test_feature_importances(spark, step_df):
     assert imp["x0"] > 0 and imp["x1"] > 0
     n_internal = sum(1 for t in model.trees for f in t.feature if f >= 0)
     assert sum(imp.values()) == n_internal
+
+
+def test_fit_constant_label_and_feature(spark):
+    """Degenerate inputs: constant label → zero-residual single-leaf
+    trees (predict == label exactly); constant feature → no split."""
+    rows = [(i, 3.5, 7.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, x0 double, y double")
+    model = fit_gbt(df, ["x0"], "y", n_trees=3, max_depth=2)
+    assert model.base_score == 7.0
+    assert all(len(t.feature) == 1 and t.feature[0] == -1 for t in model.trees)
+    np.testing.assert_allclose(model.predict(np.array([[3.5], [0.0]])), [7.0, 7.0])
+
+
+def test_fit_fewer_rows_than_min_child(spark):
+    """n < 2·min_child_rows: no legal split exists — the fit degrades
+    to the base score instead of erroring."""
+    rows = [(i, float(i), float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, x0 double, y double")
+    model = fit_gbt(df, ["x0"], "y", n_trees=2, max_depth=2, min_child_rows=5)
+    assert model.base_score == pytest.approx(1.5)
+    assert all(t.feature[0] == -1 for t in model.trees)
