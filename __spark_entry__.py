@@ -134,6 +134,7 @@ _POST_FREEZE = [
     "csv_roundtrip_stats",
     "ann_ivf_topk_lit",
     "gap_fill_interpolate",
+    "minhash_eval_metrics",
 ]
 
 

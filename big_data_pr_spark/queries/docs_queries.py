@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, text
 from ..tables import load
-from .registry import register
+from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -2160,4 +2160,64 @@ def ann_ivf_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@register(
+    "minhash_eval_metrics",
+    # composed from the two ALREADY-CERTIFIED oracle bodies: exact
+    # n-gram Jaccard pairs and the engine-portable md5 MinHash+LSH
+    # pairs become CTEs of one evaluation query
+    f"""
+    WITH exact AS (
+      SELECT id_a, id_b FROM ({REGISTRY["dedup_ngram_jaccard"].oracle})
+      WHERE jaccard >= 0.5
+    ),
+    approx AS (
+      SELECT id_a, id_b FROM ({REGISTRY["dedup_minhash_md5"].oracle})
+    ),
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+    SELECT (SELECT count(*) FROM exact)  AS n_exact,
+           (SELECT count(*) FROM approx) AS n_approx,
+           (SELECT count(*) FROM hit)    AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM approx), 1), 6) AS precision,
+           round((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM exact), 1), 6)  AS recall
+    """,
+    doc="Dedup-quality EVALUATION as a first-class oracle-checked "
+    "query: precision/recall of the MinHash+LSH decision (md5-portable "
+    "twin, est_jaccard >= 0.5) against ground-truth exact n-gram "
+    "Jaccard pairs at the same threshold — the acceptance metric a "
+    "production dedup rollout gates on. Composes the two certified "
+    "pair queries and reduces to one metrics row; at 100 TB both "
+    "sides are the already-bucketed pair pipelines plus a pair-keyed "
+    "join.",
+)
+def minhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    approx = REGISTRY["dedup_minhash_md5"].fn(spark, sf_dir).select("id_a", "id_b")
+    hit = exact.intersect(approx)
+    # ONE plan: three scalar counts cross-joined, rounding via F.round
+    # (DuckDB-matching half-away semantics — Python round() is banker's)
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_approx"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+            "recall"
+        ),
     )
