@@ -135,6 +135,7 @@ _POST_FREEZE = [
     "ann_ivf_topk_lit",
     "gap_fill_interpolate",
     "minhash_eval_metrics",
+    "simhash_eval_metrics",
 ]
 
 

@@ -2221,3 +2221,55 @@ def minhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "simhash_eval_metrics",
+    f"""
+    WITH exact AS (
+      SELECT id_a, id_b FROM ({REGISTRY["dedup_ngram_jaccard"].oracle})
+      WHERE jaccard >= 0.5
+    ),
+    approx AS (
+      SELECT id_a, id_b FROM ({REGISTRY["dedup_simhash_md5"].oracle})
+    ),
+    hit AS (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+    SELECT (SELECT count(*) FROM exact)  AS n_exact,
+           (SELECT count(*) FROM approx) AS n_approx,
+           (SELECT count(*) FROM hit)    AS n_hit,
+           round((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM approx), 1), 6) AS precision,
+           round((SELECT count(*) FROM hit)
+                 / greatest((SELECT count(*) FROM exact), 1), 6)  AS recall
+    """,
+    doc="SimHash-quality evaluation (the minhash_eval_metrics twin): "
+    "precision/recall of the banded SimHash decision (md5-portable, "
+    "Hamming <= 3) against ground-truth exact Jaccard >= 0.5 pairs — "
+    "the two hash families' acceptance metrics become directly "
+    "comparable, oracle-checked rows.",
+)
+def simhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        REGISTRY["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    approx = REGISTRY["dedup_simhash_md5"].fn(spark, sf_dir).select("id_a", "id_b")
+    hit = exact.intersect(approx)
+    counts = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_approx"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
