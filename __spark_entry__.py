@@ -136,6 +136,8 @@ _POST_FREEZE = [
     "gap_fill_interpolate",
     "minhash_eval_metrics",
     "simhash_eval_metrics",
+    "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
 ]
 
 

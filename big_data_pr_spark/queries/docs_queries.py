@@ -478,6 +478,67 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_images(decoded, max_side=128)
 
 
+@register(
+    "multimodal_ppm_decode",
+    """
+    SELECT doc_id AS id,
+           CAST(16 + doc_id % 17 AS INTEGER)       AS width,
+           CAST(16 + (doc_id * 3) % 13 AS INTEGER) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 6)  AS mean_r,
+           ROUND((16 + doc_id % 17 - 1) / 2.0, 6)  AS mean_g,
+           ROUND((16 + (doc_id * 3) % 13 - 1) / 2.0, 6) AS mean_b
+    FROM documents ORDER BY id
+    """,
+    doc="REAL image decode, oracle-certified: deterministic P6 PPM "
+    "payloads (gradient rasters keyed on doc_id) are encoded then "
+    "decoded back to pixels with the pure-numpy codec; geometry and "
+    "per-channel means from the actual raster match the oracle's "
+    "closed-form values. Two chained Arrow maps, zero shuffles — the "
+    "image-corpus brightness/blank screen at 100 TB.",
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.decode_stats(multimodal.synthesize_ppm(docs, "doc_id"))
+
+
+@register(
+    "multimodal_ppm_resize",
+    """
+    WITH g AS (
+      SELECT doc_id AS id,
+             16 + doc_id % 17       AS w,
+             16 + (doc_id * 3) % 13 AS h
+      FROM documents)
+    SELECT id,
+           CAST(CASE WHEN GREATEST(w, h) <= 16 THEN w
+                ELSE GREATEST(1, w * 16 // GREATEST(w, h)) END AS INTEGER)
+               AS out_width,
+           CAST(CASE WHEN GREATEST(w, h) <= 16 THEN h
+                ELSE GREATEST(1, h * 16 // GREATEST(w, h)) END AS INTEGER)
+               AS out_height,
+           ROUND(CAST(id % 256 AS DOUBLE), 6) AS mean_r
+    FROM g ORDER BY id
+    """,
+    doc="REAL pixel resize, oracle-certified: P6 payloads are decoded, "
+    "nearest-neighbour-downscaled to a 16-px longest side over actual "
+    "pixels (pure integer output geometry — no float rounding ties), "
+    "re-encoded, and decoded AGAIN; the re-decoded geometry matches "
+    "the closed-form oracle and the constant R channel survives the "
+    "resize bit-exactly. Three chained Arrow maps, zero shuffles.",
+)
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    resized = multimodal.resize_payloads(
+        multimodal.synthesize_ppm(docs, "doc_id"), max_side=16
+    )
+    return multimodal.decode_stats(resized).select(
+        "id",
+        F.col("width").alias("out_width"),
+        F.col("height").alias("out_height"),
+        "mean_r",
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF and fuzzy matching
 # ---------------------------------------------------------------------------

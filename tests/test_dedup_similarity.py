@@ -190,8 +190,10 @@ def test_multimodal_plumbing(spark, sf_dir):
             assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
         else:  # aspect ratio preserved within rounding
             assert abs(r["out_width"] / r["out_height"] - r["width"] / r["height"]) < 0.05
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(payload, real=True)
+    # real decode handles P6 PPM only — a non-PPM payload (utf-8 text
+    # here) hits the PIL production-hook raise from the executor
+    with pytest.raises(Exception, match="P6 PPM"):
+        multimodal.decode_images(payload, real=True).collect()
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(multimodal.decode_images(payload), real=True)
 

@@ -1,0 +1,97 @@
+"""Real-codec multimodal tests: the pure-numpy P6 PPM path decodes,
+resizes, and featurizes ACTUAL pixels (no fake/digest stand-ins).
+
+Reference parity: the reference keeps media out of scope; this family
+is part of the training-data-pipeline extension surface (multimodal
+columns as opaque binary + typed metadata, decode as Arrow maps)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from big_data_pr_spark.operators import multimodal
+from big_data_pr_spark.tables import load
+
+
+def _reference_pixels(rid: int) -> np.ndarray:
+    w, h = multimodal.ppm_dims(rid)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = rid % 256
+    px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+    px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+    return px
+
+
+def test_ppm_encode_decode_roundtrip_local():
+    for rid in (0, 1, 7, 255, 256, 4095, 99999):
+        px = _reference_pixels(rid)
+        w, h, back = multimodal.parse_ppm(multimodal.encode_ppm(px))
+        assert (h, w, 3) == px.shape
+        assert (back == px).all()
+
+
+def test_parse_ppm_rejects_other_formats():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.parse_ppm(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="P6 PPM"):
+        multimodal.parse_ppm(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.parse_ppm(b"P6\n4 4\n65535\n" + b"\0" * 96)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.parse_ppm(b"P6\n4 4\n255\n\0\0\0")
+
+
+def test_real_decode_matches_synthesized_pixels(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(40)
+    payloads = multimodal.synthesize_ppm(docs, "doc_id")
+    meta = {r["id"]: r for r in multimodal.decode_images(payloads, real=True).collect()}
+    stats = {r["id"]: r for r in multimodal.decode_stats(payloads).collect()}
+    assert len(meta) == 40 and len(stats) == 40
+    for rid, m in meta.items():
+        px = _reference_pixels(rid)
+        h, w, _ = px.shape
+        assert (m["width"], m["height"], m["mode"]) == (w, h, "RGB")
+        s = stats[rid]
+        assert s["mean_r"] == rid % 256
+        assert s["mean_g"] == (w - 1) / 2
+        assert s["mean_b"] == (h - 1) / 2
+
+
+def test_real_resize_actual_pixels(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(25)
+    payloads = multimodal.synthesize_ppm(docs, "doc_id")
+    resized = multimodal.resize_payloads(payloads, max_side=16).collect()
+    assert len(resized) == 25
+    for r in resized:
+        px = _reference_pixels(r["id"])
+        h, w, _ = px.shape
+        longest = max(w, h)
+        if longest <= 16:
+            exp_w, exp_h = w, h
+        else:
+            exp_w = max(1, w * 16 // longest)
+            exp_h = max(1, h * 16 // longest)
+        assert (r["out_width"], r["out_height"]) == (exp_w, exp_h)
+        assert max(exp_w, exp_h) <= 16
+        # decode the re-encoded payload and check pixel-exact NN resize
+        w2, h2, out = multimodal.parse_ppm(bytes(r["payload"]))
+        assert (w2, h2) == (exp_w, exp_h)
+        ix = np.arange(exp_w) * w // exp_w
+        iy = np.arange(exp_h) * h // exp_h
+        assert (out == px[iy][:, ix]).all()
+
+
+def test_real_features_are_pixel_statistics(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(15)
+    payloads = multimodal.synthesize_ppm(docs, "doc_id")
+    feats = multimodal.extract_features(payloads, real=True).collect()
+    assert len(feats) == 15
+    for r in feats:
+        px = _reference_pixels(r["id"]).reshape(-1, 3).astype("float64")
+        vec = r["feature"]
+        assert len(vec) == multimodal.FEATURE_DIM
+        np.testing.assert_allclose(vec[:3], px.mean(axis=0) / 255.0, rtol=1e-12)
+        np.testing.assert_allclose(vec[3:6], px.std(axis=0) / 255.0, rtol=1e-12)
+        w, h = multimodal.ppm_dims(r["id"])
+        assert vec[6] == w / 256.0 and vec[7] == h / 256.0
