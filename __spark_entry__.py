@@ -138,6 +138,7 @@ _POST_FREEZE = [
     "simhash_eval_metrics",
     "multimodal_ppm_decode",
     "multimodal_ppm_resize",
+    "contamination_transitive",
 ]
 
 

@@ -96,6 +96,9 @@ HEADLINE = [
     "pack_bins_ffd_global",
     "ann_lsh_topk_lit",
     "ann_ivf_topk_lit",
+    "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
+    "contamination_transitive",
 ]
 
 

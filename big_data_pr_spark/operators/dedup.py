@@ -531,6 +531,63 @@ def dedup_clusters(
     )
 
 
+def propagate_seed_hops(
+    seeds: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Level-synchronous BFS from a seed set through the undirected
+    near-dup pair graph: returns ``(node, hop)`` where ``hop`` is the
+    MINIMUM edge distance from any seed, bounded by ``max_hops``
+    (seeds themselves come back with hop 0).
+
+    This is the decontamination-propagation step of a training
+    pipeline: a benchmark-contaminated document taints its
+    near-duplicates (and theirs, transitively), so the filter must drop
+    the k-hop closure of the direct hits, not just the direct hits —
+    otherwise a trivially perturbed copy of a leaked eval document
+    survives into the training mix.
+
+    Scale: each level is one edge-sized join (frontier ⋈ edges) plus a
+    left-anti against the visited set — every shuffle scales with
+    ``|pairs|`` and the visited/frontier sets, never ``|corpus|²``.
+    ``localCheckpoint`` truncates lineage per level (constant plan
+    size) and the loop drains early when a frontier empties, so the
+    total driver-side cost is O(max_hops) jobs. Level-synchronous
+    expansion makes the first time a node is reached its true BFS
+    distance — no per-node min-reduction needed afterwards.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    visited = (
+        seeds.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

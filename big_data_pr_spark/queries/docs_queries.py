@@ -719,6 +719,63 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_transitive",
+    f"""
+    WITH RECURSIVE
+    sh5 AS (SELECT doc_id AS sid, {_shingle_sql(5)} AS shingle
+            FROM documents WHERE doc_id % 10 <> 0),
+    bench AS (SELECT DISTINCT shingle FROM
+              (SELECT {_shingle_sql(5)} AS shingle
+               FROM documents WHERE doc_id % 10 = 0)),
+    seeds AS (SELECT DISTINCT sid FROM sh5 JOIN bench USING (shingle)),
+    sh3 AS (SELECT doc_id AS sid, {_shingle_sql(3)} AS shingle
+            FROM documents WHERE doc_id % 10 <> 0),
+    sizes AS (SELECT sid, count(*) AS set_size FROM sh3 GROUP BY sid),
+    rare AS (SELECT shingle FROM sh3 GROUP BY shingle HAVING count(*) <= 100),
+    filtered AS (SELECT sh3.* FROM sh3 JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.sid = id_a
+      JOIN sizes sb ON sb.sid = id_b
+      WHERE round(n_common / (sa.set_size + sb.set_size - n_common), 6) >= 0.5),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    walk AS (
+      SELECT sid AS node, 0 AS hop FROM seeds
+      UNION
+      SELECT s.dst, w.hop + 1 FROM walk w JOIN sym s ON w.node = s.src
+      WHERE w.hop < 3)
+    SELECT node AS doc_id, CAST(min(hop) AS INTEGER) AS hop
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+    doc="Transitive decontamination: documents with direct benchmark "
+    "5-gram overlap are BFS seeds; contamination propagates ≤3 hops "
+    "through the exact-Jaccard near-dup graph (threshold 0.5), so "
+    "perturbed copies of leaked eval docs are dropped too. Spark side "
+    "is level-synchronous frontier expansion (edge-sized joins, "
+    "localCheckpoint-truncated lineage); oracle is a DuckDB recursive "
+    "depth-bounded walk with min-hop labels.",
+)
+def contamination_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    seeds = dedup.contamination(
+        corpus, benchmark, n=5, cache_benchmark=False
+    ).select("doc_id")
+    edges = dedup.jaccard_pairs(corpus, threshold=0.5, max_doc_freq=100).select(
+        "id_a", "id_b"
+    )
+    reached = dedup.propagate_seed_hops(seeds, edges, max_hops=3)
+    return reached.select(F.col("node").alias("doc_id"), "hop").orderBy("doc_id")
+
+
+@register(
     "boilerplate_ngrams",
     f"""
     WITH sh AS (SELECT doc_id AS sid, {_shingle_sql(3)} AS shingle FROM documents)

@@ -85,6 +85,38 @@ def test_connected_components_chain_and_island(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_propagate_seed_hops_bfs_distances(spark):
+    """Level-synchronous BFS from a seed set: a 5-node chain seeded at
+    one end gets true min-hop distances, the hop budget cuts the tail,
+    an unseeded island never appears, and a diamond (two paths of
+    different length to the same node) records the SHORTER one."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, island 10-11, diamond 1-20-21 and 1-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (1, 20), (20, 21), (1, 21)],
+        "id_a long, id_b long",
+    )
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {
+        r["node"]: r["hop"]
+        for r in dedup.propagate_seed_hops(seeds, edges, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 20: 1, 21: 1}
+    # hop budget 1: only direct neighbours
+    got1 = {
+        r["node"]: r["hop"]
+        for r in dedup.propagate_seed_hops(seeds, edges, max_hops=1).collect()
+    }
+    assert got1 == {1: 0, 2: 1, 20: 1, 21: 1}
+    # seed inside the island reaches only the island
+    got_isl = {
+        r["node"]: r["hop"]
+        for r in dedup.propagate_seed_hops(
+            spark.createDataFrame([(10,)], "doc_id long"), edges, max_hops=3
+        ).collect()
+    }
+    assert got_isl == {10: 0, 11: 1}
+
+
 def test_dedup_clusters_transitive_chain(spark, planted):
     """A≈B and B≈C (but A̸≈C directly) must collapse into ONE cluster;
     singletons survive as their own cluster."""
