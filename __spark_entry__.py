@@ -139,6 +139,7 @@ _POST_FREEZE = [
     "multimodal_ppm_decode",
     "multimodal_ppm_resize",
     "contamination_transitive",
+    "pagerank_event_transitions",
 ]
 
 

@@ -99,6 +99,7 @@ HEADLINE = [
     "multimodal_ppm_decode",
     "multimodal_ppm_resize",
     "contamination_transitive",
+    "pagerank_event_transitions",
 ]
 
 

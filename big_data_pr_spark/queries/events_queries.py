@@ -1144,3 +1144,42 @@ def candles_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: behavioral PageRank over event-type transitions
+# ---------------------------------------------------------------------------
+
+
+from ..operators import graph as _graph  # noqa: E402
+
+
+@register(
+    "pagerank_event_transitions",
+    _graph.pagerank_oracle_sql(
+        edges_cte=(
+            "SELECT src, dst, CAST(1 AS DOUBLE) AS w FROM ("
+            "SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS dst FROM events) "
+            "WHERE dst IS NOT NULL"
+        ),
+        nodes_cte="SELECT DISTINCT event_type AS node FROM events",
+    ),
+    doc="Behavioral PageRank (Markov-chain attribution): per-user "
+    "event streams become a type→type transition graph (lead window, "
+    "one shuffle by user), arcs aggregate to transition probabilities, "
+    "and 8 damped power iterations rank the types by stationary "
+    "importance. Iteration shuffles are |edges|-sized, never "
+    "fact-table-sized; ranks round per iteration so the DuckDB "
+    "unrolled-CTE oracle reproduces the floats exactly.",
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return _graph.pagerank(trans, nodes, n_iter=8).orderBy("node")
