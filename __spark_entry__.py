@@ -140,6 +140,10 @@ _POST_FREEZE = [
     "multimodal_ppm_resize",
     "contamination_transitive",
     "pagerank_event_transitions",
+    # rows-only → oracle conversions (r5): BPE training trajectory +
+    # tokenizer round-trip now replay in DuckDB via unrolled CTEs
+    "bpe_merge_rules",
+    "bpe_encode_tokens",
 ]
 
 

@@ -146,3 +146,91 @@ def apply_bpe(
     tokenize.__annotations__ = {"col": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(ArrayType(StringType()))(tokenize)
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def bpe_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """DuckDB oracle for :func:`train_bpe` over the ``documents`` view:
+    the fixed merge rounds UNROLL into chained CTEs (like the PageRank
+    and FFD oracles), so the *entire training trajectory* — pair
+    counts, deterministic tie-break, greedy merge application — is
+    hash-checked against an independent engine.
+
+    The greedy left-to-right non-overlapping merge is replayed with a
+    doubled-sentinel string encoding: token lists become
+    ``␀␀tok₁␀␀tok₂␀␀…`` (␀ = chr(0), which no token contains), and
+    merging pair (a, b) is the literal replace
+    ``␀a␀␀b␀ → ␀ab␀`` — each replacement consumes one sentinel from
+    each boundary, leaving one behind, so consecutive matches chain
+    exactly like the sequential scan's ``i += 2`` and token prefixes
+    can never false-match. Pair keys use a single ␀ separator (the
+    same byte the Spark side uses), so ``ORDER BY freq DESC, pair``
+    breaks ties identically.
+    """
+    nul = "chr(0)"
+    cc = f"{nul}||{nul}"
+    parts = [
+        f"""WITH v0 AS MATERIALIZED (
+  SELECT w, count(*) AS n,
+         {cc} || array_to_string(list_append(string_split(w, ''), '</w>'), {cc})
+            || {cc} AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.extend([
+            f"""m{i} AS MATERIALIZED (
+  SELECT pair, CAST(freq AS BIGINT) AS freq,
+         string_split(pair, {nul})[1] AS a,
+         string_split(pair, {nul})[2] AS b,
+         {nul} || string_split(pair, {nul})[1] || {cc}
+                || string_split(pair, {nul})[2] || {nul} AS pat,
+         {nul} || string_split(pair, {nul})[1]
+                || string_split(pair, {nul})[2] || {nul} AS rep
+  FROM (
+    SELECT pair, sum(n) AS freq FROM (
+      SELECT n, unnest(list_transform(
+        range(1, len(string_split(trim(s, {nul}), {cc}))),
+        i -> string_split(trim(s, {nul}), {cc})[i] || {nul}
+             || string_split(trim(s, {nul}), {cc})[i + 1])) AS pair
+      FROM v{i - 1})
+    GROUP BY pair)
+  WHERE freq >= {min_freq}
+  ORDER BY freq DESC, pair ASC LIMIT 1)""",
+            f"""v{i} AS MATERIALIZED (
+  SELECT v.w, v.n,
+         CASE WHEN m.pat IS NULL THEN v.s ELSE replace(v.s, m.pat, m.rep) END AS s
+  FROM v{i - 1} v LEFT JOIN m{i} m ON TRUE)""",
+        ])
+    winners = "\nUNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS merge_order, a AS \"left\", "
+        f"b AS \"right\", freq FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + f"\n{winners}\nORDER BY merge_order"
+
+
+def bpe_encode_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """DuckDB oracle for the tokenizer ROUND-TRIP
+    (:func:`train_bpe` → :func:`apply_bpe`): replays training via
+    :func:`bpe_oracle_sql`'s CTE chain, then reads each document's BPE
+    token count off the final per-word state (every corpus word is in
+    the training vocabulary, so encode = vocabulary lookup)."""
+    nul = "chr(0)"
+    cc = f"{nul}||{nul}"
+    train = bpe_oracle_sql(n_merges, min_freq)
+    # keep only the WITH chain — drop the winners SELECT block (which
+    # starts at merge_order 0)
+    ctes = train.split("\nSELECT CAST(0 AS INTEGER)")[0].rstrip().rstrip(",")
+    return f"""{ctes},
+wordlen AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s, {nul}), {cc})) AS BIGINT) AS n_tok
+  FROM v{n_merges}),
+enc AS (
+  SELECT doc_id, sum(n_tok) AS n_bpe FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  JOIN wordlen USING (w) WHERE w <> '' GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_whitespace,
+       CAST(coalesce(e.n_bpe, 0) AS BIGINT) AS n_bpe
+FROM documents d LEFT JOIN enc e USING (doc_id)
+ORDER BY d.doc_id"""

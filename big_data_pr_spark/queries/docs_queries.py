@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import bpe as bpe_ops
 from ..operators import dedup, multimodal, sampling, similarity, text
 from ..tables import load
 from .registry import REGISTRY, register
@@ -1282,9 +1283,7 @@ def perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_merge_rules",
-    None,  # iterative count-and-merge loop (driver only sees the
-    # winning pair per round) — non-SQL-expressible; hand-checkable
-    # merges + determinism pinned in tests/test_bpe.py
+    bpe_ops.bpe_oracle_sql(10),
     doc="Distributed BPE tokenizer training (operators/bpe.py): 10 "
     "merge rules learned over the documents corpus. The corpus is "
     "scanned ONCE into (distinct word, count, symbols) state; each "
@@ -1557,9 +1556,7 @@ def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_encode_tokens",
-    None,  # greedy merge application over trained rules → rows-only
-    # (training order depends on engine-internal tie-breaking; encode
-    # correctness is pinned by round-trip tests in tests/test_bpe.py)
+    bpe_ops.bpe_encode_oracle_sql(10),
     doc="Tokenizer round-trip: BPE merges trained on the corpus "
     "(operators/bpe.py::train_bpe, vocabulary-bounded rounds) applied "
     "back to every document (apply_bpe — Arrow-batched greedy merge in "
