@@ -144,6 +144,10 @@ _POST_FREEZE = [
     # tokenizer round-trip now replay in DuckDB via unrolled CTEs
     "bpe_merge_rules",
     "bpe_encode_tokens",
+    # digest-fake multimodal plumbing now replays in SQL from sha256 hex
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_features",
 ]
 
 

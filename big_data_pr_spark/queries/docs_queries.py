@@ -422,13 +422,33 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sha_byte_sql(i: int) -> str:
+    """DuckDB expression: byte ``i`` (0-based) of the hex digest column
+    ``h`` — parses two hex chars via strpos (no blob casts needed)."""
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1)"
+    )
+
+
 @register(
     "multimodal_decode",
-    None,  # fake-decoder output (deterministic, but not SQL) → rows-only
+    f"""
+    WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+                      sha256(text) AS h FROM documents)
+    SELECT id, n_bytes,
+           CAST(64 + {_sha_byte_sql(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_sha_byte_sql(1)} % 192 AS INTEGER) AS height,
+           CASE WHEN {_sha_byte_sql(2)} % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+           h AS sha_hex
+    FROM m ORDER BY id
+    """,
     doc="Image-decode plumbing over mapInPandas: binary payload → "
     "(n_bytes, width, height, mode, sha) metadata batch-wise; the "
-    "decoder body is the production PIL/ffmpeg hook (stubbed: "
-    "deterministic digest-derived dims; real=True raises).",
+    "decoder body is the production PIL/ffmpeg hook (digest-derived "
+    "dims for opaque formats — oracle replays the digest arithmetic "
+    "from sha256 hex; real=True decodes P6 PPM pixels, see "
+    "multimodal_ppm_decode).",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -456,10 +476,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # digest-derived fake features → rows-only
+    "WITH m AS (SELECT doc_id AS id, sha256(text) AS h FROM documents) "
+    "SELECT id, ["
+    + ", ".join(f"{_sha_byte_sql(i)} / 255.0" for i in range(8))
+    + "] AS feature FROM m ORDER BY id",
     doc="Feature-extraction plumbing: payload → fixed-dim array<double> "
     "via Arrow-batched mapInPandas (production hook for any vision/"
-    "audio encoder).",
+    "audio encoder; real=True computes pixel statistics for P6 PPM). "
+    "Oracle replays the digest-derived embedding from sha256 hex.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -468,10 +492,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    None,  # geometry derives from the digest-based fake decode → rows-only
+    f"""
+    WITH m AS (SELECT doc_id AS id, sha256(text) AS h FROM documents),
+    d AS (SELECT id, CAST(64 + {_sha_byte_sql(0)} % 192 AS INTEGER) AS width,
+                 CAST(64 + {_sha_byte_sql(1)} % 192 AS INTEGER) AS height
+          FROM m),
+    s AS (SELECT id, width, height,
+                 CASE WHEN 128.0 / greatest(width, height) < 1.0
+                      THEN 128.0 / greatest(width, height) ELSE 1.0 END AS sc
+          FROM d)
+    SELECT id, width, height,
+           CAST(greatest(1, round(width * sc)) AS INTEGER) AS out_width,
+           CAST(greatest(1, round(height * sc)) AS INTEGER) AS out_height,
+           round(sc, 6) AS scale
+    FROM s ORDER BY id
+    """,
     doc="Resize plumbing: decode → aspect-preserving downscale to a "
     "128-px longest side (never upscales). The full decode→resize→"
-    "feature pipeline stays narrow per-row maps — zero shuffles.",
+    "feature pipeline stays narrow per-row maps — zero shuffles. "
+    "Oracle replays the geometry from the digest dims (exact-tie "
+    "roundings are impossible for max_side=128: 256·w = L·odd has no "
+    "solution with L ≤ 255, and 128/L is never a 7-digit dyadic).",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
