@@ -148,6 +148,13 @@ _POST_FREEZE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_features",
+    # robust-stats / classical time-series / classifier family (r5)
+    "mad_anomalies",
+    "holt_linear_forecast",
+    "seasonal_hourly_factors",
+    "naive_bayes_confusion",
+    "char_entropy_hist",
+    "orc_roundtrip_stats",
 ]
 
 

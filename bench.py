@@ -100,6 +100,12 @@ HEADLINE = [
     "multimodal_ppm_resize",
     "contamination_transitive",
     "pagerank_event_transitions",
+    "mad_anomalies",
+    "holt_linear_forecast",
+    "seasonal_hourly_factors",
+    "naive_bayes_confusion",
+    "char_entropy_hist",
+    "orc_roundtrip_stats",
 ]
 
 

@@ -1,0 +1,485 @@
+"""Robust statistics, classical time-series, and distributed-classifier
+queries — round-5 surface extensions over the fixture tables.
+
+Reference capability these generalize: the reference's analytics layer
+is "stats over recent candles + a recursive forecast loop"
+(batch_processor.py steps 7-9, app.py:195-244 recursive multi-step
+forecast). This module adds the robust/classical members of that same
+family — median/MAD outlier gating, Holt's linear-trend recursion (the
+closed-form cousin of the reference's recursive 24-step loop),
+seasonal decomposition, a multinomial Naive Bayes language classifier
+(the classical baseline for the corpus lang-id task), per-document
+character entropy (a quality-scoring signal), and an ORC sink/source
+round-trip (columnar-format parity next to the CSV/JSONL twins).
+
+Every query is oracle-backed: pure built-in expressions (no Python in
+the data path except Holt's applyInPandas recursion, which is
+inherently sequential per key and O(1) state), value-hash-compared
+against DuckDB SQL at sf0.001 (pytest) and sf0.01 (driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median / MAD anomaly gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+             AS n_anomalies,
+           round(any_value(d.med), 6) AS med,
+           round(m.mad, 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    ORDER BY d.event_type
+    """,
+    doc="Median/MAD robust outlier gate per event_type: flag events "
+    "whose absolute deviation from the group median exceeds 3 robust "
+    "sigmas (1.4826·MAD). The robust sibling of zscore_anomalies — "
+    "medians don't move when the outliers themselves are extreme. "
+    "Exact interpolated percentiles on both engines (Spark "
+    "`percentile`, DuckDB `percentile_cont`); two grouped passes + "
+    "one broadcast join back, no Python. At 100 TB swap the exact "
+    "median for approx_percentile (same plan shape, sketch-mergeable).",
+)
+def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+            F.round(F.first("med"), 6).alias("med"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_anomalies",
+            "med",
+            F.round(F.col("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical time-series: Holt linear trend + seasonal factors
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_H = 7
+
+
+@register(
+    "holt_linear_forecast",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT priority, y,
+             row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM daily
+    ),
+    rec AS (
+      SELECT s.priority, 1 AS rn, s.n, s.y AS l,
+             coalesce(s2.y - s.y, 0.0) AS b
+      FROM seq s
+      LEFT JOIN seq s2 ON s2.priority = s.priority AND s2.rn = 2
+      WHERE s.rn = 1
+      UNION ALL
+      SELECT r.priority, r.rn + 1, r.n,
+             {_HOLT_ALPHA} * s.y + {1 - _HOLT_ALPHA} * (r.l + r.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * s.y
+                              + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - _HOLT_BETA} * r.b
+      FROM rec r JOIN seq s ON s.priority = r.priority AND s.rn = r.rn + 1
+    )
+    SELECT priority, h, round(l + h * b, 2) AS forecast
+    FROM rec, unnest(generate_series(1, {_HOLT_H})) AS t(h)
+    WHERE rn = n
+    ORDER BY priority, h
+    """,
+    doc="Holt's linear-trend (double exponential smoothing) 7-step "
+    "forecast of daily revenue per order priority — the classical "
+    "closed-form cousin of the reference's recursive 24-step model "
+    "loop (app.py:195-244): level/trend recursion α=0.5, β=0.3, "
+    "l₁=y₁, b₁=y₂−y₁, ŷ(T+h)=l_T+h·b_T. Spark runs the recursion "
+    "per key via applyInPandas (O(1) state, one pass over each "
+    "key's ordered series — inherently sequential per key, "
+    "embarrassingly parallel across keys); the oracle replays the "
+    "identical float ops in a recursive CTE. Daily inputs rounded to "
+    "2 dp on both sides so engine-order summation noise can't enter "
+    "the recursion.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date(F.date_trunc("day", F.col("o_orderdate"))).alias("d"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = pdf["y"].tolist()
+        lvl = ys[0]
+        b = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        for t in range(1, len(ys)):
+            l_new = _HOLT_ALPHA * ys[t] + (1 - _HOLT_ALPHA) * (lvl + b)
+            b = _HOLT_BETA * (l_new - lvl) + (1 - _HOLT_BETA) * b
+            lvl = l_new
+        return pd.DataFrame(
+            {
+                "priority": [pdf["priority"].iloc[0]] * _HOLT_H,
+                "h": list(range(1, _HOLT_H + 1)),
+                "forecast": [
+                    round(lvl + h * b, 2) for h in range(1, _HOLT_H + 1)
+                ],
+            }
+        )
+
+    return (
+        daily.groupBy("priority")
+        .applyInPandas(_holt, "priority string, h bigint, forecast double")
+        .orderBy("priority", "h")
+    )
+
+
+@register(
+    "seasonal_hourly_factors",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, round(sum(value), 2) AS total
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT hr, total,
+             avg(total) OVER w AS trend,
+             count(*) OVER w AS n_win
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT CAST(extract(hour FROM hr) AS INT) AS hour_of_day,
+           count(*) AS n_obs,
+           round(avg(total - trend), 2) AS seasonal
+    FROM trended
+    WHERE n_win = 25
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Classical seasonal decomposition of the hourly event-value "
+    "series: trend = 25-hour centered moving average (full windows "
+    "only), seasonal factor = mean detrended residual per hour-of-day. "
+    "One narrow agg to hourly grain, one ordered window (single "
+    "range-partitioned sort at scale — at 100 TB partition the window "
+    "by a coarse time slice and stitch boundaries, as SCALE.md "
+    "documents for the gap-fill family), one 24-row agg. No Python.",
+)
+def seasonal_hourly_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.orderBy("hr").rowsBetween(-12, 12)
+    trended = hourly.select(
+        "hr",
+        "total",
+        F.avg("total").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 25)
+    return (
+        trended.groupBy(F.hour("hr").cast("int").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg(F.col("total") - F.col("trend")), 2).alias("seasonal"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train + self-score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "naive_bayes_confusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, t.token
+      FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (
+      SELECT doc_id, lang AS true_lang, token, count(*) AS tf
+      FROM tok GROUP BY doc_id, lang, token
+    ),
+    wc AS (
+      SELECT lang, token, count(*) AS n_ct FROM tok GROUP BY lang, token
+    ),
+    cls AS (SELECT lang AS c_lang, sum(n_ct) AS n_tok_c FROM wc GROUP BY 1),
+    pri AS (SELECT lang AS c_lang, count(*) AS n_docs_c FROM documents GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM documents),
+    voc AS (SELECT count(DISTINCT token) AS v FROM wc),
+    ll AS (
+      SELECT tf.doc_id, tf.true_lang, c.c_lang,
+             sum(tf.tf * (ln(coalesce(w.n_ct, 0) + 1.0)
+                          - ln(c.n_tok_c + v.v))) AS ll
+      FROM tf
+      CROSS JOIN cls c
+      CROSS JOIN voc v
+      LEFT JOIN wc w ON w.token = tf.token AND w.lang = c.c_lang
+      GROUP BY tf.doc_id, tf.true_lang, c.c_lang
+    ),
+    scored AS (
+      SELECT ll.doc_id, ll.true_lang, ll.c_lang,
+             ll.ll + ln(CAST(p.n_docs_c AS DOUBLE) / t.total) AS score
+      FROM ll JOIN pri p ON p.c_lang = ll.c_lang CROSS JOIN tot t
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, c_lang AS pred_lang,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, c_lang
+             ) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained and "
+    "self-scored on the corpus in one job: Laplace-smoothed per-class "
+    "token log-likelihoods + doc-count log-priors, argmax per doc "
+    "(deterministic lang-asc tie-break), emitted as a confusion "
+    "matrix against the labeled lang column — the classical "
+    "supervised baseline for the lang_id heuristic. Fully "
+    "distributed, no Python: the model IS a DataFrame (vocab×classes "
+    "token counts) joined back on the hash-partitioned token key; "
+    "class/prior/vocab scalars ride as 1-row broadcast cross joins. "
+    "The discrete argmax output keeps floats out of the value hash.",
+)
+def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "token"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    wc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_ct"))
+    cls = wc.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.sum("n_ct").alias("n_tok_c")
+    )
+    pri = docs.groupBy(F.col("lang").alias("c_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    voc = wc.agg(F.countDistinct("token").alias("v"))
+    model = wc.select(
+        F.col("lang").alias("m_lang"), F.col("token").alias("m_token"), "n_ct"
+    )
+    ll = (
+        tf.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(voc))
+        .join(
+            model,
+            (F.col("m_token") == F.col("token"))
+            & (F.col("m_lang") == F.col("c_lang")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "c_lang")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (
+                    F.log(F.coalesce(F.col("n_ct"), F.lit(0)) + 1.0)
+                    - F.log(F.col("n_tok_c") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+    )
+    scored = (
+        ll.join(F.broadcast(pri), "c_lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "score",
+            F.col("ll")
+            + F.log(F.col("n_docs_c").cast("double") / F.col("total")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("c_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("c_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document character entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy_hist",
+    """
+    WITH chars AS (
+      SELECT doc_id, substr(text, p, 1) AS ch
+      FROM documents, unnest(generate_series(1, len(text))) AS t(p)
+      WHERE len(text) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    ent AS (
+      SELECT doc_id,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT CAST(floor(h * 10) AS INT) AS ent_decile,
+           count(*) AS n_docs
+    FROM ent GROUP BY 1 ORDER BY 1
+    """,
+    doc="Shannon character-entropy histogram over the corpus (nats, "
+    "0.1-wide buckets): low-entropy docs are repetitive boilerplate, "
+    "high-entropy docs are noise/binary junk — a standard pretraining "
+    "quality gate next to repetition_ratio. Characters are exploded "
+    "positionally (substr over a generated index — identical "
+    "semantics on both engines, no regex/locale dependence), counted "
+    "per doc, entropy via ln(n) − Σc·ln(c)/n. Narrow explode + two "
+    "hash aggs keyed by doc_id — shuffles are doc-count-sized, not "
+    "char-sized, after partial aggregation.",
+)
+def char_entropy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, p, 1)").alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+        ).alias("h")
+    )
+    return (
+        ent.groupBy(F.floor(F.col("h") * 10).cast("int").alias("ent_decile"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("ent_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC sink → source round-trip (columnar-format parity with CSV/JSONL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key,
+           CAST(min(o_orderdate) AS DATE) AS min_date,
+           CAST(max(o_orderdate) AS DATE) AS max_date
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="ORC sink → source round-trip certification (S6 family, "
+    "columnar sibling of csv_roundtrip_stats / jsonl_roundtrip_stats): "
+    "orders written as ORC (Spark-native columnar format with "
+    "predicate pushdown + column pruning, the Hive-ecosystem "
+    "counterpart of the parquet primary store), re-read with an "
+    "explicit schema, aggregated; the oracle computes the same "
+    "aggregate from the original parquet, so any value mangled by the "
+    "ORC writer/reader (timestamps, doubles, dictionary-encoded "
+    "strings) flips the hash.",
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    orders = load(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_orc",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    orders.write.mode("overwrite").orc(out_dir)
+    # explicit schema (no inference pass), carried from the writer so the
+    # timestamp flavor (TIMESTAMP vs TIMESTAMP_NTZ — the fixture has
+    # shipped both across rounds, see tables.py) always matches what the
+    # ORC files actually hold
+    back = spark.read.schema(orders.schema).orc(out_dir)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderdate").cast("date").alias("min_date"),
+            F.max("o_orderdate").cast("date").alias("max_date"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
