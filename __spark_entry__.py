@@ -155,6 +155,9 @@ _POST_FREEZE = [
     "naive_bayes_confusion",
     "char_entropy_hist",
     "orc_roundtrip_stats",
+    # real PCM WAV audio codec (r5) — audio twin of the PPM image path
+    "multimodal_wav_decode",
+    "multimodal_wav_decimate",
 ]
 
 

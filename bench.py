@@ -106,6 +106,8 @@ HEADLINE = [
     "naive_bayes_confusion",
     "char_entropy_hist",
     "orc_roundtrip_stats",
+    "multimodal_wav_decode",
+    "multimodal_wav_decimate",
 ]
 
 

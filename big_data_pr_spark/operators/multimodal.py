@@ -356,3 +356,212 @@ def extract_features(df: DataFrame, real: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=["id", "feature"])
 
     return df.select("id", "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- real PCM WAV codec (pure struct/numpy; no audio library) --------------
+#
+# The audio counterpart of the P6 PPM path: RIFF/WAVE with 16-bit PCM
+# is a pure struct format, so an actual encoder + chunk-walking parser
+# run in this container with no codec dependency. Compressed formats
+# (MP3/FLAC/Opus) raise NotImplementedError from the parser — that
+# raise site is the production hook for soundfile/ffmpeg.
+
+WAV_SAMPLE_RATE = 8000
+
+
+def wav_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic synthetic signal parameters, closed-form in the id
+    so a SQL oracle recomputes them symbolically: ``(n_samples, period,
+    amplitude)`` — 256-496 samples of a triangle wave with period 16-80
+    and peak 1000-28076 (int16-safe)."""
+    n = 256 + doc_id % 241
+    p = 16 + (doc_id * 7) % 65
+    a = 1000 + (doc_id % 29) * 967
+    return n, p, a
+
+
+def triangle_samples(n: int, p: int, a: int):
+    """Integer triangle wave ``s_i = a - |4a(i mod p)//p - 2a|`` —
+    every op is exact int64 arithmetic, so numpy here and a SQL engine
+    produce bit-identical samples (no transcendental functions whose
+    libm rounding could differ between engines)."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    return a - np.abs((4 * a * (i % p)) // p - 2 * a)
+
+
+def encode_wav(samples, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Serialize int16 mono samples as a canonical 44-byte-header PCM
+    WAV (RIFF little-endian)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def parse_wav(buf: bytes):
+    """Parse a PCM WAV → ``(sample_rate, n_channels, int16 sample
+    array)`` via a real RIFF chunk walk (not a fixed 44-byte assumption
+    — extra chunks like LIST/fact are skipped correctly).
+
+    Raises ``NotImplementedError`` for non-RIFF payloads and for any
+    non-PCM ``fmt`` tag (MP3/FLAC/float WAV…) — the production hook
+    where soundfile/ffmpeg plug in.
+    """
+    import struct
+
+    import numpy as np
+
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"payload magic {buf[:4]!r} is not RIFF/WAVE — decoding this "
+            "format needs an audio library (wire soundfile.read(io.BytesIO("
+            "payload)) here); only PCM WAV decodes without one"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, sr, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt}/{bits}-bit is not integer PCM-16 — "
+            "needs an audio library"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return sr, n_ch, samples
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM WAV payloads keyed on the id (triangle wave,
+    :func:`wav_params`) — Arrow-batched per-row map, no shuffle."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                n, p, a = wav_params(rid)
+                rows.append((rid, encode_wav(triangle_samples(n, p, a))))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        batches, schema="id long, payload binary"
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, peak int, rms double"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode: payload → sample-level statistics via the PCM
+    parser. ``rms`` is exact: the sum of squares stays under 2^53 for
+    int16 audio of < 2^21 samples, so the double sqrt is engine-
+    reproducible bit-for-bit."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                sr, n_ch, s = parse_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                n = len(s)
+                rms = float(np.sqrt(float((s64 * s64).sum()) / n)) if n else 0.0
+                rows.append(
+                    (
+                        rid,
+                        sr,
+                        n_ch,
+                        n,
+                        n * 1000 // sr,
+                        int(np.abs(s64).max()) if n else 0,
+                        round(rms, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_ms",
+                    "peak",
+                    "rms",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+def decimate_audio(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Naive decimation (every ``factor``-th sample, no anti-alias
+    filter — documented; a real resampler is a scipy.signal swap in
+    this UDF body) with re-encode + restat: the audio counterpart of
+    the image resize path."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                sr, _, s = parse_wav(bytes(payload))
+                out = s[::factor]
+                s64 = out.astype(np.int64)
+                n = len(out)
+                rms = float(np.sqrt(float((s64 * s64).sum()) / n)) if n else 0.0
+                rows.append(
+                    (
+                        rid,
+                        encode_wav(out, sr // factor),
+                        sr // factor,
+                        n,
+                        round(rms, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "payload", "out_sample_rate", "n_samples", "rms"],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        batches,
+        schema="id long, payload binary, out_sample_rate int, n_samples long, rms double",
+    )

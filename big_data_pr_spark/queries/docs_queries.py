@@ -581,6 +581,85 @@ def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_wav_decode",
+    """
+    WITH params AS (
+      SELECT doc_id AS id,
+             256 + doc_id % 241       AS n,
+             16 + (doc_id * 7) % 65   AS p,
+             1000 + (doc_id % 29) * 967 AS a
+      FROM documents
+    ),
+    s AS (
+      SELECT id, n,
+             a - abs((4 * a * (i % p)) // p - 2 * a) AS v
+      FROM params, unnest(generate_series(0, n - 1)) AS t(i)
+    )
+    SELECT id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT)    AS n_channels,
+           n                 AS n_samples,
+           n * 1000 // 8000  AS duration_ms,
+           CAST(max(abs(v)) AS INT) AS peak,
+           round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms
+    FROM s GROUP BY id, n ORDER BY id
+    """,
+    doc="REAL audio decode, oracle-certified: deterministic PCM WAV "
+    "payloads (16-bit mono triangle waves — integer-only synthesis, "
+    "operators/multimodal.py::wav_params) are encoded with a canonical "
+    "RIFF header, then decoded by an actual chunk-walking WAV parser "
+    "(struct + np.frombuffer, no audio library) and reduced to "
+    "sample statistics. The oracle regenerates the identical integer "
+    "samples symbolically and recomputes peak/RMS — certifying the "
+    "encoder, the parser, and the stats end-to-end. Compressed "
+    "formats raise NotImplementedError at the parser (the soundfile/"
+    "ffmpeg hook). Two chained Arrow maps, zero shuffles — the audio "
+    "counterpart of multimodal_ppm_decode.",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.synthesize_wav(docs, "doc_id")
+    return multimodal.decode_audio(wav).orderBy("id")
+
+
+@register(
+    "multimodal_wav_decimate",
+    """
+    WITH params AS (
+      SELECT doc_id AS id,
+             256 + doc_id % 241       AS n,
+             16 + (doc_id * 7) % 65   AS p,
+             1000 + (doc_id % 29) * 967 AS a
+      FROM documents
+    ),
+    s AS (
+      SELECT id, a - abs((4 * a * (i % p)) // p - 2 * a) AS v
+      FROM params, unnest(generate_series(0, n - 1)) AS t(i)
+      WHERE i % 2 = 0
+    )
+    SELECT id,
+           CAST(4000 AS INT) AS out_sample_rate,
+           count(*)          AS n_samples,
+           round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms
+    FROM s GROUP BY id ORDER BY id
+    """,
+    doc="REAL audio resample plumbing: decode → naive ×2 decimation "
+    "(every other sample; anti-alias filtering is a scipy.signal swap "
+    "inside the same UDF body) → re-encode at the halved rate → "
+    "restat. The oracle replays the kept-sample subset symbolically. "
+    "The audio counterpart of the image resize path; zero shuffles.",
+)
+def multimodal_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wav = multimodal.synthesize_wav(docs, "doc_id")
+    return (
+        multimodal.decimate_audio(wav, factor=2)
+        .select("id", "out_sample_rate", "n_samples", "rms")
+        .orderBy("id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF and fuzzy matching
 # ---------------------------------------------------------------------------

@@ -95,3 +95,64 @@ def test_real_features_are_pixel_statistics(spark, sf_dir):
         np.testing.assert_allclose(vec[3:6], px.std(axis=0) / 255.0, rtol=1e-12)
         w, h = multimodal.ppm_dims(r["id"])
         assert vec[6] == w / 256.0 and vec[7] == h / 256.0
+
+
+# --- real PCM WAV codec ----------------------------------------------------
+
+
+def test_wav_encode_parse_roundtrip_local():
+    for rid in (0, 1, 7, 240, 241, 4095, 99999):
+        n, p, a = multimodal.wav_params(rid)
+        s = multimodal.triangle_samples(n, p, a)
+        sr, n_ch, back = multimodal.parse_wav(multimodal.encode_wav(s))
+        assert (sr, n_ch) == (multimodal.WAV_SAMPLE_RATE, 1)
+        assert len(back) == n
+        assert (back == s).all()
+        assert np.abs(s).max() <= 32767  # int16-safe by construction
+
+
+def test_parse_wav_walks_extra_chunks():
+    """A LIST chunk between fmt and data must be skipped (real RIFF
+    files carry metadata chunks) — and an odd-sized chunk is padded to
+    word alignment."""
+    import struct
+
+    s = multimodal.triangle_samples(64, 16, 1000)
+    buf = multimodal.encode_wav(s)
+    fmt_chunk = buf[12:36]  # 'fmt ' + size + 16-byte body
+    data_chunk = buf[36:]
+    info = b"INFO\x00"  # odd size 5 → 1 pad byte
+    list_chunk = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    body = fmt_chunk + list_chunk + data_chunk
+    riff = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    sr, n_ch, back = multimodal.parse_wav(riff)
+    assert sr == multimodal.WAV_SAMPLE_RATE and (back == s).all()
+
+
+def test_parse_wav_rejects_other_formats():
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        multimodal.parse_wav(b"ID3\x04\x00mp3 payload....")
+    with pytest.raises(NotImplementedError, match="audio library"):
+        # float-PCM fmt tag (3) inside a valid RIFF envelope
+        import struct
+
+        s = multimodal.triangle_samples(16, 16, 100)
+        buf = bytearray(multimodal.encode_wav(s))
+        struct.pack_into("<H", buf, 20, 3)
+        multimodal.parse_wav(bytes(buf))
+
+
+def test_decimate_halves_and_keeps_even_samples(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(8)
+    wav = multimodal.synthesize_wav(docs, "doc_id")
+    out = {
+        r["id"]: r
+        for r in multimodal.decimate_audio(wav, factor=2).collect()
+    }
+    for rid, row in out.items():
+        n, p, a = multimodal.wav_params(rid)
+        expect = multimodal.triangle_samples(n, p, a)[::2]
+        assert row["n_samples"] == len(expect)
+        assert row["out_sample_rate"] == multimodal.WAV_SAMPLE_RATE // 2
+        _, _, back = multimodal.parse_wav(bytes(row["payload"]))
+        assert (back == expect).all()
