@@ -158,6 +158,10 @@ _POST_FREEZE = [
     # real PCM WAV audio codec (r5) — audio twin of the PPM image path
     "multimodal_wav_decode",
     "multimodal_wav_decimate",
+    # regression aggregates / Zipf fit / corrupt-record quarantine (r5)
+    "linreg_value_trend",
+    "zipf_token_slope",
+    "jsonl_corrupt_quarantine",
 ]
 
 

@@ -108,6 +108,9 @@ HEADLINE = [
     "orc_roundtrip_stats",
     "multimodal_wav_decode",
     "multimodal_wav_decimate",
+    "linreg_value_trend",
+    "zipf_token_slope",
+    "jsonl_corrupt_quarantine",
 ]
 
 

@@ -483,3 +483,195 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard regression aggregates + Zipf law fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linreg_value_trend",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) / 3600.0 AS xh,
+             value AS y
+      FROM events
+    ),
+    centered AS (
+      SELECT event_type, xh - avg(xh) OVER (PARTITION BY event_type) AS x, y
+      FROM pts
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(y, x), 4) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           round(regr_r2(y, x), 4) AS r2
+    FROM centered GROUP BY event_type ORDER BY event_type
+    """,
+    doc="SQL-standard least-squares aggregates (regr_slope / "
+    "regr_intercept / regr_r2) fitting value against event-hour per "
+    "event_type — the one-agg trend detector behind drift monitors. "
+    "The regressor is mean-centered per group first (one window + one "
+    "agg) so the single-pass covariance accumulators are numerically "
+    "well-conditioned — epoch-scale abscissae (~1e9) would otherwise "
+    "cancel catastrophically and engine accumulation order would leak "
+    "into the rounded output. Two shuffles on the same key, no Python.",
+)
+def linreg_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_seconds, trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (
+            epoch_seconds(trunc_wallclock("hour", F.col("ts"))).cast("double")
+            / 3600.0
+        ).alias("xh"),
+        F.col("value").alias("y"),
+    )
+    w = Window.partitionBy("event_type")
+    centered = pts.select(
+        "event_type", (F.col("xh") - F.avg("xh").over(w)).alias("x"), "y"
+    )
+    return (
+        centered.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("y", "x"), 4).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ZIPF_TOP = 500
+
+
+@register(
+    "zipf_token_slope",
+    f"""
+    WITH tok AS (
+      SELECT t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS r2
+    FROM ranked WHERE r <= {_ZIPF_TOP}
+    """,
+    doc="Zipf's-law fit over the corpus token distribution: slope of "
+    "ln(frequency) against ln(rank) for the top-500 tokens (a healthy "
+    "natural-language corpus sits near −1; big deviations flag "
+    "boilerplate floods or synthetic junk — a corpus-level quality "
+    "gate next to char_entropy_hist). Token counting is one "
+    "map-side-partial agg; the rank window runs over the top slice "
+    "only (vocab-sized, then 500 rows), so the global sort is "
+    "bounded. Log abscissae are O(1)–O(6): well-conditioned for the "
+    "single-pass regression accumulator.",
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("token")))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record quarantine (PERMISSIVE JSONL ingest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_corrupt_quarantine",
+    """
+    SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt__' ELSE lang END
+             AS bucket,
+           count(*) AS n_rows,
+           sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+             AS sum_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    doc="Malformed-input quarantine: the corpus is serialized to JSON "
+    "lines with every 7th record deterministically truncated (invalid "
+    "JSON), then re-read with Spark's PERMISSIVE mode + "
+    "columnNameOfCorruptRecord — the standard don't-fail-the-job "
+    "ingest posture for dirty feeds (the reference's Kafka payloads "
+    "are exactly such JSON lines, stream_processor.py:70-90). Rows "
+    "are bucketed by the corrupt-record column, NOT by salvaged "
+    "fields (PERMISSIVE may salvage a valid prefix), and the oracle "
+    "replays the planted corruption rule — certifying that the "
+    "quarantine decision matches the corruption exactly: no dropped "
+    "good rows, no silently-accepted bad ones.",
+)
+def jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct("doc_id", "lang", "source", "n_chars", "text")
+    ).alias("l")
+    mangled = docs.select(F.col("doc_id").alias("did"), line).select(
+        F.when(
+            F.col("did") % 7 == 0,
+            F.expr("substring(l, 1, length(l) - 2)"),
+        )
+        .otherwise(F.col("l"))
+        .alias("value")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_jsonl_corrupt",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    mangled.write.mode("overwrite").text(out_dir)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, source string, n_chars bigint, "
+            "text string, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out_dir)
+    )
+    return (
+        back.groupBy(
+            F.when(F.col("_corrupt").isNotNull(), "__corrupt__")
+            .otherwise(F.col("lang"))
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("_corrupt").isNotNull(), 0).otherwise(
+                    F.col("n_chars")
+                )
+            ).alias("sum_chars"),
+        )
+        .orderBy("bucket")
+    )
