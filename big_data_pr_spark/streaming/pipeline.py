@@ -433,3 +433,86 @@ def apply_retention(chart_path: str, keep_dates: Sequence[str]) -> list[str]:
             shutil.rmtree(os.path.join(chart_path, entry))
             dropped.append(entry)
     return dropped
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter queue: malformed payloads quarantined, never dropped,
+# never failing the query
+# ---------------------------------------------------------------------------
+
+
+def parse_stream_tagged(raw: DataFrame) -> DataFrame:
+    """:func:`parse_stream` with corrupt-record tagging instead of
+    silent nulls: the raw payload rides alongside the parsed columns
+    and ``_is_corrupt`` marks lines ``from_json`` could not parse (or
+    that lack the required timestamp/symbol fields). The streaming
+    counterpart of the batch PERMISSIVE + columnNameOfCorruptRecord
+    ingest (queries/stat_queries.py::jsonl_corrupt_quarantine) — the
+    reference's Kafka feed is exactly such a dirty JSON-lines source
+    (stream_processor.py:63-74, which crashes the epoch on bad input)."""
+    data = F.from_json(F.col("value").cast("string"), OHLCV_STREAM_SCHEMA).alias("d")
+    return raw.select(F.col("value").cast("string").alias("raw"), data).select(
+        "raw",
+        F.col("d.timestamp").alias("timestamp_ms"),
+        F.col("d.symbol").alias("symbol"),
+        F.col("d.timeframe").alias("timeframe"),
+        F.col("d.open").alias("open"),
+        F.col("d.high").alias("high"),
+        F.col("d.low").alias("low"),
+        F.col("d.close").alias("close"),
+        F.col("d.volume").alias("volume"),
+        F.timestamp_millis(F.col("d.timestamp")).alias("event_timestamp"),
+        (
+            F.col("d").isNull()
+            | F.col("d.timestamp").isNull()
+            | F.col("d.symbol").isNull()
+        ).alias("_is_corrupt"),
+    )
+
+
+def start_parse_with_dlq(
+    raw: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger: str | None = None,
+) -> StreamingQuery:
+    """Ingest with a dead-letter queue: per micro-batch, parsed-clean
+    rows land in ``{out_dir}/good`` and malformed payloads (with their
+    epoch id) in ``{out_dir}/dlq`` — the job never fails on dirty
+    input and never silently drops it.
+
+    Exactly-once effect over at-least-once foreachBatch execution: both
+    sinks write via dynamic overwrite of the ``_epoch`` partition, so
+    an epoch replay after a crash rewrites the same partition instead
+    of appending duplicates. At scale the good table would additionally
+    partition by event date; the DLQ stays epoch-partitioned (it is
+    operational evidence, queried by epoch)."""
+    tagged = parse_stream_tagged(raw)
+
+    def split(df: DataFrame, eid: int) -> None:
+        df = df.persist()
+        try:
+            good = (
+                df.filter(~F.col("_is_corrupt"))
+                .drop("raw", "_is_corrupt")
+                .withColumn("_epoch", F.lit(eid))
+            )
+            bad = df.filter(F.col("_is_corrupt")).select(
+                F.col("raw").alias("payload"), F.lit(eid).alias("_epoch")
+            )
+            for part, path in ((good, f"{out_dir}/good"), (bad, f"{out_dir}/dlq")):
+                part.write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("_epoch").parquet(path)
+        finally:
+            df.unpersist()
+
+    kwargs = {"processingTime": trigger} if trigger else {"availableNow": True}
+    return (
+        tagged.writeStream.outputMode("append")
+        .foreachBatch(split)
+        .option("checkpointLocation", f"{checkpoint_dir}/parse_dlq")
+        .trigger(**kwargs)
+        .queryName("parse_with_dlq")
+        .start()
+    )

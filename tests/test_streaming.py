@@ -504,3 +504,38 @@ def test_score_stream_model_inference(spark, tmp_path):
         assert got == batch and len(got) == 10
         if name == "gbt":  # spot-check the tree semantics
             assert got[100.0] == 0.5 and got[109.0] == 3.0
+
+
+def test_dlq_quarantines_malformed_without_failing(spark, tmp_path):
+    """Dead-letter queue: good rows land in /good, malformed payloads
+    in /dlq with their epoch id; a second micro-batch (with new good
+    AND new bad lines) extends both tables without duplicating the
+    first epoch's rows (dynamic _epoch partition overwrite)."""
+    input_dir, out_dir, cp_dir = tmp_path / "in", tmp_path / "out", tmp_path / "cp"
+    input_dir.mkdir()
+    good1 = [_msg("BTC/USDT", m, 100 + m) for m in range(3)]
+    bad1 = ['{"timestamp": 1, "symbol"', "not json at all"]
+    _write_batch(input_dir, "b0.txt", good1 + bad1)
+    q = pipeline.start_parse_with_dlq(
+        pipeline.file_source(spark, str(input_dir)), str(out_dir), str(cp_dir)
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(str(out_dir / "good"))
+    dlq = spark.read.parquet(str(out_dir / "dlq"))
+    assert good.count() == 3
+    assert set(good.columns) >= {"symbol", "close", "event_timestamp", "_epoch"}
+    assert dlq.count() == 2
+    payloads = {r["payload"] for r in dlq.collect()}
+    assert payloads == set(bad1)  # raw bytes preserved for replay/debug
+
+    # missing required field (symbol) is quarantined too, valid JSON or not
+    _write_batch(
+        input_dir, "b1.txt", [_msg("ETH/USDT", 9, 50.0), '{"timeframe": "1m"}']
+    )
+    q2 = pipeline.start_parse_with_dlq(
+        pipeline.file_source(spark, str(input_dir)), str(out_dir), str(cp_dir)
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out_dir / "good")).count() == 4
+    assert spark.read.parquet(str(out_dir / "dlq")).count() == 3
