@@ -162,6 +162,9 @@ _POST_FREEZE = [
     "linreg_value_trend",
     "zipf_token_slope",
     "jsonl_corrupt_quarantine",
+    # ML evaluation metrics (r5)
+    "auc_value_predicts_purchase",
+    "psi_value_drift",
 ]
 
 

@@ -111,6 +111,8 @@ HEADLINE = [
     "linreg_value_trend",
     "zipf_token_slope",
     "jsonl_corrupt_quarantine",
+    "auc_value_predicts_purchase",
+    "psi_value_drift",
 ]
 
 

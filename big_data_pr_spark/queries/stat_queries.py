@@ -675,3 +675,177 @@ def jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation metrics: AUC (rank-based) + PSI drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "auc_value_predicts_purchase",
+    """
+    WITH scored AS (
+      SELECT round(value, 6) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per_score AS (
+      SELECT s, sum(y) AS n_pos, sum(1 - y) AS n_neg
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS neg_below
+      FROM per_score
+    ),
+    tot AS (
+      SELECT sum(n_pos) AS p, sum(n_neg) AS n FROM per_score
+    )
+    SELECT any_value(t.p) AS n_pos,
+           any_value(t.n) AS n_neg,
+           round(sum(c.n_pos * (c.neg_below + 0.5 * c.n_neg))
+                 / (any_value(t.p) * any_value(t.n)), 6) AS auc
+    FROM cum c CROSS JOIN tot t
+    """,
+    doc="Distributed AUC-ROC of `value` as a ranking score for the "
+    "purchase label, via the Mann-Whitney identity P(s⁺>s⁻)+½P(tie) — "
+    "the model-evaluation primitive for every scorer in the ML family "
+    "(gbt_score_events / logreg_score_events). Scale-right shape: NO "
+    "global sort of the events table — scores aggregate to per-"
+    "distinct-score (pos, neg) counts first (map-side partial), and "
+    "the cumulative window runs over the distinct-score relation "
+    "only. All-integer accumulators until the final division.",
+)
+def auc_value_predicts_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round("value", 6).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "s",
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    tot = per_score.agg(
+        F.sum("n_pos").alias("p"), F.sum("n_neg").alias("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("p").alias("n_pos"),
+            F.first("n").alias("n_neg"),
+            F.round(
+                F.sum(
+                    F.col("n_pos") * (F.col("neg_below") + 0.5 * F.col("n_neg"))
+                )
+                / (F.first("p") * F.first("n")),
+                6,
+            ).alias("auc"),
+        )
+    )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "psi_value_drift",
+    f"""
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi,
+             min(ts) AS t0, max(ts) AS t1
+      FROM events
+    ),
+    binned AS (
+      SELECT least(CAST(floor((value - b.lo) / ((b.hi - b.lo) / {_PSI_BINS}))
+                        AS INT), {_PSI_BINS - 1}) AS bin,
+             CASE WHEN epoch_us(ts) * 2 < epoch_us(b.t0) + epoch_us(b.t1)
+                  THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN bounds b
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_ref,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM counts),
+    shares AS (
+      SELECT bin,
+             CAST(c_ref + 1 AS DOUBLE) / (t.n_ref + {_PSI_BINS}) AS p,
+             CAST(c_cur + 1 AS DOUBLE) / (t.n_cur + {_PSI_BINS}) AS q
+      FROM counts CROSS JOIN tot t
+    )
+    SELECT CAST({_PSI_BINS} AS INT) AS n_bins,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM shares
+    """,
+    doc="Population Stability Index of the value distribution between "
+    "the first and second time half — the standard production drift "
+    "gate (PSI > 0.2 ⇒ retrain/alert). Ten equal-width bins from the "
+    "global min/max (two 1-row scalar aggregates broadcast back), "
+    "Laplace-smoothed shares so empty bins stay finite, deterministic "
+    "time split at the epoch midpoint. Two scans + one 10-row agg — "
+    "no sort, no Python; bin edges would come from the reference "
+    "window's quantile sketch in a rolling deployment.",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_micros  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    b = ev.crossJoin(F.broadcast(bounds))
+    binned = b.select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+            ).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            epoch_micros(F.col("ts")) * 2
+            < epoch_micros(F.col("t0")) + epoch_micros(F.col("t1")),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("c_ref") + 1).cast("double")
+            / (F.col("n_ref") + _PSI_BINS)
+        ).alias("p"),
+        (
+            (F.col("c_cur") + 1).cast("double")
+            / (F.col("n_cur") + _PSI_BINS)
+        ).alias("q"),
+    )
+    return shares.agg(
+        F.lit(_PSI_BINS).cast("int").alias("n_bins"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+    )
