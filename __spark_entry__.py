@@ -165,6 +165,13 @@ _POST_FREEZE = [
     # ML evaluation metrics (r5)
     "auc_value_predicts_purchase",
     "psi_value_drift",
+    # IR / association surface (r5): BM25 ranking, PMI collocations,
+    # basket co-occurrence + lift, doc-in-doc containment, ACF lags
+    "bm25_search_lit",
+    "pmi_collocations",
+    "market_basket_pairs",
+    "containment_pairs",
+    "acf_value_lags",
 ]
 
 

@@ -113,6 +113,11 @@ HEADLINE = [
     "jsonl_corrupt_quarantine",
     "auc_value_predicts_purchase",
     "psi_value_drift",
+    "bm25_search_lit",
+    "pmi_collocations",
+    "market_basket_pairs",
+    "containment_pairs",
+    "acf_value_lags",
 ]
 
 

@@ -169,31 +169,30 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
-def jaccard_pairs(
+def _shingle_pair_intersections(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.005,
-    max_doc_freq: int = 100,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int,
+):
+    """Shared machinery for exact set-overlap pair metrics (Jaccard /
+    containment): per-pair intersection counts over the rare-shingle
+    inverted index, plus both sides' set sizes ready to join back.
 
-    ``max_doc_freq`` drops shingles present in more than that many docs
-    (stop-shingles) before the pair join — the skew guard that keeps the
-    inverted-index join bounded at scale.
+    Shingles ONCE into the compact pre-explode form (sid, array<long>)
+    and persists THAT: both consumers — the exploded inverted index
+    (doc-freq + both self-join sides) and the per-doc set sizes (just
+    the array length, no aggregation) — derive from it with narrow
+    ops, so the text is tokenized/hashed exactly once and no
+    corpus-scale re-aggregation of the exploded index is needed.
+    DISK_ONLY, not the MEMORY_AND_DISK default: this relation is
+    corpus-scale and at 100 TB the default would evict-thrash executor
+    memory — spilled array rows re-read sequentially are cheaper than
+    re-hashing, and cheaper than fighting the block manager for memory
+    the joins need. ``max_doc_freq`` drops stop-shingles before the
+    pair join — the skew guard that keeps the join bounded at scale.
     """
-    # Shingle ONCE into the compact pre-explode form (sid, array<long>)
-    # and persist THAT: both consumers — the exploded inverted index
-    # (doc-freq + both self-join sides) and the per-doc set sizes (just
-    # the array length, no aggregation) — derive from it with narrow
-    # ops, so the text is tokenized/hashed exactly once and the old
-    # corpus-scale groupBy that re-aggregated the exploded index into
-    # set sizes is gone entirely. DISK_ONLY, not the MEMORY_AND_DISK
-    # default: this relation is corpus-scale and at 100 TB the default
-    # would evict-thrash executor memory — spilled array rows re-read
-    # sequentially are cheaper than re-hashing, and cheaper than
-    # fighting the block manager for memory the joins need.
     arr = _fan_out(df).select(
         F.col(id_col).alias("sid"),
         shingle_hash_array(text_col, n).alias("__sh_arr"),
@@ -218,6 +217,64 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("sid").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("sid").alias("id_b"), F.col("set_size").alias("size_b"))
+    return inter, sa, sb
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.02,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Asymmetric shingle containment ``C = |A∩B| / min(|A|,|B|)`` for
+    all pairs sharing ≥1 rare shingle — the doc-inside-doc twin of
+    :func:`jaccard_pairs`.
+
+    A short document fully embedded in a long one (quoting, boilerplate
+    wrappers, concatenated crawls) has near-zero Jaccard but containment
+    ≈1.0, so near-dup pipelines that only threshold Jaccard keep the
+    wrapper duplicates; containment is the standard second gate
+    (Broder's resemblance *and* containment pair). Same inverted-index
+    shape, stop-shingle skew guard and edge-sized state as Jaccard —
+    only the denominator changes.
+    """
+    inter, sa, sb = _shingle_pair_intersections(
+        df, id_col, text_col, n, max_doc_freq
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common") / F.least(F.col("size_a"), F.col("size_b")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.005,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    (stop-shingles) before the pair join — the skew guard that keeps the
+    inverted-index join bounded at scale.
+    """
+    inter, sa, sb = _shingle_pair_intersections(
+        df, id_col, text_col, n, max_doc_freq
+    )
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")

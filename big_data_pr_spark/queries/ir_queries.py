@@ -1,0 +1,293 @@
+"""Information-retrieval & association analytics over the fixture corpus.
+
+Generalizes the reference's serving-layer *search* surface (app.py's
+Elasticsearch match/term queries are BM25-ranked by ES itself — the
+ranking function the serving layer relies on but never shows) into
+engine-native, oracle-checkable queries:
+
+- ``bm25_search_lit``   — Okapi BM25 ranking for a literal term query
+  (the scoring ES applies to app.py's index queries, reproduced as
+  three grouped aggregates — no index server needed);
+- ``pmi_collocations``  — pointwise-mutual-information collocation
+  mining (phrase discovery for tokenizer/vocab curation);
+- ``market_basket_pairs`` — co-occurrence + lift over order baskets
+  (the classic association-rule building block, keyed self-join);
+- ``containment_pairs`` — asymmetric shingle containment, the
+  doc-inside-doc twin of ``dedup_ngram_jaccard`` (catches quote/
+  wrapper duplication that symmetric Jaccard under-scores).
+
+Scale posture (100 TB):
+- BM25 filters the exploded token stream to the |Q| query terms BEFORE
+  any shuffle — the aggregate state is O(matching docs), the df/avgdl
+  side-inputs are O(|Q|) and O(1) broadcasts.
+- PMI's state is vocabulary-bounded (unigram + bigram counts), the
+  same two grouped aggregates as ``bigram_lm``; top-k is a heap.
+- Basket pairs self-join is keyed by the basket id; TPC-H order size
+  is bounded (≤7 lineitems), so per-key fanout is O(k²) with tiny k —
+  never a cross join. Pair counts partial-aggregate map-side.
+- Containment reuses the rare-shingle inverted index (stop-shingle cap
+  = skew guard); the pair state is edge-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup
+from ..operators.text import bigrams, n_tokens, tokens
+from ..tables import load
+from .registry import register
+
+# Literal search query — terms present in the synthetic vocabulary.
+_BM25_TERMS = ["window", "merge", "scan"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_TERMS_SQL = "('" + "', '".join(_BM25_TERMS) + "')"
+
+
+@register(
+    "bm25_search_lit",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, ' ', '')) + 1) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    qtok AS (SELECT * FROM tok WHERE term IN {_TERMS_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / s.avgdl))) AS score,
+             count(*) AS n_terms_hit
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_terms_hit, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Okapi BM25 top-10 for a literal 3-term query — the ranking "
+    "function behind the reference serving layer's Elasticsearch "
+    "match queries (app.py), engine-native: token stream filtered to "
+    "the query terms BEFORE the shuffle, so tf state is O(hits), df "
+    "is |Q| rows, avgdl/N a 1-row broadcast. k1=1.2, b=0.75.",
+)
+def bm25_search_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", n_tokens(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / norm
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_terms_hit", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                        i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM toks),
+    c2 AS (SELECT bigram, count(*) AS n_xy FROM bg GROUP BY bigram),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+    tot AS (SELECT (SELECT count(*) FROM bg) AS n_bi,
+                   (SELECT count(*) FROM uni) AS n_uni),
+    pmi AS (
+      SELECT c2.bigram, c2.n_xy,
+             ln((c2.n_xy / t.n_bi)
+                / ((ca.n_w / t.n_uni) * (cb.n_w / t.n_uni))) AS pmi
+      FROM c2
+      JOIN c1 ca ON ca.w = string_split(c2.bigram, ' ')[1]
+      JOIN c1 cb ON cb.w = string_split(c2.bigram, ' ')[2]
+      CROSS JOIN tot t
+      WHERE c2.n_xy >= 20)
+    SELECT bigram, n_xy, round(pmi, 6) AS pmi
+    FROM pmi
+    ORDER BY round(pmi, 6) DESC, bigram
+    LIMIT 40
+    """,
+    doc="Top-40 bigram collocations by pointwise mutual information "
+    "(min count 20) — phrase discovery for tokenizer/vocabulary "
+    "curation. Two vocabulary-bounded grouped aggregates (same state "
+    "shape as bigram_lm), unigram counts joined back onto each side "
+    "of the pair, top-k via heap. PMI = ln(p(xy)/(p(x)p(y))).",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(bigrams("text")).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n_bi")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    parts = F.split(F.col("bigram"), " ")
+    ca = c1.select(
+        F.col("w").alias("w_a"), F.col("n_w").alias("n_a")
+    )
+    cb = c1.select(
+        F.col("w").alias("w_b"), F.col("n_w").alias("n_b")
+    )
+    pmi = F.log(
+        (F.col("n_xy") / F.col("n_bi"))
+        / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+    )
+    return (
+        c2.filter(F.col("n_xy") >= 20)
+        .withColumn("w_a", parts[0])
+        .withColumn("w_b", parts[1])
+        .join(F.broadcast(ca), "w_a")
+        .join(F.broadcast(cb), "w_b")
+        .crossJoin(F.broadcast(tot))
+        .select("bigram", "n_xy", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(40)
+    )
+
+
+@register(
+    "market_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    n AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+    freq AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item)
+    SELECT p.item_a, p.item_b, p.n_ab,
+           round(CAST(p.n_ab AS DOUBLE) * n.n_baskets
+                 / (fa.n_item * fb.n_item), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    CROSS JOIN n
+    WHERE p.n_ab >= 2
+    ORDER BY p.n_ab DESC, p.item_a, p.item_b
+    LIMIT 50
+    """,
+    doc="Frequently-bought-together: part-pair co-occurrence counts + "
+    "lift over order baskets. Self-join keyed by the basket id (TPC-H "
+    "order size ≤7 ⇒ per-key fanout O(k²), never a cross join), pair "
+    "counts partial-aggregate map-side, item frequencies broadcast "
+    "back, top-50 via heap. The association-rule building block.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = items.select("basket").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_baskets")
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select("item_a", "item_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("n_ab"), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+@register(
+    "containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id AS sid, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT sid, count(*) AS set_size FROM sh GROUP BY sid),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    filtered AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b, n_common,
+           round(n_common / least(sa.set_size, sb.set_size), 6)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE round(n_common / least(sa.set_size, sb.set_size), 6) >= 0.02
+    ORDER BY id_a, id_b
+    """,
+    doc="Asymmetric shingle containment C = |A∩B| / min(|A|,|B|) over "
+    "the rare-shingle inverted index — the doc-inside-doc twin of "
+    "dedup_ngram_jaccard: catches quote/wrapper duplication that "
+    "symmetric Jaccard under-scores (a 50-token doc fully embedded in "
+    "a 5000-token doc has tiny Jaccard but containment 1.0). Same "
+    "stop-shingle skew guard and edge-sized pair state.",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.02, max_doc_freq=100)

@@ -849,3 +849,59 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) of the hourly value series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_value_lags",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag)
+    SELECT l.lag,
+           count(*) AS n_pairs,
+           round(corr(cur.v, prev.v), 6) AS acf
+    FROM lags l
+    JOIN hourly cur ON TRUE
+    JOIN hourly prev ON prev.h = cur.h - l.lag
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+    doc="Sample autocorrelation of the hourly mean-value series at lags "
+    "1-5 — the diagnostic that decides AR order / seasonality before "
+    "fitting models like Holt's (holt_linear_forecast). The corpus "
+    "collapses to one row per hour FIRST (one grouped agg), then each "
+    "lag is an equi-join of the tiny series against itself shifted by "
+    "the lag (gaps drop out via the inner join) and a corr() "
+    "aggregate. The only all-pairs step runs on the hours-sized "
+    "series, never the raw events.",
+)
+def acf_value_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_seconds, trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (epoch_seconds(trunc_wallclock("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(F.avg("value").alias("v"))
+    lags = spark.range(1, 6).select(F.col("id").alias("lag"))
+    cur = hourly.select(F.col("h").alias("h_cur"), F.col("v").alias("v_cur"))
+    prev = hourly.select(F.col("h").alias("h_prev"), F.col("v").alias("v_prev"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(cur)
+        .join(prev, F.col("h_prev") == F.col("h_cur") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("v_cur", "v_prev"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
