@@ -172,6 +172,9 @@ _POST_FREEZE = [
     "market_basket_pairs",
     "containment_pairs",
     "acf_value_lags",
+    # distributed PCA (r5): one-pass Gram stats + literal projection
+    "embedding_covariance_probe",
+    "embedding_pca_project_lit",
 ]
 
 

@@ -118,6 +118,9 @@ HEADLINE = [
     "market_basket_pairs",
     "containment_pairs",
     "acf_value_lags",
+    "embedding_covariance_probe",
+    "embedding_pca_project_lit",
+    "embedding_pca_topk",
 ]
 
 

@@ -368,3 +368,135 @@ def gbt_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 4).alias("p_en"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py): one-pass Gram statistics +
+# driver eigh + codegen projection
+# ---------------------------------------------------------------------------
+
+_PCA_PROBE_DIMS = 8  # covariance probe: upper triangle of the leading 8×8 block
+
+
+@register(
+    "embedding_covariance_probe",
+    f"""
+    WITH pairs AS (
+      SELECT a.i, b.j
+      FROM (SELECT unnest(range(1, {_PCA_PROBE_DIMS} + 1)) AS i) a
+      JOIN (SELECT unnest(range(1, {_PCA_PROBE_DIMS} + 1)) AS j) b
+        ON a.i <= b.j),
+    cells AS (
+      SELECT p.i, p.j,
+             CAST(e.embedding[p.i] AS DOUBLE) AS x,
+             CAST(e.embedding[p.j] AS DOUBLE) AS y
+      FROM embeddings e JOIN pairs p ON TRUE)
+    SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) AS cov
+    FROM cells GROUP BY i, j
+    ORDER BY i, j
+    """,
+    doc="Upper triangle of the leading 8×8 covariance block of the "
+    "embedding corpus, computed by the DISTRIBUTED one-pass Gram "
+    "machinery (operators/pca.py::gram_stats — per-Arrow-batch numpy "
+    "partials of (n, Σv, Σv·vᵀ), driver combine) and hash-checked "
+    "against DuckDB's direct avg(x·y)−avg(x)·avg(y). Certifies the "
+    "statistics the PCA fit consumes; i/j are 1-based.",
+)
+def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    n, s, g = pca.gram_stats(emb, "embedding", dim=64)
+    m = [si / n for si in s]
+    rows = [
+        (i + 1, j + 1, round(float(g[i][j]) / n - float(m[i]) * float(m[j]), 6))
+        for i in range(_PCA_PROBE_DIMS)
+        for j in range(i, _PCA_PROBE_DIMS)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double").orderBy(
+        "i", "j"
+    )
+
+
+def _pca_lit_components() -> list[list[float]]:
+    """Two fixed pseudo-components: seeded Gaussian directions,
+    L2-normalized then rounded to 6 dp so both engines parse the
+    identical double literals (same recipe as _LSH_LIT_PLANES)."""
+    import numpy as np
+
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 2, seed=7)
+    planes = planes / np.linalg.norm(planes, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in planes]
+
+
+_PCA_LIT = _pca_lit_components()
+
+
+def _pca_dot_sql(comp: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in comp) + "]"
+    return (
+        f"list_sum(list_transform(generate_series(1, 64), "
+        f"d -> CAST(e.embedding[d] AS DOUBLE) * ({lit})[d]))"
+    )
+
+
+@register(
+    "embedding_pca_project_lit",
+    f"""
+    SELECT e.vec_id, e.label,
+           round({_pca_dot_sql(_PCA_LIT[0])}, 6) AS pc1,
+           round({_pca_dot_sql(_PCA_LIT[1])}, 6) AS pc2
+    FROM embeddings e
+    ORDER BY e.vec_id
+    """,
+    doc="Projection of every embedding onto two LITERAL unit directions "
+    "(seeded, normalized, rounded to 6 dp so both engines parse "
+    "identical doubles) — the oracle-certified twin of the PCA scoring "
+    "path: operators/pca.py::project_expr emits the same pure codegen "
+    "dot-product the fitted model uses, here with a hash-checkable "
+    "component matrix. embedding_pca_topk runs the REAL fitted "
+    "components (rows-only; numpy-parity-tested).",
+)
+def embedding_pca_project_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    zero = [0.0] * 64
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(pca.project_expr("embedding", _PCA_LIT[0], zero), 6).alias("pc1"),
+        F.round(pca.project_expr("embedding", _PCA_LIT[1], zero), 6).alias("pc2"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "embedding_pca_topk",
+    None,  # eigendecomposition is not SQL-expressible; the projection
+    # arithmetic is certified by embedding_pca_project_lit and the fit
+    # by the numpy parity test in tests/test_pca.py
+    doc="REAL distributed PCA: one-pass Gram statistics (Arrow-batched "
+    "numpy partials), driver-side eigh on the 64×64 covariance "
+    "(sign-fixed for determinism), then top-20 |pc1| outliers via the "
+    "codegen projection — the dimensionality-reduction front end for "
+    "the ANN/clustering family. Fit parity vs sequential numpy and "
+    "corrupt-vector skip are pinned in tests/test_pca.py.",
+)
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = pca.fit_pca(emb, "embedding", k=2, dim=64)
+    return (
+        pca.project(emb, model)
+        .select(
+            "vec_id",
+            "label",
+            F.round("pc1", 6).alias("pc1"),
+            F.round("pc2", 6).alias("pc2"),
+        )
+        .orderBy(F.desc(F.abs(F.col("pc1"))), "vec_id")
+        .limit(20)
+    )
