@@ -175,6 +175,8 @@ _POST_FREEZE = [
     # distributed PCA (r5): one-pass Gram stats + literal projection
     "embedding_covariance_probe",
     "embedding_pca_project_lit",
+    # metadata-only schema evolution certified end-to-end (r5)
+    "schema_evolution_roundtrip",
 ]
 
 

@@ -121,6 +121,7 @@ HEADLINE = [
     "embedding_covariance_probe",
     "embedding_pca_project_lit",
     "embedding_pca_topk",
+    "schema_evolution_roundtrip",
 ]
 
 

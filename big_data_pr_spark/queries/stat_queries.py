@@ -905,3 +905,76 @@ def acf_value_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only schema evolution round-trip (operators/schemalog.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_roundtrip",
+    """
+    WITH unioned AS (
+      SELECT o_orderstatus, o_totalprice AS price, 'NONE' AS flag
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice AS price, o_orderpriority AS flag
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT flag, o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(price), 2) AS sum_price
+    FROM unioned
+    GROUP BY flag, o_orderstatus
+    ORDER BY flag, o_orderstatus
+    """,
+    doc="Schema-evolution semantics certified end-to-end: half of "
+    "orders is written as a v0 table (operators/schemalog.py), then "
+    "ADD COLUMN flag DEFAULT 'NONE' and RENAME o_totalprice→price are "
+    "applied as METADATA-ONLY ops (no file rewrite — old files keep "
+    "the old physical column name), the other half is appended under "
+    "the NEW schema, and the mapped mergeSchema read is aggregated. "
+    "The oracle replays the same history as a plain SQL union on the "
+    "original parquet, so a wrong default backfill, a rename that "
+    "loses old files, or a cast mangle flips the hash.",
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..operators import schemalog  # noqa: PLC0415
+
+    orders = load(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_schemalog",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    schemalog.init_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        table,
+    )
+    schemalog.add_column(table, "flag", "string", default="NONE")
+    schemalog.rename_column(table, "o_totalprice", "price")
+    schemalog.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("flag"),
+        ),
+        table,
+    )
+    return (
+        schemalog.read(spark, table)
+        .groupBy("flag", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+        )
+        .orderBy("flag", "o_orderstatus")
+    )
