@@ -177,6 +177,10 @@ _POST_FREEZE = [
     "embedding_pca_project_lit",
     # metadata-only schema evolution certified end-to-end (r5)
     "schema_evolution_roundtrip",
+    # time-decay features, sequence mining, sketch certificate (r5)
+    "decay_weighted_user_value",
+    "event_trigrams_top",
+    "approx_quantile_certificate",
 ]
 
 

@@ -122,6 +122,9 @@ HEADLINE = [
     "embedding_pca_project_lit",
     "embedding_pca_topk",
     "schema_evolution_roundtrip",
+    "decay_weighted_user_value",
+    "event_trigrams_top",
+    "approx_quantile_certificate",
 ]
 
 

@@ -1109,3 +1109,141 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("interp_close"),
         F.col("close").isNull().alias("is_gap"),
     ).orderBy("symbol", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Time-decay feature engineering, sequence mining, sketch certificates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decay_weighted_user_value",
+    """
+    WITH ref AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * pow(0.5,
+                 (ref.t_max - epoch_us(ts)) / 86400.0e6)), 6) AS decayed_value
+    FROM events CROSS JOIN ref
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Half-life-decayed engagement feature per user: "
+    "Σ value·0.5^(Δt/24h) referenced to the corpus max event time — "
+    "the standard recency-weighted feature for ranking/churn models "
+    "(each event's weight halves per day of age). One 1-row max-ts "
+    "aggregate broadcast back, then a single grouped aggregate; the "
+    "decay arithmetic is pure codegen.",
+)
+def decay_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("t_max"))
+    w = F.pow(
+        F.lit(0.5), (F.col("t_max") - epoch_micros(F.col("ts"))) / 86400.0e6
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "event_trigrams_top",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, trigram
+    LIMIT 20
+    """,
+    doc="Behavioral sequence mining: top-20 event-type trigrams over "
+    "per-user time-ordered streams — the n-gram view of user journeys "
+    "that feeds funnel hypotheses and next-action models. ONE keyed "
+    "window sort produces both lookahead columns (lead 1/2 share the "
+    "frame), then a vocabulary-bounded count and a heap top-k; the "
+    "deterministic (ts, event_id) sort key makes the sequence — and "
+    "the hash — engine-stable.",
+)
+def event_trigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
+
+
+_GK_QS = [0.25, 0.5, 0.75, 0.9]
+_GK_ACC = 1000
+
+
+@register(
+    "approx_quantile_certificate",
+    "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES "
+    + ", ".join(f"({q}, TRUE)" for q in _GK_QS)
+    + ") AS t(q, within_bound) ORDER BY q",
+    doc="Driver-checkable certificate for the Greenwald-Khanna "
+    "approximate-percentile sketch: percentile_approx guarantees rank "
+    "error ≤ n/accuracy, so for each quantile the query computes the "
+    "TRUE rank of the approximate answer (one conditional count) and "
+    "asserts |rank − q·n| within bound — the oracle is the constant "
+    "TRUE table, so any sketch regression flips the hash. Converts an "
+    "inherently engine-specific approximate answer into an "
+    "oracle-gated correctness row (approx_value_percentiles stays the "
+    "raw rows-only form).",
+)
+def approx_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    approx = ev.agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(q) for q in _GK_QS]), F.lit(_GK_ACC)
+        ).alias("aq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qs = F.array(*[F.lit(q) for q in _GK_QS])
+    pairs = approx.select(
+        F.explode(F.arrays_zip(qs.alias("q"), F.col("aq").alias("v"))).alias("z"),
+        "n",
+    ).select(
+        F.col("z.q").alias("q"), F.col("z.v").alias("v"), "n"
+    )
+    ranked = (
+        ev.crossJoin(F.broadcast(pairs))
+        .groupBy("q", "n")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("v"), 1).otherwise(0)).alias(
+                "rank_"
+            )
+        )
+    )
+    # GK rank guarantee is n/accuracy; +1 absorbs the floor/ceil of the
+    # target rank itself
+    bound = F.col("n") / _GK_ACC + 1
+    return ranked.select(
+        "q",
+        (F.abs(F.col("rank_") - F.col("q") * F.col("n")) <= bound).alias(
+            "within_bound"
+        ),
+    ).orderBy("q")
