@@ -125,6 +125,8 @@ HEADLINE = [
     "decay_weighted_user_value",
     "event_trigrams_top",
     "approx_quantile_certificate",
+    "approx_distinct_certificate",
+    "cms_error_certificate",
 ]
 
 

@@ -1247,3 +1247,71 @@ def approx_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     ).orderBy("q")
+
+
+@register(
+    "approx_distinct_certificate",
+    """
+    SELECT l_returnflag, TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Driver-checkable certificate for the HyperLogLog++ distinct "
+    "sketch: per return-flag group, approx_count_distinct(l_partkey) "
+    "must land within 3·rsd (default rsd 0.05 → 15%, +2 absolute "
+    "slack for tiny groups) of the exact distinct count computed in "
+    "the same pass. The oracle is the constant TRUE table over the "
+    "group keys, so an estimator regression flips the hash "
+    "(approx_distinct_parts stays the raw rows-only form).",
+)
+def approx_distinct_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (
+            F.abs(F.col("a") - F.col("e")) <= 0.15 * F.col("e") + 2
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "cms_error_certificate",
+    """
+    SELECT event_type, TRUE AS no_undercount, TRUE AS within_eps
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Driver-checkable certificate for the count-min sketch "
+    "(operators/sketch.py, w=256 d=4): per event_type, the estimate "
+    "must (a) never undercount — CMS's one-sided-error guarantee is "
+    "deterministic, not probabilistic — and (b) stay within e/w·N of "
+    "the exact count (the ε bound; deterministic here because the "
+    "fixture and hash family are fixed). Oracle = constant TRUE table "
+    "over the keys; cms_event_type_counts stays the raw rows-only "
+    "estimate.",
+)
+def cms_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math  # noqa: PLC0415
+
+    from ..operators.sketch import cms_build, cms_estimate  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events").select("event_type")
+    sketch = cms_build(ev, "event_type")
+    est = cms_estimate(sketch, ev.distinct(), "event_type")
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    n_total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    eps = math.e / 256
+    return (
+        est.join(exact, "event_type")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "event_type",
+            (F.col("est_count") >= F.col("exact_n")).alias("no_undercount"),
+            (
+                F.col("est_count") <= F.col("exact_n") + eps * F.col("n_total")
+            ).alias("within_eps"),
+        )
+        .orderBy("event_type")
+    )
