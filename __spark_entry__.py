@@ -183,6 +183,10 @@ _POST_FREEZE = [
     "approx_quantile_certificate",
     "approx_distinct_certificate",
     "cms_error_certificate",
+    # warehouse staples (r5): SCD2 build + temporal join, gaps-and-islands
+    "scd2_build_customer_priority",
+    "scd2_point_in_time_revenue",
+    "merged_active_intervals",
 ]
 
 

@@ -127,6 +127,9 @@ HEADLINE = [
     "approx_quantile_certificate",
     "approx_distinct_certificate",
     "cms_error_certificate",
+    "scd2_build_customer_priority",
+    "scd2_point_in_time_revenue",
+    "merged_active_intervals",
 ]
 
 

@@ -12,5 +12,6 @@ from . import analytics_ext  # noqa: F401, E402
 from . import ml_queries  # noqa: F401
 from . import stat_queries  # noqa: F401, E402, E402
 from . import ir_queries  # noqa: F401, E402
+from . import warehouse_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
