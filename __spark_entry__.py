@@ -187,6 +187,9 @@ _POST_FREEZE = [
     "scd2_build_customer_priority",
     "scd2_point_in_time_revenue",
     "merged_active_intervals",
+    # classical hypothesis tests (r5)
+    "chisq_type_weekday",
+    "welch_ttest_purchase_vs_view",
 ]
 
 

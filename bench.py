@@ -130,6 +130,8 @@ HEADLINE = [
     "scd2_build_customer_priority",
     "scd2_point_in_time_revenue",
     "merged_active_intervals",
+    "chisq_type_weekday",
+    "welch_ttest_purchase_vs_view",
 ]
 
 

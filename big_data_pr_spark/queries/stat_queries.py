@@ -978,3 +978,128 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical hypothesis tests: chi-square independence, Welch's t
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chisq_type_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)),
+    margins AS (
+      SELECT o.event_type, o.dow, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_tot,
+             sum(o.o) OVER (PARTITION BY o.dow) AS col_tot,
+             sum(o.o) OVER () AS n
+      FROM obs o)
+    SELECT count(*) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2
+    FROM margins
+    """,
+    doc="Pearson chi-square independence test: is event_type "
+    "distributed independently of weekday? Contingency counts in one "
+    "grouped aggregate (cells = |types|×7, tiny), marginals via "
+    "windows over the cell table (never the raw events), then the "
+    "χ² = Σ(O−E)²/E statistic with its degrees of freedom — the "
+    "standard seasonality/data-drift gate next to psi_value_drift. "
+    "The corpus is scanned exactly once.",
+)
+def chisq_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = (
+        obs.withColumn(
+            "row_tot", F.sum("o").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("dow")))
+        .withColumn(
+            "n", F.sum("o").over(Window.partitionBy())
+        )
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+    )
+
+
+@register(
+    "welch_ttest_purchase_vs_view",
+    """
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'view')
+      GROUP BY event_type),
+    wide AS (
+      SELECT max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'purchase' THEN m END) AS m1,
+             max(CASE WHEN event_type = 'purchase' THEN v END) AS v1,
+             max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'view' THEN m END) AS m2,
+             max(CASE WHEN event_type = 'view' THEN v END) AS v2
+      FROM g)
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_dof
+    FROM wide
+    """,
+    doc="Welch's unequal-variance t-test: do purchase and view events "
+    "carry different mean values? Per-group (n, mean, variance) in ONE "
+    "grouped aggregate over the filtered scan, pivoted to a single row "
+    "(conditional max — 2 groups), then the t statistic and "
+    "Welch-Satterthwaite dof as closed-form arithmetic. The A/B-test "
+    "primitive at engine scale: the corpus reduces to 2×3 numbers "
+    "before any math happens.",
+)
+def welch_ttest_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    def pick(col: str, t: str):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    wide = g.agg(
+        pick("n", "purchase").alias("n1"),
+        pick("m", "purchase").alias("m1"),
+        pick("v", "purchase").alias("v1"),
+        pick("n", "view").alias("n2"),
+        pick("m", "view").alias("m2"),
+        pick("v", "view").alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return wide.select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_dof"),
+    )
