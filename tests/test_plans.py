@@ -489,3 +489,59 @@ def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
         if "BatchEvalPython" in plan:
             bad.append((name, "BatchEvalPython in plan"))
     assert not bad, bad
+
+
+def test_bm25_broadcasts_sides_no_corpus_reshuffle(q):
+    """BM25's df/avgdl side-inputs broadcast; no cartesian beyond the
+    1-row stats cross join; no Python anywhere."""
+    plan = plan_str(q("bm25_search_lit"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # top-10 is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_market_basket_equi_join_not_cartesian(q):
+    """The basket self-join must key on the basket id (equi SMJ/SHJ),
+    never a cartesian/BNLJ — per-basket fanout is bounded by basket
+    size only because the join is keyed."""
+    plan = plan_str(q("market_basket_pairs"))
+    assert "CartesianProduct" not in plan
+    # the self-join must key on the basket id (the item_a < item_b
+    # residual rides the equi-join); the only nested-loop node allowed
+    # is the 1-row n_baskets scalar cross join
+    assert "oin [basket" in plan  # BroadcastHashJoin/SortMergeJoin [basket...
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_point_in_time_equi_join_with_range_residual(q):
+    """The temporal join keys on custkey with the validity range as a
+    residual condition — never a cartesian."""
+    plan = plan_str(q("scd2_point_in_time_revenue"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merged_intervals_single_keyed_sort(q):
+    """Gaps-and-islands: both window frames and the island aggregate
+    ride the user_id partitioning — one exchange for the window chain
+    plus the final (tiny) per-user aggregate; no Python."""
+    plan = plan_str(q("merged_active_intervals"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decay_feature_single_aggregate_broadcast_ref(q):
+    """The max-ts reference is a 1-row broadcast; the feature itself is
+    one grouped aggregate with map-side partials."""
+    plan = plan_str(q("decay_weighted_user_value"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
+
+
+def test_chisq_windows_over_cells_not_events(q):
+    """χ² marginals are windows over the |types|×7 cell table — the
+    events scan feeds exactly one aggregate; no Python."""
+    plan = plan_str(q("chisq_type_weekday"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
