@@ -509,8 +509,12 @@ def test_market_basket_equi_join_not_cartesian(q):
     assert "CartesianProduct" not in plan
     # the self-join must key on the basket id (the item_a < item_b
     # residual rides the equi-join); the only nested-loop node allowed
-    # is the 1-row n_baskets scalar cross join
-    assert "oin [basket" in plan  # BroadcastHashJoin/SortMergeJoin [basket...
+    # is the 1-row n_baskets scalar cross join — so exactly one BNLJ,
+    # and it is a Cross with a 1-row build side, while hash joins carry
+    # the real work
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "Left keys [1]: [basket" in plan or "[basket" in plan
     assert "TakeOrderedAndProject" in plan
 
 
