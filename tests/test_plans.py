@@ -512,7 +512,9 @@ def test_market_basket_equi_join_not_cartesian(q):
     # is the 1-row n_baskets scalar cross join — so exactly one BNLJ,
     # and it is a Cross with a 1-row build side, while hash joins carry
     # the real work
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # formatted explain prints each node twice (tree line + details
+    # header), so one logical BNLJ node == 2 string occurrences
+    assert plan.count("BroadcastNestedLoopJoin") == 2
     assert "BroadcastHashJoin" in plan
     assert "Left keys [1]: [basket" in plan or "[basket" in plan
     assert "TakeOrderedAndProject" in plan
