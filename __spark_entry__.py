@@ -190,6 +190,8 @@ _POST_FREEZE = [
     # classical hypothesis tests (r5)
     "chisq_type_weekday",
     "welch_ttest_purchase_vs_view",
+    # custom Python DataSource hash-certified end-to-end (r5)
+    "rest_source_candles",
 ]
 
 

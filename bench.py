@@ -132,6 +132,7 @@ HEADLINE = [
     "merged_active_intervals",
     "chisq_type_weekday",
     "welch_ttest_purchase_vs_view",
+    "rest_source_candles",
 ]
 
 

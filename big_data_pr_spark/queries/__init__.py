@@ -13,5 +13,6 @@ from . import ml_queries  # noqa: F401
 from . import stat_queries  # noqa: F401, E402, E402
 from . import ir_queries  # noqa: F401, E402
 from . import warehouse_queries  # noqa: F401, E402
+from . import source_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
