@@ -192,6 +192,10 @@ _POST_FREEZE = [
     "welch_ttest_purchase_vs_view",
     # custom Python DataSource hash-certified end-to-end (r5)
     "rest_source_candles",
+    # modern Spark 4 SQL surface (r5): VARIANT, LATERAL, WITH RECURSIVE
+    "variant_props_stats",
+    "lateral_latest_order",
+    "recursive_reachability_signup",
 ]
 
 

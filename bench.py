@@ -133,6 +133,9 @@ HEADLINE = [
     "chisq_type_weekday",
     "welch_ttest_purchase_vs_view",
     "rest_source_candles",
+    "variant_props_stats",
+    "lateral_latest_order",
+    "recursive_reachability_signup",
 ]
 
 

@@ -77,3 +77,138 @@ def rest_source_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern Spark 4 SQL surface: VARIANT, LATERAL join, recursive CTE
+# ---------------------------------------------------------------------------
+
+from ..tables import load  # noqa: E402
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+             AS distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured analytics via the VARIANT type (Spark 4): "
+    "events.props parsed ONCE with parse_json into a binary variant, "
+    "then typed variant_get extraction — the open-schema JSON path "
+    "that replaces per-field from_json casts. At scale VARIANT beats "
+    "repeated string JSON parsing because the parse cost is paid once "
+    "per row, not once per extracted field, and the binary encoding "
+    "pushes through shuffles unparsed. Oracle: DuckDB json_extract.",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "lateral_latest_order",
+    """
+    SELECT c.c_custkey, l.o_orderkey, l.o_orderdate, l.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC
+                  LIMIT 1) l
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated LATERAL subquery (Spark 4 SQL): each customer's "
+    "latest order via a per-row dependent subquery — the SQL shape "
+    "analysts write; Catalyst decorrelates it into a join + per-key "
+    "top-1 rather than executing per-row (same physical work as the "
+    "window form, different — and now supported — surface syntax). "
+    "Deterministic (date, orderkey) tie-break.",
+)
+def lateral_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_orderdate, l.o_totalprice
+        FROM __lat_customer c,
+             LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                      FROM __lat_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC
+                      LIMIT 1) l
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "recursive_reachability_signup",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT e1.event_type AS src, e1.nxt AS dst
+      FROM (SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events) e1
+      WHERE e1.nxt IS NOT NULL AND e1.event_type <> e1.nxt),
+    reach(node, hops) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 2
+    )
+    SELECT node, min(hops) AS min_hops
+    FROM reach GROUP BY node ORDER BY node
+    """,
+    doc="Recursive CTE (Spark 4 SQL, SPARK-24497): 2-hop reachability "
+    "from 'signup' over the event-type transition graph — the SAME "
+    "construct this repo previously reserved for DuckDB oracle "
+    "replays, now executed natively by Spark on both sides of the "
+    "gate. The edge derivation is one keyed window over events; the "
+    "recursion iterates on the |event_types|²-bounded edge list, "
+    "never the fact table. min(hops) collapses path multiplicity so "
+    "the result is finite and engine-stable.",
+)
+def recursive_reachability_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("__rec_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT e1.event_type AS src, e1.nxt AS dst
+          FROM (SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM __rec_events) e1
+          WHERE e1.nxt IS NOT NULL AND e1.event_type <> e1.nxt),
+        reach(node, hops) AS (
+          SELECT 'signup', 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hops < 2
+        )
+        SELECT node, min(hops) AS min_hops
+        FROM reach GROUP BY node ORDER BY node
+        """
+    )
