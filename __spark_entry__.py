@@ -196,6 +196,8 @@ _POST_FREEZE = [
     "variant_props_stats",
     "lateral_latest_order",
     "recursive_reachability_signup",
+    # UDTF extension surface certified vs SQL replay (r5)
+    "udtf_top_tokens",
 ]
 
 

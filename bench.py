@@ -136,6 +136,7 @@ HEADLINE = [
     "variant_props_stats",
     "lateral_latest_order",
     "recursive_reachability_signup",
+    "udtf_top_tokens",
 ]
 
 

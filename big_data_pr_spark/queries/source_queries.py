@@ -212,3 +212,44 @@ def recursive_reachability_signup(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM reach GROUP BY node ORDER BY node
         """
     )
+
+
+@register(
+    "udtf_top_tokens",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 20),
+    counts AS (
+      SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token),
+    ranked AS (
+      SELECT doc_id, token, CAST(n AS INTEGER) AS n,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, token) AS INTEGER) AS rk
+      FROM counts)
+    SELECT doc_id, token, n, rk FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="The UDTF extension surface certified end-to-end: "
+    "operators/udtfs.py::TopTokens registered per-session and invoked "
+    "as a LATERAL table function from SQL (the Spark-4 successor of "
+    "Hive LATERAL VIEW + custom UDTF), hash-compared against a "
+    "pure-SQL window replay. Scoped to a 20-doc slice because a UDTF "
+    "is row-at-a-time Python — the documented cost ceiling of this "
+    "extension point; corpus-scale token analytics stay on the "
+    "codegen path (subword_top_tokens, tfidf_top_terms).",
+)
+def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.udtfs import register_udtfs  # noqa: PLC0415
+
+    register_udtfs(spark)
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.n, t.rk
+        FROM __udtf_docs d, LATERAL top_tokens(d.text, 3) t
+        ORDER BY d.doc_id, t.rk
+        """
+    )
