@@ -108,3 +108,59 @@ def test_stream_restart_resumes_exactly_once(spark, tmp_path):
     assert got.count() >= first
     assert got.count() == got.select("symbol", "timestamp").distinct().count()
     assert got.count() == 30  # fully drained, exactly once
+
+
+def test_source_feeds_three_query_topology_contract(spark, tmp_path):
+    """The fully broker-less speed layer: custom streaming source →
+    Kafka message contract (to_kafka_messages) → parse_stream →
+    latest-snapshot aggregation, end-to-end in micro-batches. Verifies
+    the source satisfies the same `value` payload contract the Kafka
+    topic would carry, and the snapshot converges to each symbol's
+    last generated candle."""
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.sources.ohlcv_source import (
+        DEFAULT_START_MS,
+        HOUR_MS,
+        synth_candle,
+    )
+    from big_data_pr_spark.streaming import pipeline as P
+
+    register_sources(spark)
+    n_candles = 8
+    stream = (
+        spark.readStream.format("ohlcv_rest")
+        .option("batch_candles", "3")
+        .option("n_candles", str(n_candles))
+        .load()
+        .withColumnRenamed("timestamp", "timestamp_ms")
+    )
+    parsed = P.parse_stream(P.to_kafka_messages(stream))
+    snap = P.latest_snapshot(parsed)
+    q = (
+        snap.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("__src_snap")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        want_ts = DEFAULT_START_MS + (n_candles - 1) * HOUR_MS
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM __src_snap").collect()
+            if len(rows) == 3 and all(r["timestamp_ms"] == want_ts for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r["symbol"]: r for r in spark.sql("SELECT * FROM __src_snap").collect()}
+    assert set(got) == {"BTC_USDT", "ETH_USDT", "SOL_USDT"}
+    for s_idx, sym in enumerate(sorted(got)):
+        want = synth_candle(s_idx, sym, n_candles - 1, DEFAULT_START_MS, "1h")
+        assert got[sym]["timestamp_ms"] == want[0]
+        assert abs(got[sym]["current_price"] - want[6]) < 1e-9
