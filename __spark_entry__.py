@@ -198,6 +198,8 @@ _POST_FREEZE = [
     "recursive_reachability_signup",
     # UDTF extension surface certified vs SQL replay (r5)
     "udtf_top_tokens",
+    # continuous aggregate: incremental MV refresh ≡ recompute (r5)
+    "matview_incremental_refresh",
 ]
 
 

@@ -137,6 +137,7 @@ HEADLINE = [
     "lateral_latest_order",
     "recursive_reachability_signup",
     "udtf_top_tokens",
+    "matview_incremental_refresh",
 ]
 
 

@@ -253,3 +253,59 @@ def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.rk
         """
     )
+
+
+@register(
+    "matview_incremental_refresh",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS total,
+           max(value) AS vmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Continuous aggregate (operators/matview.py — TimescaleDB-style "
+    "incremental materialized view) hash-certified: the MV is created "
+    "from the first ~60% of events by time, then a refresh folds ONLY "
+    "the rows above the stored high watermark into the |keys|-sized "
+    "partial-aggregate state (count/sum/max monoids) and commits it as "
+    "an atomic MVCC version. The oracle is the plain full aggregate — "
+    "incremental refresh must be indistinguishable from recompute. At "
+    "scale the refresh cost is O(delta): the watermark filter prunes "
+    "history by partition/row-group stats, the state shuffle is "
+    "|keys|-bounded. Crash-replay, no-op, and time-travel semantics "
+    "are pinned in tests/test_matview.py.",
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ..operators import matview  # noqa: PLC0415
+    from ..timeutil import epoch_micros  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.percentile_approx(epoch_micros(F.col("ts")), 0.6, 10000)
+    ).collect()[0][0]
+    early = ev.filter(epoch_micros(F.col("ts")) <= cut)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "big_data_pr_spark_matview",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    matview.create(
+        early,
+        d,
+        ["event_type"],
+        {"n": ("count", "*"), "total": ("sum", "value"), "vmax": ("max", "value")},
+        "ts",
+    )
+    matview.refresh(spark, d, ev)
+    state = matview.read(spark, d)
+    return state.select(
+        "event_type", "n", F.round("total", 6).alias("total"), "vmax"
+    ).orderBy("event_type")
