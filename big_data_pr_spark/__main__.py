@@ -235,6 +235,41 @@ def cmd_model(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_matview(args: argparse.Namespace) -> int:
+    """Continuous-aggregate lifecycle: --create materializes the view
+    over the fixture events table, --refresh folds rows above the
+    stored watermark, --show prints the current state."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from .operators import matview, versioned
+    from .tables import load
+
+    spark = _spark("matview")
+    if args.create:
+        ev = load(spark, args.sf_dir, "events")
+        v = matview.create(
+            ev,
+            args.dir,
+            args.keys,
+            {"n": ("count", "*"), "total": ("sum", args.value_col)},
+            args.watermark_col,
+        )
+        print(json.dumps({"created_version": v, "dir": args.dir}))
+        return 0
+    if args.refresh:
+        ev = load(spark, args.sf_dir, "events")
+        print(json.dumps(matview.refresh(spark, args.dir, ev)))
+        return 0
+    if args.history:
+        for m in versioned.versions(args.dir):
+            print(json.dumps(m))
+        return 0
+    matview.read(spark, args.dir).orderBy(*args.keys).show(
+        args.limit, truncate=False
+    )
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from .queries import REGISTRY
 
@@ -290,6 +325,23 @@ def main(argv: list[str] | None = None) -> int:
 
     ls = sub.add_parser("list", help="list registry queries")
     ls.set_defaults(fn=cmd_list)
+
+    mv = sub.add_parser(
+        "matview",
+        help="continuous aggregate: --create materializes, --refresh "
+        "folds rows above the stored watermark (O(delta)), --history "
+        "prints version manifests, default shows current state",
+    )
+    mv.add_argument("--dir", required=True, help="materialized-view directory")
+    mv.add_argument("--create", action="store_true")
+    mv.add_argument("--refresh", action="store_true")
+    mv.add_argument("--history", action="store_true")
+    mv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    mv.add_argument("--keys", nargs="+", default=["event_type"])
+    mv.add_argument("--value-col", default="value")
+    mv.add_argument("--watermark-col", default="ts")
+    mv.add_argument("--limit", type=int, default=20)
+    mv.set_defaults(fn=cmd_matview)
 
     md = sub.add_parser(
         "model",

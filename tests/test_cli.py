@@ -169,3 +169,19 @@ def test_model_train_binary_gbt(spark, sf_dir, tmp_path, capsys):
     json.loads(capsys.readouterr().out.strip())
     assert main(["model", "--score", "--artifact", art, "--sf-dir", sf_dir]) == 0
     assert "doc_id" in capsys.readouterr().out
+
+
+def test_matview_subcommand_lifecycle(spark, sf_dir, tmp_path, capsys):
+    d = str(tmp_path / "mv")
+    assert main(["matview", "--dir", d, "--create", "--sf-dir", sf_dir]) == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["created_version"] == 1
+    # everything already folded -> no-op refresh, no new version
+    assert main(["matview", "--dir", d, "--refresh", "--sf-dir", sf_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"refreshed": False, "delta_rows": 0, "version": 1}
+    assert main(["matview", "--dir", d, "--history"]) == 0
+    hist = capsys.readouterr().out.strip().splitlines()
+    assert len(hist) == 1 and json.loads(hist[0])["version"] == 1
+    assert main(["matview", "--dir", d]) == 0
+    assert "event_type" in capsys.readouterr().out
