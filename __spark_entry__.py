@@ -200,6 +200,9 @@ _POST_FREEZE = [
     "udtf_top_tokens",
     # continuous aggregate: incremental MV refresh ≡ recompute (r5)
     "matview_incremental_refresh",
+    # robust regression + winsorized means (r5)
+    "theil_sen_trend",
+    "winsorized_stats",
 ]
 
 

@@ -138,6 +138,8 @@ HEADLINE = [
     "recursive_reachability_signup",
     "udtf_top_tokens",
     "matview_incremental_refresh",
+    "theil_sen_trend",
+    "winsorized_stats",
 ]
 
 

@@ -1103,3 +1103,119 @@ def welch_ttest_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(dof, 6).alias("welch_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust regression (Theil-Sen) and winsorized means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT (b.v - a.v) / (b.h - a.h) AS slope
+      FROM hourly a JOIN hourly b ON a.h < b.h),
+    m AS (SELECT median(slope) AS slope FROM pairs)
+    SELECT (SELECT count(*) FROM hourly) AS n_hours,
+           (SELECT count(*) FROM pairs) AS n_pairs,
+           round(m.slope, 6) AS slope,
+           round((SELECT median(hourly.v - m.slope * hourly.h)
+                  FROM hourly), 6) AS intercept
+    FROM m
+    """,
+    doc="Theil-Sen robust trend of the hourly mean-value series: the "
+    "median of all pairwise slopes (then median residual intercept) — "
+    "the 29%-breakdown-point alternative to least squares "
+    "(linreg_value_trend) that one outlier hour cannot drag. The "
+    "corpus collapses to one row per hour FIRST; the O(hours²) pair "
+    "join runs on the tiny aggregated series, never the raw events — "
+    "at 100 TB the pair count depends on the time span, not the data "
+    "volume.",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_seconds, trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (epoch_seconds(trunc_wallclock("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.select(F.col("h").alias("ha"), F.col("v").alias("va"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ha") < F.col("hb")).select(
+        ((F.col("vb") - F.col("va")) / (F.col("hb") - F.col("ha"))).alias(
+            "slope"
+        )
+    )
+    m = pairs.agg(F.median("slope").alias("slope"))
+    counts = hourly.agg(F.count(F.lit(1)).alias("n_hours")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    resid = hourly.crossJoin(F.broadcast(m)).agg(
+        F.median(F.col("v") - F.col("slope") * F.col("h")).alias("intercept")
+    )
+    return (
+        counts.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            "n_hours",
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "winsorized_stats",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(e.value), 6) AS mean_raw,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)
+             AS mean_winsor
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="5/95% winsorized mean per event type next to the raw mean — "
+    "the standard tail-robust location estimate for heavy-tailed "
+    "value distributions (clip, don't drop). Per-group exact "
+    "percentile bounds in one aggregate (|types| rows, broadcast "
+    "back), then a narrow clip + one grouped mean: two scans, no "
+    "sort of the fact table. approx_percentile is the documented "
+    "100 TB swap for the bounds pass.",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg("wv"), 6).alias("mean_winsor"),
+        )
+        .orderBy("event_type")
+    )
