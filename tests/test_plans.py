@@ -469,6 +469,12 @@ _PLAN_SWEEP_SKIP = {
     "ann_ivf_topk_lit",  # collects centroids during fn(); pinned above
     "jsonl_roundtrip_stats",  # writes a sink during fn(); agg plan trivial
     "csv_roundtrip_stats",
+    # the UDTF query IS the documented row-at-a-time extension point
+    # (operators/udtfs.py): it plans BatchEvalPythonUDTF by design and
+    # is scoped to a 20-doc slice; the invariant this sweep protects —
+    # no row-wise Python on relational hot paths — is stated in its
+    # registry doc and COVERAGE.md
+    "udtf_top_tokens",
 }
 
 
