@@ -203,6 +203,12 @@ _POST_FREEZE = [
     # robust regression + winsorized means (r5)
     "theil_sen_trend",
     "winsorized_stats",
+    # TA completions + finance risk + forensic audit (r5)
+    "stochastic_oscillator_14",
+    "atr_14",
+    "obv_running",
+    "max_drawdown",
+    "benford_first_digit",
 ]
 
 

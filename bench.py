@@ -140,6 +140,11 @@ HEADLINE = [
     "matview_incremental_refresh",
     "theil_sen_trend",
     "winsorized_stats",
+    "stochastic_oscillator_14",
+    "atr_14",
+    "obv_running",
+    "max_drawdown",
+    "benford_first_digit",
 ]
 
 

@@ -1183,3 +1183,204 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
     return _graph.pagerank(trans, nodes, n_iter=8).orderBy("node")
+
+
+@register(
+    "stochastic_oscillator_14",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    k AS (
+      SELECT symbol, bucket,
+             count(*) OVER w AS n_win,
+             CASE WHEN max(high) OVER w = min(low) OVER w THEN 50.0
+                  ELSE 100.0 * ("close" - min(low) OVER w)
+                       / (max(high) OVER w - min(low) OVER w) END AS pct_k
+      FROM candles
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT symbol, bucket,
+           round(pct_k, 6) AS pct_k,
+           round(avg(pct_k) OVER (PARTITION BY symbol ORDER BY bucket
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS pct_d
+    FROM k
+    WHERE n_win = 14
+    ORDER BY symbol, bucket
+    """,
+    doc="Stochastic oscillator on the hourly candles: %K = position of "
+    "the close inside the 14-bucket high-low envelope, %D = SMA-3 of "
+    "%K — the momentum indicator completing the TA family (SMA/EMA/"
+    "RSI/MACD/Bollinger/VWAP). Both window layers share the keyed "
+    "sort ⇒ one shuffle; full-window gating (n_win = 14) keeps the "
+    "envelope well-defined, flat envelopes emit the conventional "
+    "mid-scale 50.",
+)
+def stochastic_oscillator_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    hi, lo = F.max("high").over(w), F.min("low").over(w)
+    k = _candles(spark, sf_dir).select(
+        "symbol",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.when(hi == lo, F.lit(50.0))
+        .otherwise(100.0 * (F.col("close") - lo) / (hi - lo))
+        .alias("pct_k"),
+    )
+    wd = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        k.filter(F.col("n_win") == 14)
+        .select(
+            "symbol",
+            "bucket",
+            F.round("pct_k", 6).alias("pct_k"),
+            F.round(F.avg("pct_k").over(wd), 6).alias("pct_d"),
+        )
+        .orderBy("symbol", "bucket")
+    )
+
+
+@register(
+    "atr_14",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    tr AS (
+      SELECT symbol, bucket,
+             greatest(high - low,
+                      abs(high - lag("close") OVER w1),
+                      abs(low - lag("close") OVER w1)) AS tr,
+             row_number() OVER w1 AS rn
+      FROM candles
+      WINDOW w1 AS (PARTITION BY symbol ORDER BY bucket))
+    SELECT symbol, bucket,
+           round(avg(tr) OVER (PARTITION BY symbol ORDER BY bucket
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+                 6) AS atr_14
+    FROM tr
+    WHERE tr IS NOT NULL
+    QUALIFY rn >= 15
+    ORDER BY symbol, bucket
+    """,
+    doc="Average True Range (Wilder's volatility measure, SMA variant "
+    "like rsi_cutler_14): true range folds the gap to the previous "
+    "close into the bar's high-low span, ATR is its 14-bucket trailing "
+    "mean. lag, the greatest(), and the trailing average all ride ONE "
+    "keyed window sort; rows before a full 14-TR history are gated "
+    "out (rn ≥ 15: 1 lag warm-up + 14 ranges).",
+)
+def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("symbol").orderBy("bucket")
+    prev_close = F.lag("close").over(w1)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close),
+    )
+    base = _candles(spark, sf_dir).select(
+        "symbol",
+        "bucket",
+        tr.alias("tr"),
+        F.row_number().over(w1).alias("rn"),
+    )
+    wa = w1.rowsBetween(-13, Window.currentRow)
+    return (
+        base.filter(F.col("tr").isNotNull())
+        .withColumn("atr_14", F.round(F.avg("tr").over(wa), 6))
+        .filter(F.col("rn") >= 15)
+        .select("symbol", "bucket", "atr_14")
+        .orderBy("symbol", "bucket")
+    )
+
+
+@register(
+    "obv_running",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    s AS (
+      SELECT symbol, bucket,
+             CASE WHEN lag("close") OVER w1 IS NULL THEN 0.0
+                  WHEN "close" > lag("close") OVER w1 THEN volume
+                  WHEN "close" < lag("close") OVER w1 THEN -volume
+                  ELSE 0.0 END AS signed_vol
+      FROM candles
+      WINDOW w1 AS (PARTITION BY symbol ORDER BY bucket))
+    SELECT symbol, bucket,
+           round(sum(signed_vol) OVER (PARTITION BY symbol ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING), 4) AS obv
+    FROM s
+    ORDER BY symbol, bucket
+    """,
+    doc="On-balance volume: the running sum of volume signed by the "
+    "close-to-close direction — the classic volume-flow confirmation "
+    "indicator. Sign via lag and the cumulative sum share one keyed "
+    "window sort; the first bucket contributes 0 by convention.",
+)
+def obv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close").over(w1)
+    signed = (
+        F.when(prev.isNull(), F.lit(0.0))
+        .when(F.col("close") > prev, F.col("volume"))
+        .when(F.col("close") < prev, -F.col("volume"))
+        .otherwise(F.lit(0.0))
+    )
+    run = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        _candles(spark, sf_dir)
+        .select("symbol", "bucket", signed.alias("signed_vol"))
+        .select(
+            "symbol",
+            "bucket",
+            F.round(F.sum("signed_vol").over(run), 4).alias("obv"),
+        )
+        .orderBy("symbol", "bucket")
+    )
+
+
+@register(
+    "max_drawdown",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    dd AS (
+      SELECT symbol,
+             1.0 - "close" / max("close") OVER (PARTITION BY symbol
+                                                ORDER BY bucket
+                                                ROWS UNBOUNDED PRECEDING)
+               AS drawdown
+      FROM candles)
+    SELECT symbol,
+           count(*) AS n_buckets,
+           round(max(drawdown), 6) AS max_drawdown
+    FROM dd GROUP BY symbol ORDER BY symbol
+    """,
+    doc="Maximum drawdown per symbol: largest peak-to-trough decline of "
+    "the close series, via a running max (one keyed window sort) and "
+    "a per-symbol max — the risk statistic every quant summary of the "
+    "reference's candle data would lead with. No global sort, no "
+    "self-join over time.",
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = _candles(spark, sf_dir).select(
+        "symbol",
+        (1.0 - F.col("close") / F.max("close").over(run)).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.max("drawdown"), 6).alias("max_drawdown"),
+        )
+        .orderBy("symbol")
+    )

@@ -1219,3 +1219,57 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT digit,
+           count(*) AS n,
+           round(count(*) * 1.0 / n.total, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(abs(count(*) * 1.0 / n.total
+                     - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+    FROM d CROSS JOIN n
+    GROUP BY digit, n.total
+    ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the classic "
+    "fabricated-data / corruption screen for financial columns "
+    "(digit share vs log10(1+1/d)). One narrow digit extraction, a "
+    "9-row grouped aggregate, the total as a 1-row broadcast. A "
+    "synthetic uniform price distribution (like TPC-H's) shows large "
+    "abs_dev by construction — the query reports the deviation, the "
+    "alert threshold is the caller's.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(
+                F.abs(F.col("n") * 1.0 / F.col("total") - benford), 6
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
