@@ -209,6 +209,8 @@ _POST_FREEZE = [
     "obv_running",
     "max_drawdown",
     "benford_first_digit",
+    # real video container: animated-PPM walking parser + frame sampling (r5)
+    "multimodal_video_frames",
 ]
 
 

@@ -145,6 +145,7 @@ HEADLINE = [
     "obv_running",
     "max_drawdown",
     "benford_first_digit",
+    "multimodal_video_frames",
 ]
 
 

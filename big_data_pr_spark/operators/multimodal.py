@@ -565,3 +565,126 @@ def decimate_audio(df: DataFrame, factor: int = 2) -> DataFrame:
         batches,
         schema="id long, payload binary, out_sample_rate int, n_samples long, rms double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: animated PPM — concatenated self-delimiting P6 frames.
+# A REAL container parse (the walker must decode each frame header to
+# find the next frame's offset), completing the image (PPM) / audio
+# (WAV) / video triple of codec-library-free multimodal paths.
+# ---------------------------------------------------------------------------
+
+
+def video_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, width, height) — closed-form in the id (SQL-replayable);
+    frame geometry reuses :func:`ppm_dims`."""
+    w, h = ppm_dims(doc_id)
+    return 3 + doc_id % 4, w, h
+
+
+def synthesize_ppm_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-PPM payloads: frame ``f`` has a constant
+    R channel ``(id + 17·f) % 256`` (so each frame's mean_r certifies
+    WHICH frame was decoded), G a horizontal 0..w-1 gradient, B a
+    vertical 0..h-1 gradient. Arrow-batched narrow map, no shuffle."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                n_frames, w, h = video_params(rid)
+                frames = []
+                for f in range(n_frames):
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = (rid + 17 * f) % 256
+                    px[:, :, 1] = (np.arange(w, dtype=np.uint8))[None, :]
+                    px[:, :, 2] = (np.arange(h, dtype=np.uint8))[:, None]
+                    frames.append(encode_ppm(px))
+                rows.append((rid, b"".join(frames)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        batches, schema="id long, payload binary"
+    )
+
+
+def parse_ppm_video(buf: bytes):
+    """Walk the concatenated P6 stream: parse each header, slice its
+    raster, continue at the next frame boundary. Returns a list of
+    ``(w, h, pixels)``. Raises on trailing garbage or a truncated
+    frame — corrupt containers fail loudly, not silently short."""
+    import re as _re
+
+    frames = []
+    off = 0
+    while off < len(buf):
+        m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t]*(?:\r\n|\n|\r| )", buf[off:])
+        if not m:
+            raise ValueError(f"malformed P6 frame header at offset {off}")
+        w, h = int(m.group(1)), int(m.group(2))
+        if int(m.group(3)) != 255:
+            raise NotImplementedError("only 8-bit frames supported")
+        start = off + m.end()
+        end = start + w * h * 3
+        if end > len(buf):
+            raise ValueError(f"truncated frame raster at offset {off}")
+        import numpy as np
+
+        px = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=start)
+        frames.append((w, h, px.reshape(h, w, 3)))
+        off = end
+    return frames
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
+    """Decode every ``stride``-th frame of each video payload (frame
+    sampling — the walker still parses EVERY header to find frame
+    boundaries, only rasters of skipped frames go undecoded) and emit
+    per-frame channel statistics. Arrow-batched, no shuffle; batch
+    memory is bounded by one payload's frames at a time."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                frames = parse_ppm_video(bytes(payload))
+                for f in range(0, len(frames), stride):
+                    w, h, px = frames[f]
+                    out.append(
+                        (
+                            int(rid),
+                            len(frames),
+                            f,
+                            w,
+                            h,
+                            float(np.mean(px[:, :, 0])),
+                            float(np.mean(px[:, :, 1])),
+                            float(np.mean(px[:, :, 2])),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id",
+                    "n_frames",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        batches,
+        schema="id long, n_frames int, frame_idx int, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )

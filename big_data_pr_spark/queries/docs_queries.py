@@ -2508,3 +2508,46 @@ def simhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id AS id,
+           CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+           CAST(f.f AS INTEGER) AS frame_idx,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 3) % 13 AS INTEGER) AS height,
+           round(CAST((doc_id + 17 * f.f) % 256 AS DOUBLE), 4) AS mean_r,
+           round((16 + doc_id % 17 - 1) / 2.0, 4) AS mean_g,
+           round((16 + (doc_id * 3) % 13 - 1) / 2.0, 4) AS mean_b
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 3 + doc_id % 4, 2)) AS f) f
+    ORDER BY id, frame_idx
+    """,
+    doc="REAL video-container path: deterministic animated-PPM payloads "
+    "(concatenated self-delimiting P6 frames) parsed by a walking "
+    "frame parser — every header must be decoded to find the next "
+    "frame boundary — with stride-2 frame sampling and per-frame "
+    "channel means. Frame f's constant R channel ((id+17f)%256) "
+    "certifies WHICH frame each row decoded, so the closed-form SQL "
+    "oracle replays geometry, sampling, and pixel statistics "
+    "cell-for-cell. Completes the codec-free multimodal triple: image "
+    "(P6 PPM), audio (PCM WAV), video (animated PPM). Zero-shuffle "
+    "Arrow maps (operators/multimodal.py::synthesize_ppm_video/"
+    "sample_video_frames).",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vids = multimodal.synthesize_ppm_video(docs, "doc_id")
+    frames = multimodal.sample_video_frames(vids, stride=2)
+    return frames.select(
+        "id",
+        "n_frames",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    ).orderBy("id", "frame_idx")

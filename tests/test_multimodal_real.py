@@ -156,3 +156,59 @@ def test_decimate_halves_and_keeps_even_samples(spark, sf_dir):
         assert row["out_sample_rate"] == multimodal.WAV_SAMPLE_RATE // 2
         _, _, back = multimodal.parse_wav(bytes(row["payload"]))
         assert (back == expect).all()
+
+
+# ---------------------------------------------------------------------------
+# Animated-PPM video container (concatenated self-delimiting P6 frames)
+# ---------------------------------------------------------------------------
+
+
+def test_video_roundtrip_frame_identity():
+    import numpy as np
+
+    from big_data_pr_spark.operators.multimodal import (
+        encode_ppm,
+        parse_ppm_video,
+    )
+
+    f0 = np.full((4, 5, 3), 7, dtype=np.uint8)
+    f1 = np.zeros((6, 3, 3), dtype=np.uint8)
+    f1[:, :, 2] = 200
+    buf = encode_ppm(f0) + encode_ppm(f1)
+    frames = parse_ppm_video(buf)
+    assert [(w, h) for w, h, _ in frames] == [(5, 4), (3, 6)]
+    np.testing.assert_array_equal(frames[0][2], f0)
+    np.testing.assert_array_equal(frames[1][2], f1)
+
+
+def test_video_trailing_garbage_and_truncation_fail_loudly():
+    import numpy as np
+    import pytest
+
+    from big_data_pr_spark.operators.multimodal import (
+        encode_ppm,
+        parse_ppm_video,
+    )
+
+    good = encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="malformed"):
+        parse_ppm_video(good + b"JUNK")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ppm_video(good[:-3])
+
+
+def test_video_sampling_decodes_correct_frames(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.operators import multimodal
+
+    ids = spark.range(40, 44).select(F.col("id").alias("doc_id"))
+    frames = multimodal.sample_video_frames(
+        multimodal.synthesize_ppm_video(ids, "doc_id"), stride=2
+    ).collect()
+    for r in frames:
+        n_frames, w, h = multimodal.video_params(r["id"])
+        assert r["n_frames"] == n_frames and r["frame_idx"] % 2 == 0
+        assert (r["width"], r["height"]) == (w, h)
+        # constant R channel pins WHICH frame was decoded
+        assert r["mean_r"] == (r["id"] + 17 * r["frame_idx"]) % 256
