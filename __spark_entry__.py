@@ -211,6 +211,11 @@ _POST_FREEZE = [
     "benford_first_digit",
     # real video container: animated-PPM walking parser + frame sampling (r5)
     "multimodal_video_frames",
+    # inequality/concentration metrics + drawdown duration (r5)
+    "gini_user_value",
+    "revenue_concentration",
+    "herfindahl_by_type",
+    "drawdown_duration",
 ]
 
 

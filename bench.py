@@ -146,6 +146,10 @@ HEADLINE = [
     "max_drawdown",
     "benford_first_digit",
     "multimodal_video_frames",
+    "gini_user_value",
+    "revenue_concentration",
+    "herfindahl_by_type",
+    "drawdown_duration",
 ]
 
 

@@ -1384,3 +1384,79 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@register(
+    "drawdown_duration",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    uw AS (
+      SELECT symbol, bucket,
+             CASE WHEN "close" < max("close") OVER (PARTITION BY symbol
+                                                    ORDER BY bucket
+                                                    ROWS UNBOUNDED PRECEDING)
+                  THEN 1 ELSE 0 END AS underwater
+      FROM candles),
+    grp AS (
+      SELECT symbol, underwater,
+             sum(1 - underwater) OVER (PARTITION BY symbol ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM uw),
+    runs AS (
+      SELECT symbol, island, count(*) AS run_len
+      FROM grp WHERE underwater = 1
+      GROUP BY symbol, island)
+    SELECT symbol,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT)
+             AS max_underwater_buckets,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS n_underwater
+    FROM (SELECT DISTINCT symbol FROM candles) s
+    LEFT JOIN runs r USING (symbol)
+    GROUP BY symbol
+    ORDER BY symbol
+    """,
+    doc="Drawdown duration: the longest consecutive underwater streak "
+    "(close below the running peak) per symbol, plus total underwater "
+    "buckets — the time dimension max_drawdown's depth metric lacks. "
+    "Gaps-and-islands via the running count of at-peak rows as the "
+    "island label; running max, island labeling, and the run "
+    "aggregate all ride one keyed window sort.",
+)
+def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    candles = _candles(spark, sf_dir)
+    uw = candles.select(
+        "symbol",
+        "bucket",
+        F.when(F.col("close") < F.max("close").over(run), 1)
+        .otherwise(0)
+        .alias("underwater"),
+    )
+    grp = uw.select(
+        "symbol",
+        "underwater",
+        F.sum(1 - F.col("underwater")).over(run).alias("island"),
+    )
+    runs = (
+        grp.filter(F.col("underwater") == 1)
+        .groupBy("symbol", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    syms = candles.select("symbol").distinct()
+    return (
+        syms.join(runs, "symbol", "left")
+        .groupBy("symbol")
+        .agg(
+            F.coalesce(F.max("run_len"), F.lit(0))
+            .cast("long")
+            .alias("max_underwater_buckets"),
+            F.coalesce(F.sum("run_len"), F.lit(0))
+            .cast("long")
+            .alias("n_underwater"),
+        )
+        .orderBy("symbol")
+    )

@@ -1273,3 +1273,128 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_user_value",
+    """
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS x FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS total
+      FROM per_user)
+    SELECT max(n) AS n_users,
+           round(2.0 * sum(i * x) / (max(n) * max(total))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-user total event value — the standard "
+    "inequality summary of an engagement/revenue distribution. One "
+    "grouped aggregate collapses the corpus to |users| rows; the rank "
+    "window and the closed-form Σi·x estimator run on that tiny "
+    "relation (deterministic (x, user_id) ordering). At 100 TB the "
+    "only full-data pass is the first aggregate.",
+)
+def gini_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "revenue_concentration",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+      GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+             count(*) OVER () AS n, sum(rev) OVER () AS total
+      FROM per_cust)
+    SELECT max(n) AS n_customers,
+           CAST(ceil(max(n) * 0.2) AS BIGINT) AS top20_count,
+           round(sum(CASE WHEN rk <= ceil(n * 0.2) THEN rev ELSE 0 END)
+                 / max(total), 6) AS top20_share
+    FROM ranked
+    """,
+    doc="Pareto concentration: revenue share of the top-20% customers — "
+    "the 80/20 health metric of any revenue base. Corpus collapses to "
+    "|customers| rows in one aggregate; ranking and the share run on "
+    "that relation with a deterministic (rev, custkey) tie-break.",
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.ceil(F.max("n") * 0.2).cast("long").alias("top20_count"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk") <= F.ceil(F.col("n") * 0.2), F.col("rev")
+                ).otherwise(0.0)
+            )
+            / F.max("total"),
+            6,
+        ).alias("top20_share"),
+    )
+
+
+@register(
+    "herfindahl_by_type",
+    """
+    WITH s AS (
+      SELECT event_type, sum(value) AS v FROM events GROUP BY event_type),
+    t AS (SELECT sum(v) AS total FROM s)
+    SELECT count(*) AS n_types,
+           round(sum(pow(s.v / t.total, 2)), 6) AS hhi
+    FROM s CROSS JOIN t
+    """,
+    doc="Herfindahl-Hirschman concentration index of value by event "
+    "type (Σ share² — 1/n for perfectly even, 1.0 for a monopoly "
+    "type): the mixture-balance gate for training-data source "
+    "composition, same family as mixture_weights. One grouped "
+    "aggregate + a 1-row broadcast.",
+)
+def herfindahl_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(F.sum("value").alias("v"))
+    t = s.agg(F.sum("v").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(F.pow(F.col("v") / F.col("total"), 2)), 6).alias(
+                "hhi"
+            ),
+        )
+    )
