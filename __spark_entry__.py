@@ -216,6 +216,8 @@ _POST_FREEZE = [
     "revenue_concentration",
     "herfindahl_by_type",
     "drawdown_duration",
+    # survival analysis: Kaplan-Meier with right-censoring (r5)
+    "survival_user_retention",
 ]
 
 

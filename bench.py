@@ -150,6 +150,7 @@ HEADLINE = [
     "revenue_concentration",
     "herfindahl_by_type",
     "drawdown_duration",
+    "survival_user_retention",
 ]
 
 

@@ -1398,3 +1398,109 @@ def herfindahl_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier product-limit estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "survival_user_retention",
+    """
+    WITH bounds AS (SELECT max(ts) AS t_end FROM events),
+    users AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(max(e.ts)) - epoch_us(min(e.ts)))
+                        / 86400e6) AS BIGINT) AS t_days,
+             CASE WHEN epoch_us(b.t_end) - epoch_us(max(e.ts))
+                       > 12 * 3600e6
+                  THEN 1 ELSE 0 END AS churned
+      FROM events e CROSS JOIN bounds b
+      GROUP BY user_id, b.t_end),
+    n AS (SELECT count(*) AS n0 FROM users),
+    ticks AS (
+      SELECT t_days,
+             count(*) AS n_leaving,
+             sum(churned) AS d_events
+      FROM users GROUP BY t_days),
+    km AS (
+      SELECT t_days, d_events,
+             n.n0 - coalesce(sum(n_leaving) OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n_risk
+      FROM ticks CROSS JOIN n)
+    SELECT t_days, n_risk, d_events,
+           round(exp(sum(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk))
+                     OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)),
+                 6) AS km_survival
+    FROM km
+    WHERE d_events > 0
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier user-retention curve with right-censoring: a "
+    "user's lifetime is first→last event (whole days); users still "
+    "active within 12 hours of the corpus end are CENSORED (they "
+    "leave the risk set without counting as churn) — the estimator "
+    "every retention dashboard approximates, done properly. The "
+    "corpus collapses to |users| rows, then |lifetime| ticks; the "
+    "product-limit Π(1 − d/n) runs as exp(Σln) so both engines "
+    "accumulate identically. Curve rows only at actual churn ticks.",
+)
+def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_micros  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.max(epoch_micros(F.col("ts"))).alias("t_end_us"))
+    users = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                (
+                    F.max(epoch_micros(F.col("ts")))
+                    - F.min(epoch_micros(F.col("ts")))
+                )
+                / 86400e6
+            )
+            .cast("long")
+            .alias("t_days"),
+            F.when(
+                F.max(F.col("t_end_us")) - F.max(epoch_micros(F.col("ts")))
+                > 12 * 3600e6,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    n = users.agg(F.count(F.lit(1)).alias("n0"))
+    ticks = users.groupBy("t_days").agg(
+        F.count(F.lit(1)).alias("n_leaving"),
+        F.sum("churned").alias("d_events"),
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    km = ticks.crossJoin(F.broadcast(n)).select(
+        "t_days",
+        "d_events",
+        (
+            F.col("n0")
+            - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(1.0 - F.col("d_events").cast("double") / F.col("n_risk"))
+        ).over(w_run)
+    )
+    return (
+        km.withColumn("km_survival", F.round(surv, 6))
+        .filter(F.col("d_events") > 0)
+        .select("t_days", "n_risk", "d_events", "km_survival")
+        .orderBy("t_days")
+    )
