@@ -218,6 +218,8 @@ _POST_FREEZE = [
     "drawdown_duration",
     # survival analysis: Kaplan-Meier with right-censoring (r5)
     "survival_user_retention",
+    # cross-series CAPM regression (r5)
+    "capm_beta_alpha",
 ]
 
 

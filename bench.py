@@ -151,6 +151,7 @@ HEADLINE = [
     "herfindahl_by_type",
     "drawdown_duration",
     "survival_user_retention",
+    "capm_beta_alpha",
 ]
 
 

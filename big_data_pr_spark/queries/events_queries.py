@@ -1460,3 +1460,60 @@ def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@register(
+    "capm_beta_alpha",
+    f"""
+    WITH candles AS ({_CANDLES_SQL}),
+    r AS (
+      SELECT symbol, bucket,
+             "close" / lag("close") OVER (PARTITION BY symbol
+                                          ORDER BY bucket) - 1 AS ret
+      FROM candles WHERE symbol IN ('purchase', 'view')),
+    aligned AS (
+      SELECT a.bucket, a.ret AS ra, m.ret AS rm
+      FROM r a JOIN r m ON a.bucket = m.bucket
+      WHERE a.symbol = 'purchase' AND m.symbol = 'view'
+        AND a.ret IS NOT NULL AND m.ret IS NOT NULL)
+    SELECT count(*) AS n_buckets,
+           round(covar_pop(ra, rm) / var_pop(rm), 6) AS beta,
+           round(avg(ra) - covar_pop(ra, rm) / var_pop(rm) * avg(rm), 6)
+             AS alpha,
+           round(corr(ra, rm), 6) AS r_corr
+    FROM aligned
+    """,
+    doc="CAPM-style regression of one series' hourly returns on "
+    "another's: β = cov(ra,rm)/var(rm), α = E[ra] − β·E[rm] — the "
+    "cross-asset exposure summary every pairs/hedging analysis of the "
+    "reference's candle data starts from (rolling_corr_pairs is the "
+    "windowed cousin). Returns via one keyed window sort, alignment "
+    "via one bucket-keyed join of the tiny candle series, moments in "
+    "a single aggregate.",
+)
+def capm_beta_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w1 = Window.partitionBy("symbol").orderBy("bucket")
+    r = (
+        _candles(spark, sf_dir)
+        .filter(F.col("symbol").isin("purchase", "view"))
+        .select(
+            "symbol",
+            "bucket",
+            (F.col("close") / F.lag("close").over(w1) - 1).alias("ret"),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    a = r.filter(F.col("symbol") == "purchase").select(
+        "bucket", F.col("ret").alias("ra")
+    )
+    m = r.filter(F.col("symbol") == "view").select(
+        "bucket", F.col("ret").alias("rm")
+    )
+    al = a.join(m, "bucket")
+    beta = F.covar_pop("ra", "rm") / F.var_pop("rm")
+    return al.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.avg("ra") - beta * F.avg("rm"), 6).alias("alpha"),
+        F.round(F.corr("ra", "rm"), 6).alias("r_corr"),
+    )
