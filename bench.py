@@ -155,7 +155,7 @@ HEADLINE = [
 ]
 
 
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 STREAM_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_ROWS", "200000"))
 
