@@ -220,6 +220,8 @@ _POST_FREEZE = [
     "survival_user_retention",
     # cross-series CAPM regression (r5)
     "capm_beta_alpha",
+    # fill-in-the-middle pretraining transform (r5)
+    "fim_transform",
 ]
 
 

@@ -152,6 +152,7 @@ HEADLINE = [
     "drawdown_duration",
     "survival_user_retention",
     "capm_beta_alpha",
+    "fim_transform",
 ]
 
 

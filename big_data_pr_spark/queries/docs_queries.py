@@ -2551,3 +2551,72 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     ).orderBy("id", "frame_idx")
+
+
+@register(
+    "fim_transform",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    cuts AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(floor(len(toks) / 3) AS BIGINT) AS c1,
+             CAST(floor(2 * len(toks) / 3) AS BIGINT) AS c2
+      FROM t)
+    SELECT doc_id, n AS n_tokens, c1, c2,
+           '<PRE>' || array_to_string(list_slice(toks, 1, c1), ' ')
+           || '<SUF>' || array_to_string(list_slice(toks, c2 + 1, n), ' ')
+           || '<MID>' || array_to_string(list_slice(toks, c1 + 1, c2), ' ')
+             AS fim_text
+    FROM cuts
+    WHERE n >= 3
+    ORDER BY doc_id
+    """,
+    doc="Fill-in-the-middle (PSM) pretraining transform: each document "
+    "splits at deterministic 1/3 and 2/3 token cuts and re-orders to "
+    "prefix ⊕ suffix ⊕ middle with sentinel markers — the standard "
+    "infilling-objective data prep (Bavarian et al.; OpenAI FIM). "
+    "Pure codegen string/array ops (split, slice, concat), zero "
+    "shuffle, zero Python; cut positions ride along so the loss mask "
+    "is reconstructible downstream. Deterministic cuts (vs the "
+    "usual random span) make the whole transform hash-certifiable; "
+    "a production pipeline would swap in a seeded hash-based cut.",
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    c1 = F.floor(n / 3).cast("long")
+    c2 = F.floor(2 * n / 3).cast("long")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        n.alias("n_tokens"),
+        c1.alias("c1"),
+        c2.alias("c2"),
+    ).filter(F.col("n_tokens") >= 3)
+    fim = F.concat(
+        F.lit("<PRE>"),
+        F.concat_ws(" ", F.slice(F.col("toks"), F.lit(1), F.col("c1"))),
+        F.lit("<SUF>"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                (F.col("c2") + 1).cast("int"),
+                (F.col("n_tokens") - F.col("c2")).cast("int"),
+            ),
+        ),
+        F.lit("<MID>"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                (F.col("c1") + 1).cast("int"),
+                (F.col("c2") - F.col("c1")).cast("int"),
+            ),
+        ),
+    )
+    return base.select(
+        "doc_id", "n_tokens", "c1", "c2", fim.alias("fim_text")
+    ).orderBy("doc_id")
