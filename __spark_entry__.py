@@ -222,6 +222,8 @@ _POST_FREEZE = [
     "capm_beta_alpha",
     # fill-in-the-middle pretraining transform (r5)
     "fim_transform",
+    # LLM-watermark screening for synthetic-text contamination (r5)
+    "watermark_greenlist_zscore",
 ]
 
 

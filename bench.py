@@ -153,6 +153,7 @@ HEADLINE = [
     "survival_user_retention",
     "capm_beta_alpha",
     "fim_transform",
+    "watermark_greenlist_zscore",
 ]
 
 

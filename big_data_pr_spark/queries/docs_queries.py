@@ -2620,3 +2620,65 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "n_tokens", "c1", "c2", fim.alias("fim_text")
     ).orderBy("doc_id")
+
+
+@register(
+    "watermark_greenlist_zscore",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(w || '|wm42'), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  THEN 1 ELSE 0 END AS green
+      FROM tok),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tok, sum(green) AS n_green
+      FROM flags GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_green,
+           round(CAST(n_green AS DOUBLE) / n_tok, 6) AS green_frac,
+           round((n_green - 0.5 * n_tok) / sqrt(n_tok * 0.25), 6) AS z
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="LLM-watermark detection (Kirchenbauer-style green-list test): "
+    "each vocabulary token is hashed into a γ=0.5 'green list' (seeded "
+    "md5 partition — engine-portable), and each document's green fraction "
+    "is z-scored against the null Binomial(n, γ). Human/unwatermarked "
+    "text sits near z=0; text generated with a green-biased sampler "
+    "shows z≫0 — the screen a training pipeline runs to keep "
+    "synthetic (watermarked) text out of the pretraining corpus. One "
+    "explode + per-doc aggregate, hash arithmetic in codegen.",
+)
+def watermark_greenlist_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    green = (
+        F.when(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit("|wm42"))), 1, 1)
+            .isin(*"01234567"),
+            1,
+        )
+        .otherwise(0)
+    )
+    per_doc = tok.select("doc_id", green.alias("green")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("green").alias("n_green")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "n_green",
+        F.round(F.col("n_green").cast("double") / F.col("n_tok"), 6).alias(
+            "green_frac"
+        ),
+        F.round(
+            (F.col("n_green") - 0.5 * F.col("n_tok"))
+            / F.sqrt(F.col("n_tok") * 0.25),
+            6,
+        ).alias("z"),
+    ).orderBy("doc_id")
