@@ -224,6 +224,8 @@ _POST_FREEZE = [
     "fim_transform",
     # LLM-watermark screening for synthetic-text contamination (r5)
     "watermark_greenlist_zscore",
+    # word-list safety filter (r5)
+    "blocklist_hit_rate",
 ]
 
 

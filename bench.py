@@ -154,6 +154,7 @@ HEADLINE = [
     "capm_beta_alpha",
     "fim_transform",
     "watermark_greenlist_zscore",
+    "blocklist_hit_rate",
 ]
 
 

@@ -2682,3 +2682,56 @@ def watermark_greenlist_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     ).orderBy("doc_id")
+
+
+_BLOCKLIST = ["error", "slow", "dup"]  # literal policy list (fixture vocab)
+
+
+@register(
+    "blocklist_hit_rate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, lang, count(*) AS n_tok,
+             sum(CASE WHEN w IN ('{"','".join(_BLOCKLIST)}')
+                      THEN 1 ELSE 0 END) AS n_hits
+      FROM tok GROUP BY doc_id, lang)
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN CAST(n_hits AS DOUBLE) / n_tok > 0.05
+                    THEN 1 ELSE 0 END) AS n_flagged,
+           round(avg(CAST(n_hits AS DOUBLE) / n_tok), 6) AS mean_hit_rate
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Safety/content word-list filter: per-document hit rate against "
+    "a literal blocklist, flagging docs above a 5% token threshold, "
+    "summarized per language — the list-based screening stage every "
+    "corpus pipeline runs before model-based filters (the fast, "
+    "auditable first gate). One explode + two grouped aggregates; in "
+    "production the literal IN folds to a broadcast set of any size.",
+)
+def blocklist_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    per_doc = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(
+            F.when(F.col("w").isin(_BLOCKLIST), 1).otherwise(0)
+        ).alias("n_hits"),
+    )
+    rate = F.col("n_hits").cast("double") / F.col("n_tok")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(rate > 0.05, 1).otherwise(0)).alias("n_flagged"),
+            F.round(F.avg(rate), 6).alias("mean_hit_rate"),
+        )
+        .orderBy("lang")
+    )
