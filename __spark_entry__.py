@@ -226,6 +226,9 @@ _POST_FREEZE = [
     "watermark_greenlist_zscore",
     # word-list safety filter (r5)
     "blocklist_hit_rate",
+    # evaluation metrics: calibration + retrieval NDCG (r5)
+    "score_calibration_bins",
+    "bm25_ndcg_eval",
 ]
 
 

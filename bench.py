@@ -155,6 +155,8 @@ HEADLINE = [
     "fim_transform",
     "watermark_greenlist_zscore",
     "blocklist_hit_rate",
+    "score_calibration_bins",
+    "bm25_ndcg_eval",
 ]
 
 

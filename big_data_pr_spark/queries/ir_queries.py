@@ -291,3 +291,122 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, threshold=0.02, max_doc_freq=100)
+
+
+@register(
+    "bm25_ndcg_eval",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, ' ', '')) + 1) AS dl
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    qtok AS (SELECT * FROM tok WHERE term IN {_TERMS_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    rel AS (
+      SELECT doc_id, CASE WHEN count(DISTINCT term) = 3 THEN 1 ELSE 0 END
+               AS relevant
+      FROM tf GROUP BY doc_id),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / s.avgdl))), 6) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT s.doc_id, r.relevant,
+             row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rk
+      FROM scored s JOIN rel r USING (doc_id)),
+    nrel AS (SELECT sum(relevant) AS n_relevant FROM ranked),
+    dcg AS (
+      SELECT sum(relevant / log2(rk + 1)) AS dcg,
+             sum(relevant) AS hits_at_10
+      FROM ranked WHERE rk <= 10),
+    idcg AS (
+      SELECT sum(1.0 / log2(r + 1)) AS idcg
+      FROM (SELECT unnest(range(1, 11)) AS r) t CROSS JOIN nrel
+      WHERE r <= least(nrel.n_relevant, 10))
+    SELECT CAST(nrel.n_relevant AS BIGINT) AS n_relevant,
+           CAST(dcg.hits_at_10 AS BIGINT) AS hits_at_10,
+           round(dcg.dcg, 6) AS dcg_10,
+           round(idcg.idcg, 6) AS idcg_10,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg_10
+    FROM dcg CROSS JOIN idcg CROSS JOIN nrel
+    """,
+    doc="Retrieval-quality evaluation of the BM25 ranker: NDCG@10 with "
+    "binary relevance (docs containing ALL query terms), the ranking "
+    "ordered by rounded score + doc_id so both engines agree on ties. "
+    "DCG over the top-10, ideal DCG from the relevant count, all from "
+    "the same single-pass BM25 state as bm25_search_lit — the "
+    "evaluation half of the IR family (same pattern as "
+    "minhash_eval_metrics for dedup).",
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", n_tokens(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rel = tf.groupBy("doc_id").agg(
+        F.when(F.countDistinct("term") == 3, 1).otherwise(0).alias("relevant")
+    )
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1) / norm
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    ranked = scored.join(rel, "doc_id").select(
+        "relevant",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rk"),
+    )
+    nrel = ranked.agg(F.sum("relevant").alias("n_relevant"))
+    dcg = ranked.filter(F.col("rk") <= 10).agg(
+        F.sum(F.col("relevant") / F.log2(F.col("rk") + 1)).alias("dcg"),
+        F.sum("relevant").alias("hits_at_10"),
+    )
+    idcg = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("r"))
+        .crossJoin(F.broadcast(nrel))
+        .filter(F.col("r") <= F.least(F.col("n_relevant"), F.lit(10)))
+        .agg(F.sum(1.0 / F.log2(F.col("r") + 1)).alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.col("hits_at_10").cast("long").alias("hits_at_10"),
+            F.round("dcg", 6).alias("dcg_10"),
+            F.round("idcg", 6).alias("idcg_10"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_10"),
+        )
+    )

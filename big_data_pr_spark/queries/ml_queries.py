@@ -500,3 +500,59 @@ def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.abs(F.col("pc1"))), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "score_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT 1.0 / (1.0 + exp(-(-2.0 + 0.01 * value
+                                + 0.05 * extract(hour FROM ts)))) AS prob,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    binned AS (
+      SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin, prob, y
+      FROM scored)
+    SELECT bin,
+           count(*) AS n,
+           round(avg(prob), 6) AS mean_pred,
+           round(avg(CAST(y AS DOUBLE)), 6) AS obs_rate,
+           round(abs(avg(prob) - avg(CAST(y AS DOUBLE))), 6) AS abs_gap
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="Reliability diagram / calibration audit of the linear scorer "
+    "(logreg_score_events' literal model) against the purchase label: "
+    "10 equal-width probability bins, mean predicted vs observed rate "
+    "and the per-bin gap (the rows a weighted sum turns into ECE). "
+    "One scan, one 10-row aggregate — the post-AUC calibration check "
+    "every deployed scorer needs (auc_value_predicts_purchase ranks, "
+    "this measures whether the probabilities MEAN anything).",
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    prob = 1.0 / (
+        1.0 + F.exp(-(-2.0 + 0.01 * F.col("value") + 0.05 * F.col("hour")))
+    )
+    binned = ev.select(
+        F.least(F.floor(prob * 10).cast("long"), F.lit(9)).alias("bin"),
+        prob.alias("prob"),
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("prob"), 6).alias("mean_pred"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("obs_rate"),
+            F.round(
+                F.abs(F.avg("prob") - F.avg(F.col("y").cast("double"))), 6
+            ).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
