@@ -229,6 +229,8 @@ _POST_FREEZE = [
     # evaluation metrics: calibration + retrieval NDCG (r5)
     "score_calibration_bins",
     "bm25_ndcg_eval",
+    # exact sliding-window distinct (DAU/WAU/stickiness) (r5)
+    "rolling_7d_active_users",
 ]
 
 

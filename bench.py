@@ -157,6 +157,7 @@ HEADLINE = [
     "blocklist_hit_rate",
     "score_calibration_bins",
     "bm25_ndcg_eval",
+    "rolling_7d_active_users",
 ]
 
 

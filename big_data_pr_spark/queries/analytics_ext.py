@@ -1315,3 +1315,68 @@ def cms_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    spine AS (SELECT DISTINCT day FROM user_days),
+    contrib AS (
+      SELECT ud.user_id, ud.day + CAST(i.i AS INTEGER) AS target_day
+      FROM user_days ud,
+           LATERAL (SELECT unnest(range(0, 7)) AS i) i),
+    wau AS (
+      SELECT target_day AS day, count(DISTINCT user_id) AS active_7d
+      FROM contrib GROUP BY target_day),
+    dau AS (
+      SELECT day, count(DISTINCT user_id) AS active_1d
+      FROM user_days GROUP BY day)
+    SELECT s.day, d.active_1d, w.active_7d,
+           round(CAST(d.active_1d AS DOUBLE) / w.active_7d, 6)
+             AS stickiness
+    FROM spine s JOIN dau d USING (day) JOIN wau w USING (day)
+    ORDER BY s.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per calendar day — the "
+    "product-analytics engagement staple. Exact sliding-window "
+    "DISTINCT (which window functions can't express) via the "
+    "contribution-explode trick: each (user, day) fans out to the 7 "
+    "target days it keeps the user active for — a NARROW 7× map, no "
+    "self-join — then one distinct-count per target day. At 100 TB "
+    "the fanout is 7×|user-days|, bounded and shuffle-keyed by day; "
+    "the usual approximate swap (HLL partials per day, merged across "
+    "the window) is the documented >30-day variant.",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date(trunc_wallclock("day", F.col("ts"))).alias("day")
+    ).distinct()
+    spine = user_days.select("day").distinct()
+    contrib = user_days.crossJoin(
+        F.broadcast(
+            spark.range(0, 7).select(F.col("id").cast("int").alias("i"))
+        )
+    ).select("user_id", F.date_add(F.col("day"), F.col("i")).alias("target_day"))
+    wau = contrib.groupBy(F.col("target_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_1d")
+    )
+    return (
+        spine.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "active_1d",
+            "active_7d",
+            F.round(
+                F.col("active_1d").cast("double") / F.col("active_7d"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
