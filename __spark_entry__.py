@@ -231,6 +231,7 @@ _POST_FREEZE = [
     "bm25_ndcg_eval",
     # exact sliding-window distinct (DAU/WAU/stickiness) (r5)
     "rolling_7d_active_users",
+    "new_vs_returning_daily",
 ]
 
 

@@ -158,6 +158,7 @@ HEADLINE = [
     "score_calibration_bins",
     "bm25_ndcg_eval",
     "rolling_7d_active_users",
+    "new_vs_returning_daily",
 ]
 
 

@@ -1380,3 +1380,47 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(day) AS first_day FROM user_days GROUP BY user_id)
+    SELECT ud.day,
+           sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS new_users,
+           sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+             AS returning_users
+    FROM user_days ud JOIN firsts f USING (user_id)
+    GROUP BY ud.day
+    ORDER BY ud.day
+    """,
+    doc="New vs returning users per day: each active (user, day) is "
+    "classified against the user's first-seen day — the daily "
+    "acquisition/retention split cohort_retention aggregates weekly. "
+    "Corpus collapses to |user-days| rows, first-seen is one keyed "
+    "aggregate joined back (broadcast at dim scale), one grouped "
+    "count per day.",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date(trunc_wallclock("day", F.col("ts"))).alias("day")
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
