@@ -232,6 +232,10 @@ _POST_FREEZE = [
     # exact sliding-window distinct (DAU/WAU/stickiness) (r5)
     "rolling_7d_active_users",
     "new_vs_returning_daily",
+    # volatility clustering, WoW growth, burstiness (r5)
+    "arch_effect_lags",
+    "wow_growth_by_type",
+    "burstiness_fano_per_user",
 ]
 
 

@@ -159,6 +159,9 @@ HEADLINE = [
     "bm25_ndcg_eval",
     "rolling_7d_active_users",
     "new_vs_returning_daily",
+    "arch_effect_lags",
+    "wow_growth_by_type",
+    "burstiness_fano_per_user",
 ]
 
 

@@ -1504,3 +1504,138 @@ def survival_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t_days", "n_risk", "d_events", "km_survival")
         .orderBy("t_days")
     )
+
+
+@register(
+    "arch_effect_lags",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT h, pow(v / lag(v) OVER (ORDER BY h) - 1, 2) AS r2
+      FROM hourly),
+    clean AS (SELECT h, r2 FROM r WHERE r2 IS NOT NULL),
+    lags AS (SELECT unnest([1, 2, 3]) AS lag)
+    SELECT l.lag,
+           count(*) AS n_pairs,
+           round(corr(cur.r2, prev.r2), 6) AS acf_sq
+    FROM lags l
+    JOIN clean cur ON TRUE
+    JOIN clean prev ON prev.h = cur.h - l.lag
+    GROUP BY l.lag ORDER BY l.lag
+    """,
+    doc="ARCH-effect diagnostic: autocorrelation of SQUARED hourly "
+    "returns at lags 1-3 — volatility clustering (Engle's ARCH LM "
+    "proxy), the test that decides whether a GARCH-family model is "
+    "warranted for the reference's price series. Same collapsed-series "
+    "shape as acf_value_lags: all joins run on the hours-sized "
+    "relation, never raw events.",
+)
+def arch_effect_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_seconds, trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (epoch_seconds(trunc_wallclock("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h")
+    ).agg(F.avg("value").alias("v"))
+    w = Window.orderBy("h")
+    clean = hourly.select(
+        "h",
+        F.pow(F.col("v") / F.lag("v").over(w) - 1, 2).alias("r2"),
+    ).filter(F.col("r2").isNotNull())
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    cur = clean.select(F.col("h").alias("h_cur"), F.col("r2").alias("r2_cur"))
+    prev = clean.select(F.col("h").alias("h_prev"), F.col("r2").alias("r2_prev"))
+    return (
+        F.broadcast(lags)
+        .crossJoin(cur)
+        .join(prev, F.col("h_prev") == F.col("h_cur") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("r2_cur", "r2_prev"), 6).alias("acf_sq"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "wow_growth_by_type",
+    """
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY event_type, date_trunc('week', ts))
+    SELECT event_type, week, total,
+           round(total / lag(total) OVER (PARTITION BY event_type
+                                          ORDER BY week) - 1, 6)
+             AS wow_growth
+    FROM weekly
+    ORDER BY event_type, week
+    """,
+    doc="Week-over-week growth per event type — the BI staple: weekly "
+    "sums (one grouped aggregate) + lag ratio on the weeks-sized "
+    "relation; first week NULL by construction on both engines.",
+)
+def wow_growth_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.to_date(trunc_wallclock("week", F.col("ts"))).alias("week"),
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "total",
+        F.round(F.col("total") / F.lag("total").over(w) - 1, 6).alias(
+            "wow_growth"
+        ),
+    ).orderBy("event_type", "week")
+
+
+@register(
+    "burstiness_fano_per_user",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts))
+    SELECT user_id,
+           count(*) AS n_active_hours,
+           round(avg(n), 6) AS mean_per_hour,
+           round(var_pop(n) / avg(n), 6) AS fano
+    FROM hourly
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Burstiness (Fano factor = var/mean of active-hour event "
+    "counts) per user: ≈1 for Poisson-like organic activity, ≫1 for "
+    "bursty bot/scraper traffic, ≪1 for metronomic automation — the "
+    "cheap behavioral abuse signal. Two keyed aggregates, state "
+    "bounded by |user×hour| then |users|. (Zero-count hours are "
+    "excluded: this is burstiness GIVEN activity, the form that needs "
+    "no calendar spine.)",
+)
+def burstiness_fano_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import trunc_wallclock  # noqa: PLC0415
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", trunc_wallclock("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.round(F.avg("n"), 6).alias("mean_per_hour"),
+            F.round(F.var_pop("n") / F.avg("n"), 6).alias("fano"),
+        )
+        .orderBy("user_id")
+    )
