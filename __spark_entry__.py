@@ -236,6 +236,8 @@ _POST_FREEZE = [
     "arch_effect_lags",
     "wow_growth_by_type",
     "burstiness_fano_per_user",
+    "user_event_entropy",
+    "dn_retention",
 ]
 
 

@@ -162,6 +162,8 @@ HEADLINE = [
     "arch_effect_lags",
     "wow_growth_by_type",
     "burstiness_fano_per_user",
+    "user_event_entropy",
+    "dn_retention",
 ]
 
 

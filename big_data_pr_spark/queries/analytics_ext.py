@@ -1424,3 +1424,101 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH mix AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    tot AS (
+      SELECT user_id, sum(n) AS total FROM mix GROUP BY user_id)
+    SELECT m.user_id,
+           count(*) AS n_types,
+           round(-sum((m.n * 1.0 / t.total)
+                      * ln(m.n * 1.0 / t.total) / ln(2)), 6)
+             AS entropy_bits
+    FROM mix m JOIN tot t USING (user_id)
+    GROUP BY m.user_id
+    ORDER BY m.user_id
+    """,
+    doc="Behavioral diversity: Shannon entropy (bits) of each user's "
+    "event-type mix — near zero for single-action automation, high "
+    "for organic multi-action sessions; the companion signal to "
+    "burstiness_fano_per_user. State is |user×type| then |users|, "
+    "entropy arithmetic in codegen.",
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = mix.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("total")
+    return (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "dn_retention",
+    """
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(day) AS cohort FROM user_days GROUP BY user_id),
+    flags AS (
+      SELECT f.cohort, f.user_id,
+             max(CASE WHEN ud.day = f.cohort + 1 THEN 1 ELSE 0 END) AS d1,
+             max(CASE WHEN ud.day = f.cohort + 3 THEN 1 ELSE 0 END) AS d3,
+             max(CASE WHEN ud.day = f.cohort + 7 THEN 1 ELSE 0 END) AS d7
+      FROM firsts f JOIN user_days ud USING (user_id)
+      GROUP BY f.cohort, f.user_id)
+    SELECT cohort,
+           count(*) AS n_users,
+           round(avg(CAST(d1 AS DOUBLE)), 6) AS d1_rate,
+           round(avg(CAST(d3 AS DOUBLE)), 6) AS d3_rate,
+           round(avg(CAST(d7 AS DOUBLE)), 6) AS d7_rate
+    FROM flags
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+    doc="Classic D1/D3/D7 retention by daily signup cohort — the growth "
+    "metric every product review leads with (cohort_retention is the "
+    "weekly-matrix cousin). Corpus collapses to |user-days|, the "
+    "offset checks are conditional maxes on the user's own day set "
+    "(no calendar join), rates per cohort in one aggregate.",
+)
+def dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date(trunc_wallclock("day", F.col("ts"))).alias("day")
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    joined = firsts.join(user_days, "user_id")
+    flag = lambda off: F.max(  # noqa: E731
+        F.when(F.col("day") == F.date_add(F.col("cohort"), off), 1).otherwise(0)
+    )
+    flags = joined.groupBy("cohort", "user_id").agg(
+        flag(1).alias("d1"), flag(3).alias("d3"), flag(7).alias("d7")
+    )
+    return (
+        flags.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg(F.col("d1").cast("double")), 6).alias("d1_rate"),
+            F.round(F.avg(F.col("d3").cast("double")), 6).alias("d3_rate"),
+            F.round(F.avg(F.col("d7").cast("double")), 6).alias("d7_rate"),
+        )
+        .orderBy("cohort")
+    )
