@@ -238,6 +238,10 @@ _POST_FREEZE = [
     "burstiness_fano_per_user",
     "user_event_entropy",
     "dn_retention",
+    # operations analytics: SLA latency, promo bands, ABC classes (r5)
+    "ship_latency_percentiles",
+    "discount_band_analysis",
+    "abc_analysis_parts",
 ]
 
 

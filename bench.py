@@ -164,6 +164,9 @@ HEADLINE = [
     "burstiness_fano_per_user",
     "user_event_entropy",
     "dn_retention",
+    "ship_latency_percentiles",
+    "discount_band_analysis",
+    "abc_analysis_parts",
 ]
 
 

@@ -1522,3 +1522,148 @@ def dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(epoch(l.l_shipdate) - epoch(o.o_orderdate) AS DOUBLE)
+               / 86400.0 AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(quantile_cont(days, 0.5), 6) AS p50_days,
+           round(quantile_cont(days, 0.9), 6) AS p90_days,
+           round(max(days), 6) AS max_days
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship latency distribution per priority class — the "
+    "operations SLA view (does URGENT actually ship faster?). One "
+    "fact-fact join keyed by orderkey (co-located under bucketing) "
+    "feeding a per-class exact-percentile aggregate; "
+    "approx_percentile is the documented 100 TB swap.",
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        (
+            (
+                epoch_micros(F.col("l_shipdate"))
+                - epoch_micros(F.col("o_orderdate"))
+            )
+            / 86400e6
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+            F.round(F.max("days"), 6).alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "discount_band_analysis",
+    """
+    SELECT CAST(floor(l_discount * 100 / 2) * 2 AS BIGINT) AS discount_band_pct,
+           count(*) AS n_items,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * l_discount), 2) AS discount_cost
+    FROM lineitem
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Promo-effectiveness view: 2-percentage-point discount bands vs "
+    "volume, realized revenue, and discount cost — the analysis behind "
+    "TPC-H Q19's promo predicate, generalized to the full band "
+    "spectrum. One scan, one small grouped aggregate.",
+)
+def discount_band_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    band = (F.floor(F.col("l_discount") * 100 / 2) * 2).cast("long")
+    return (
+        li.groupBy(band.alias("discount_band_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("discount_cost"),
+        )
+        .orderBy("discount_band_pct")
+    )
+
+
+@register(
+    "abc_analysis_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+                  WHEN cum_rev / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class, rev
+      FROM ranked)
+    SELECT abc_class,
+           count(*) AS n_parts,
+           round(sum(rev), 2) AS class_revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="ABC inventory classification: parts ranked by revenue, classed "
+    "A/B/C at the 80/95% cumulative-share cuts — the Pareto "
+    "prioritization every inventory/caching policy starts from. The "
+    "corpus collapses to |parts| rows before the ranking window "
+    "(deterministic (rev, partkey) tie-break); at 100 TB the global "
+    "running share runs on the parts relation, never lineitem.",
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum_rev") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
