@@ -242,6 +242,9 @@ _POST_FREEZE = [
     "ship_latency_percentiles",
     "discount_band_analysis",
     "abc_analysis_parts",
+    "supplier_scorecard",
+    "cross_region_trade_matrix",
+    "returns_analysis",
 ]
 
 

@@ -167,6 +167,9 @@ HEADLINE = [
     "ship_latency_percentiles",
     "discount_band_analysis",
     "abc_analysis_parts",
+    "supplier_scorecard",
+    "cross_region_trade_matrix",
+    "returns_analysis",
 ]
 
 

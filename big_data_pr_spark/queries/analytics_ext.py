@@ -1667,3 +1667,197 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "supplier_scorecard",
+    """
+    WITH perf AS (
+      SELECT l.l_suppkey,
+             l.l_extendedprice * (1 - l.l_discount) AS rev,
+             l.l_partkey,
+             CASE WHEN epoch(l.l_shipdate) - epoch(o.o_orderdate)
+                       <= 60 * 86400 THEN 1 ELSE 0 END AS on_time
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT s.s_name,
+           count(*) AS n_items,
+           count(DISTINCT p.l_partkey) AS n_parts,
+           round(sum(p.rev), 2) AS revenue,
+           round(avg(CAST(p.on_time AS DOUBLE)), 6) AS on_time_60d_rate
+    FROM perf p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY revenue DESC, s.s_name
+    LIMIT 25
+    """,
+    doc="Vendor KPI scorecard: per supplier — shipped volume, part "
+    "breadth, revenue, and a 60-day on-time rate — the procurement "
+    "dashboard built from one orderkey-keyed fact join plus a "
+    "broadcast supplier dim; top-25 by revenue with a name tie-break.",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    perf = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.when(
+            epoch_micros(F.col("l_shipdate"))
+            - epoch_micros(F.col("o_orderdate"))
+            <= 60 * 86400e6,
+            1,
+        )
+        .otherwise(0)
+        .alias("on_time"),
+    )
+    return (
+        perf.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            perf["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(F.avg(F.col("on_time").cast("double")), 6).alias(
+                "on_time_60d_rate"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "cross_region_trade_matrix",
+    """
+    SELECT cr.r_name AS cust_region, sr.r_name AS supp_region,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region cr  ON cr.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN region sr  ON sr.r_regionkey = sn.n_regionkey
+    GROUP BY cr.r_name, sr.r_name
+    ORDER BY cust_region, supp_region
+    """,
+    doc="Full customer-region × supplier-region trade matrix — the "
+    "complete-matrix generalization of TPC-H Q5 (intra-region only) "
+    "and Q7 (one nation pair): 7-way star join where every dimension "
+    "side broadcasts and the fact pair shuffles once on orderkey; "
+    "|regions|² output rows.",
+)
+def cross_region_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "supplier")
+    cust_side = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.withColumnRenamed("r_name", "cust_region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "cust_region")
+    )
+    supp_side = (
+        s.join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sn_nationkey"),
+                    F.col("n_regionkey").alias("sn_regionkey"),
+                )
+            ),
+            s["s_nationkey"] == F.col("sn_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                r.select(
+                    F.col("r_regionkey").alias("sr_regionkey"),
+                    F.col("r_name").alias("supp_region"),
+                )
+            ),
+            F.col("sn_regionkey") == F.col("sr_regionkey"),
+        )
+        .select("s_suppkey", "supp_region")
+    )
+    return (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_side), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_side), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("cust_region", "supp_region")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("cust_region", "supp_region")
+    )
+
+
+@register(
+    "returns_analysis",
+    """
+    SELECT o.o_orderpriority,
+           CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           count(*) AS n_items,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+             AS return_rate
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority, date_trunc('month', l.l_shipdate)
+    HAVING count(*) >= 10
+    ORDER BY o_orderpriority, ship_month
+    """,
+    doc="Return-rate KPI by priority × ship month (cells under 10 items "
+    "suppressed as noise) — the quality-trend monitor on the returns "
+    "flag TPC-H Q10 aggregates once. One fact join + grouped "
+    "conditional aggregate.",
+)
+def returns_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.to_date(trunc_wallclock("month", F.col("l_shipdate"))).alias(
+                "ship_month"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+            F.round(
+                F.avg(
+                    F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("return_rate"),
+        )
+        .filter(F.col("n_items") >= 10)
+        .orderBy("o_orderpriority", "ship_month")
+    )
