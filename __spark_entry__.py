@@ -245,6 +245,8 @@ _POST_FREEZE = [
     "supplier_scorecard",
     "cross_region_trade_matrix",
     "returns_analysis",
+    "price_realization_by_brand",
+    "segment_nation_share",
 ]
 
 

@@ -170,6 +170,8 @@ HEADLINE = [
     "supplier_scorecard",
     "cross_region_trade_matrix",
     "returns_analysis",
+    "price_realization_by_brand",
+    "segment_nation_share",
 ]
 
 

@@ -1861,3 +1861,93 @@ def returns_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_items") >= 10)
         .orderBy("o_orderpriority", "ship_month")
     )
+
+
+@register(
+    "price_realization_by_brand",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           round(avg(l.l_extendedprice / l.l_quantity
+                     / p.p_retailprice), 6) AS realization_ratio,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="Price realization per brand: achieved unit price vs list "
+    "(retail) price — the pricing-power KPI (ratio < 1 means selling "
+    "below list). Broadcast part dim onto the fact scan, one grouped "
+    "aggregate; |brands| output rows.",
+)
+def price_realization_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    ratio = (
+        F.col("l_extendedprice") / F.col("l_quantity") / F.col("p_retailprice")
+    )
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(ratio), 6).alias("realization_ratio"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "segment_nation_share",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment, n.n_name,
+             sum(o.o_totalprice) AS seg_nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_mktsegment, n.n_name)
+    SELECT c_mktsegment, n_name,
+           round(seg_nation_rev, 2) AS revenue,
+           round(seg_nation_rev
+                 / sum(seg_nation_rev) OVER (PARTITION BY c_mktsegment), 6)
+             AS share_of_segment
+    FROM rev
+    ORDER BY c_mktsegment, n_name
+    """,
+    doc="Revenue share of each nation within each market segment — the "
+    "ratio-to-report window shape (share of parent) over a "
+    "|segments×nations| aggregate; dims broadcast, the share window "
+    "runs on the tiny grouped relation.",
+)
+def segment_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment", "c_nationkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.sum("o_totalprice").alias("seg_nation_rev"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return rev.select(
+        "c_mktsegment",
+        "n_name",
+        F.round("seg_nation_rev", 2).alias("revenue"),
+        F.round(
+            F.col("seg_nation_rev") / F.sum("seg_nation_rev").over(w), 6
+        ).alias("share_of_segment"),
+    ).orderBy("c_mktsegment", "n_name")
