@@ -247,6 +247,8 @@ _POST_FREEZE = [
     "returns_analysis",
     "price_realization_by_brand",
     "segment_nation_share",
+    "customer_ltv_deciles",
+    "acctbal_spend_corr",
 ]
 
 

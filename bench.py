@@ -172,6 +172,8 @@ HEADLINE = [
     "returns_analysis",
     "price_realization_by_brand",
     "segment_nation_share",
+    "customer_ltv_deciles",
+    "acctbal_spend_corr",
 ]
 
 

@@ -1951,3 +1951,87 @@ def segment_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seg_nation_rev") / F.sum("seg_nation_rev").over(w), 6
         ).alias("share_of_segment"),
     ).orderBy("c_mktsegment", "n_name")
+
+
+@register(
+    "customer_ltv_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS ltv, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT ltv, n_orders,
+             ntile(10) OVER (ORDER BY ltv DESC, o_custkey) AS decile
+      FROM spend)
+    SELECT decile,
+           count(*) AS n_customers,
+           round(sum(ltv), 2) AS decile_revenue,
+           round(avg(ltv), 2) AS avg_ltv,
+           round(avg(CAST(n_orders AS DOUBLE)), 6) AS avg_orders
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    doc="Customer lifetime-value deciles: customers ranked by total "
+    "spend into ntile(10) bands with per-decile revenue/LTV/order "
+    "stats — the segmentation view behind revenue_concentration's "
+    "single top-20% number. Corpus collapses to |customers| before "
+    "the ranking window; deterministic (ltv, custkey) tie-break.",
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("ltv"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("ltv"), "o_custkey")
+    ranked = spend.select(
+        "ltv", "n_orders", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("ltv"), 2).alias("decile_revenue"),
+            F.round(F.avg("ltv"), 2).alias("avg_ltv"),
+            F.round(F.avg(F.col("n_orders").cast("double")), 6).alias(
+                "avg_orders"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "acctbal_spend_corr",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT count(*) AS n_customers,
+           round(corr(c.c_acctbal, s.total_spend), 6) AS bal_spend_corr,
+           round(avg(c.c_acctbal), 6) AS avg_acctbal,
+           round(avg(s.total_spend), 2) AS avg_spend
+    FROM customer c JOIN spend s ON s.o_custkey = c.c_custkey
+    """,
+    doc="Does account balance predict spend? One per-customer spend "
+    "aggregate joined to the customer dim, Pearson correlation in a "
+    "single-row reduce — the feature-screening correlation check "
+    "before modeling (same family as capm_beta_alpha's cross-series "
+    "form).",
+)
+def acctbal_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend")
+    )
+    return (
+        c.join(spend, c["c_custkey"] == F.col("o_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.corr("c_acctbal", "total_spend"), 6).alias(
+                "bal_spend_corr"
+            ),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.round(F.avg("total_spend"), 2).alias("avg_spend"),
+        )
+    )
