@@ -249,6 +249,9 @@ _POST_FREEZE = [
     "segment_nation_share",
     "customer_ltv_deciles",
     "acctbal_spend_corr",
+    # skyline (Pareto frontier) + composition shift (r5)
+    "supplier_skyline_2d",
+    "priority_mix_over_time",
 ]
 
 

@@ -174,6 +174,8 @@ HEADLINE = [
     "segment_nation_share",
     "customer_ltv_deciles",
     "acctbal_spend_corr",
+    "supplier_skyline_2d",
+    "priority_mix_over_time",
 ]
 
 

@@ -2035,3 +2035,121 @@ def acctbal_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("total_spend"), 2).alias("avg_spend"),
         )
     )
+
+
+@register(
+    "supplier_skyline_2d",
+    """
+    WITH perf AS (
+      SELECT s.s_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             round(avg(CASE WHEN epoch(l.l_shipdate) - epoch(o.o_orderdate)
+                                 <= 60 * 86400 THEN 1.0 ELSE 0.0 END), 6)
+               AS on_time_rate
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_name),
+    scanned AS (
+      SELECT s_name, revenue, on_time_rate,
+             max(on_time_rate) OVER (ORDER BY revenue DESC, s_name
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_prev
+      FROM perf)
+    SELECT s_name, revenue, on_time_rate
+    FROM scanned
+    WHERE best_prev IS NULL OR on_time_rate > best_prev
+    ORDER BY revenue DESC, s_name
+    """,
+    doc="2-D skyline (Pareto frontier) of suppliers on (revenue, "
+    "on-time rate): a supplier survives iff no other strictly beats "
+    "it on both axes — the multi-criteria shortlist query. The "
+    "classic sort-scan skyline: order by the first axis, keep rows "
+    "beating the running max of the second; the frontier decision "
+    "runs on the |suppliers|-sized aggregate, one window sort, no "
+    "pairwise self-join.",
+)
+def supplier_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    perf = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(
+                F.avg(
+                    F.when(
+                        epoch_micros(F.col("l_shipdate"))
+                        - epoch_micros(F.col("o_orderdate"))
+                        <= 60 * 86400e6,
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("on_time_rate"),
+        )
+    )
+    w_prev = (
+        Window.orderBy(F.desc("revenue"), "s_name")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = perf.withColumn(
+        "best_prev", F.max("on_time_rate").over(w_prev)
+    )
+    return (
+        scanned.filter(
+            F.col("best_prev").isNull()
+            | (F.col("on_time_rate") > F.col("best_prev"))
+        )
+        .select("s_name", "revenue", "on_time_rate")
+        .orderBy(F.desc("revenue"), "s_name")
+    )
+
+
+@register(
+    "priority_mix_over_time",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_orderpriority,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT month, o_orderpriority, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY month), 6)
+             AS share_of_month
+    FROM monthly
+    ORDER BY month, o_orderpriority
+    """,
+    doc="Order-priority composition over time: each month's priority "
+    "mix as share-of-month — the stacked-area composition-shift view "
+    "(a drifting mix is an early operational signal). One grouped "
+    "aggregate + a share window on the |months×priorities| relation.",
+)
+def priority_mix_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(trunc_wallclock("month", F.col("o_orderdate"))).alias(
+            "month"
+        ),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("month")
+    return monthly.select(
+        "month",
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias(
+            "share_of_month"
+        ),
+    ).orderBy("month", "o_orderpriority")
