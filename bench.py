@@ -347,12 +347,13 @@ def main() -> None:
     stream_rps = streaming_rows_per_sec(spark, sf_dir)
     fit_secs = training_fit_seconds(spark, sf_dir)
     recalls = ann_recall(spark, sf_dir)
+    # Key order matters: the driver's log capture keeps only the TAIL of
+    # stdout (BENCH_r05 lost the headline total because the large
+    # per-query dicts pushed the leading scalars out of the window), so
+    # the big dicts go FIRST and every summary scalar LAST.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
                 "streaming_rows_per_sec": stream_rps,
@@ -362,7 +363,11 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
                 "repeats": REPEATS,
+                "n_queries": len(timings),
+                "metric": "headline_queries_total",
+                "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "value": total,
             }
         )
     )

@@ -1391,9 +1391,10 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts AS (
       SELECT user_id, min(day) AS first_day FROM user_days GROUP BY user_id)
     SELECT ud.day,
-           sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS new_users,
-           sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
-             AS returning_users
+           CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
     FROM user_days ud JOIN firsts f USING (user_id)
     GROUP BY ud.day
     ORDER BY ud.day
@@ -1819,7 +1820,8 @@ def cross_region_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderpriority,
            CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
            count(*) AS n_items,
-           sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
            round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
              AS return_rate
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey

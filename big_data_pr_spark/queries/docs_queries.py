@@ -1525,7 +1525,8 @@ def cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_weights",
     f"""
     WITH agg AS (
-      SELECT lang, count(*) AS n_docs, sum({_NT}) AS n_tokens
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum({_NT}) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang
     )
     SELECT lang, n_docs, n_tokens,
@@ -1553,7 +1554,7 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT CAST(floor({_NT} / 64) * 64 AS BIGINT) AS len_bucket,
            count(*) AS n_docs,
-           sum({_NT}) AS n_tokens
+           CAST(sum({_NT}) AS BIGINT) AS n_tokens
     FROM documents GROUP BY len_bucket ORDER BY len_bucket
     """,
     doc="Token-length histogram (64-token buckets) over the corpus — "
@@ -2017,8 +2018,8 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, lang,
            count(*)                            AS n_docs,
-           sum(n_chars)                        AS sum_chars,
-           sum(len(text))                      AS sum_text_len,
+           CAST(sum(n_chars) AS BIGINT)        AS sum_chars,
+           CAST(sum(len(text)) AS BIGINT)      AS sum_text_len,
            min(doc_id)                         AS min_doc_id,
            max(doc_id)                         AS max_doc_id
     FROM documents GROUP BY source, lang ORDER BY source, lang
@@ -2104,7 +2105,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_budget_select",
     """
-    SELECT doc_id, n_chars, cum_chars FROM (
+    SELECT doc_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars FROM (
       SELECT doc_id, n_chars,
              sum(n_chars) OVER (
                ORDER BY md5(text), doc_id
@@ -2266,8 +2267,8 @@ def ann_lsh_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source, lang,
            count(*)       AS n_docs,
-           sum(n_chars)   AS sum_chars,
-           sum(len(text)) AS sum_text_len,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
            min(doc_id)    AS min_doc_id,
            max(doc_id)    AS max_doc_id
     FROM documents GROUP BY source, lang ORDER BY source, lang
@@ -2634,7 +2635,8 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS green
       FROM tok),
     per_doc AS (
-      SELECT doc_id, count(*) AS n_tok, sum(green) AS n_green
+      SELECT doc_id, count(*) AS n_tok,
+             CAST(sum(green) AS BIGINT) AS n_green
       FROM flags GROUP BY doc_id)
     SELECT doc_id, n_tok, n_green,
            round(CAST(n_green AS DOUBLE) / n_tok, 6) AS green_frac,
@@ -2700,8 +2702,8 @@ _BLOCKLIST = ["error", "slow", "dup"]  # literal policy list (fixture vocab)
       FROM tok GROUP BY doc_id, lang)
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN CAST(n_hits AS DOUBLE) / n_tok > 0.05
-                    THEN 1 ELSE 0 END) AS n_flagged,
+           CAST(sum(CASE WHEN CAST(n_hits AS DOUBLE) / n_tok > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
            round(avg(CAST(n_hits AS DOUBLE) / n_tok), 6) AS mean_hit_rate
     FROM per_doc
     GROUP BY lang

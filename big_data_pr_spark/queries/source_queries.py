@@ -91,7 +91,8 @@ from ..tables import load  # noqa: E402
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
            count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
              AS distinct_k

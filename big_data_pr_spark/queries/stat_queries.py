@@ -51,7 +51,8 @@ from .registry import register
     )
     SELECT d.event_type,
            count(*) AS n_events,
-           sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalies,
            round(any_value(d.med), 6) AS med,
            round(m.mad, 6) AS mad
@@ -612,7 +613,8 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN doc_id % 7 = 0 THEN '__corrupt__' ELSE lang END
              AS bucket,
            count(*) AS n_rows,
-           sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+           CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT)
              AS sum_chars
     FROM documents GROUP BY 1 ORDER BY 1
     """,
@@ -704,8 +706,8 @@ def jsonl_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT sum(n_pos) AS p, sum(n_neg) AS n FROM per_score
     )
-    SELECT any_value(t.p) AS n_pos,
-           any_value(t.n) AS n_neg,
+    SELECT CAST(any_value(t.p) AS BIGINT) AS n_pos,
+           CAST(any_value(t.n) AS BIGINT) AS n_neg,
            round(sum(c.n_pos * (c.neg_below + 0.5 * c.n_neg))
                  / (any_value(t.p) * any_value(t.n)), 6) AS auc
     FROM cum c CROSS JOIN tot t
@@ -1422,13 +1424,13 @@ def herfindahl_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks AS (
       SELECT t_days,
              count(*) AS n_leaving,
-             sum(churned) AS d_events
+             CAST(sum(churned) AS BIGINT) AS d_events
       FROM users GROUP BY t_days),
     km AS (
       SELECT t_days, d_events,
-             n.n0 - coalesce(sum(n_leaving) OVER (ORDER BY t_days
+             CAST(n.n0 - coalesce(sum(n_leaving) OVER (ORDER BY t_days
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING), 0) AS n_risk
+                             AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
       FROM ticks CROSS JOIN n)
     SELECT t_days, n_risk, d_events,
            round(exp(sum(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk))

@@ -65,23 +65,44 @@ def test_driver_window_family_coverage():
     assert set(e._FRONT) <= set(REGISTRY)
     front50 = list(e.queries())[:50]
     assert front50 == e._FRONT
+    # Candidate lists grow as families gain members (round 6 added the
+    # never-verified members being rotated through the window); each
+    # family still needs >= 1 representative inside the 50-slot window.
     families = {
-        "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands"],
-        "window": ["sma_events", "window_first_last_nth", "gap_fill_forward"],
+        "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands",
+                  "atr_14", "obv_running", "stochastic_oscillator_14"],
+        "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
+                   "gap_fill_interpolate", "merged_active_intervals"],
         "watermark": ["high_watermark", "incremental_new_rows"],
         "streaming-batch": ["sliding_window_stats", "session_window_native"],
-        "tpch": ["q1_pricing", "q21_waiting_supplier_v"],
-        "join": ["join_semi_discounted", "join_anti_customers"],
-        "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments"],
-        "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign"],
-        "similarity": ["knn_cosine_bruteforce", "embedding_quantize"],
-        "text": ["text_stats", "tfidf_top_terms", "perplexity_scores"],
-        "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio"],
-        "sampling": ["stratified_sample_exact", "stratified_sample_hash", "weighted_sample_quality"],
-        "multimodal": ["multimodal_meta", "multimodal_frames"],
-        "incremental": ["incremental_agg_merge", "snapshot_diff_orders"],
-        "validation": ["validate_orders"],
-        "profiling": ["corpus_profile", "profile_orders"],
+        "tpch": ["q1_pricing", "q21_waiting_supplier_v", "returns_analysis",
+                 "customer_ltv_deciles", "supplier_scorecard"],
+        "join": ["join_semi_discounted", "join_anti_customers",
+                 "salted_join_segment_revenue", "bloom_prefilter_urgent_revenue"],
+        "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments",
+                    "winsorized_stats"],
+        "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign",
+                  "dedup_minhash_md5", "dedup_simhash_md5"],
+        "similarity": ["knn_cosine_bruteforce", "embedding_quantize",
+                       "ann_lsh_topk_lit", "ann_ivf_topk_lit",
+                       "embedding_pca_project_lit"],
+        "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
+                 "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens"],
+        "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
+                    "contamination_transitive", "blocklist_hit_rate",
+                    "watermark_greenlist_zscore"],
+        "sampling": ["stratified_sample_exact", "stratified_sample_hash",
+                     "weighted_sample_quality", "token_budget_select",
+                     "pack_bins_ffd_global", "corpus_shuffle_shards"],
+        "multimodal": ["multimodal_meta", "multimodal_frames",
+                       "multimodal_ppm_decode", "multimodal_wav_decode",
+                       "multimodal_video_frames"],
+        "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
+                        "matview_incremental_refresh", "scd2_build_customer_priority"],
+        "validation": ["validate_orders", "jsonl_corrupt_quarantine",
+                       "schema_evolution_roundtrip"],
+        "profiling": ["corpus_profile", "profile_orders",
+                      "doc_length_histogram", "benford_first_digit"],
     }
     for fam, names in families.items():
         assert any(n in front50 for n in names), (fam, names)
@@ -166,3 +187,55 @@ def test_timezone_independence(name, spark, sf_dir):
     finally:
         other.conf.set("spark.sql.session.timeZone", "UTC")
     assert utc_rows == tokyo_rows
+
+
+def test_no_decimal_oracle_columns(duck, sf_dir):
+    """Driver-parity type guard (round-5 lesson): DuckDB types a raw
+    integer ``sum()`` as HUGEINT, which serializes as Arrow
+    decimal128(38,0) while Spark emits int64 — the driver hashes TYPED
+    values, so numerically-equal results hash-mismatch (r5's only two
+    red rows, plus 12 latent). Every oracle result must be decimal-free:
+    wrap integer sums in CAST(... AS BIGINT)."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            continue
+        tbl = duck.execute(spec.oracle).fetch_arrow_table()
+        bad = [
+            (f.name, str(f.type)) for f in tbl.schema if "decimal" in str(f.type)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_verifier_catches_hugeint(spark, duck, sf_dir):
+    """Regression: the hardened Arrow-typed comparator must FAIL a
+    deliberately un-CAST integer-sum oracle even though every value is
+    numerically equal — exactly the class fetchall()-based comparison
+    masked in round 5."""
+    from big_data_pr_spark.queries.registry import QuerySpec
+    from tools import verify_oracle
+
+    bad_sql = "SELECT lang, sum(n_chars) AS sum_chars FROM documents GROUP BY lang ORDER BY lang"
+
+    def fn(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from big_data_pr_spark.tables import load
+
+        return (
+            load(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.sum("n_chars").alias("sum_chars"))
+        )
+
+    name = "__hugeint_regression__"
+    REGISTRY[name] = QuerySpec(fn=fn, oracle=bad_sql, doc="test-only")
+    try:
+        ok, msg = verify_oracle.compare(name, spark, duck, sf_dir)
+    finally:
+        del REGISTRY[name]
+    assert not ok
+    assert "decimal" in msg, msg
