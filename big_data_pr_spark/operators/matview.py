@@ -63,6 +63,18 @@ def _write_meta(mv_dir: str, meta: dict) -> None:
     os.rename(tmp, _meta_path(mv_dir))
 
 
+def _current_watermark(mv_dir: str, meta: dict) -> int:
+    """Watermark of the CURRENT committed version. Lives in the version
+    manifest (committed by the same atomic pointer swap as the state);
+    falls back to legacy _mv.json for MVs created before the manifest
+    carried it."""
+    man = versioned.manifest(mv_dir)
+    extra = man.get("extra") or {}
+    if "watermark_us" in extra:
+        return int(extra["watermark_us"])
+    return int(meta["watermark_us"])
+
+
 def create(
     source: DataFrame,
     mv_dir: str,
@@ -78,14 +90,19 @@ def create(
     ).collect()[0]
     wm = int(wm_row["wm"]) if wm_row["wm"] is not None else -1
     state = incremental.partial_state(source, list(keys), aggs)
-    v = versioned.write_version(state, mv_dir, note=f"create wm={wm}")
+    # The watermark commits atomically WITH the state (inside the
+    # version manifest the pointer swap publishes); _mv.json holds only
+    # the static view definition, so a crash between any two steps can
+    # never pair new state with a stale watermark (or vice versa).
+    v = versioned.write_version(
+        state, mv_dir, note=f"create wm={wm}", extra={"watermark_us": wm}
+    )
     _write_meta(
         mv_dir,
         {
             "keys": list(keys),
             "aggs": {k: list(v_) for k, v_ in aggs.items()},
             "watermark_col": watermark_col,
-            "watermark_us": wm,
         },
     )
     return v
@@ -97,7 +114,7 @@ def refresh(spark: SparkSession, mv_dir: str, source: DataFrame) -> dict:
     meta = _read_meta(mv_dir)
     aggs = {k: tuple(v) for k, v in meta["aggs"].items()}
     wm_col = meta["watermark_col"]
-    old_wm = meta["watermark_us"]
+    old_wm = _current_watermark(mv_dir, meta)
     delta = source.filter(epoch_micros(F.col(wm_col)) > F.lit(old_wm))
     stats = delta.agg(
         F.count(F.lit(1)).alias("n"),
@@ -115,8 +132,17 @@ def refresh(spark: SparkSession, mv_dir: str, source: DataFrame) -> dict:
         [current, delta_state], meta["keys"], aggs
     )
     new_wm = int(stats["wm"])
-    v = versioned.write_version(merged, mv_dir, note=f"refresh wm={new_wm}")
-    _write_meta(mv_dir, {**meta, "watermark_us": new_wm})
+    # State + watermark commit in ONE atomic pointer swap: a crash at
+    # any point leaves the previous (state, watermark) pair current, so
+    # the replayed refresh re-folds exactly the same delta once —
+    # never double-counts (the exactly-once property matview_sink's
+    # crash-replay relies on).
+    v = versioned.write_version(
+        merged,
+        mv_dir,
+        note=f"refresh wm={new_wm}",
+        extra={"watermark_us": new_wm},
+    )
     return {"refreshed": True, "delta_rows": int(stats["n"]), "version": v}
 
 

@@ -111,10 +111,28 @@ def add_column(
     Distinguishing the two (Iceberg v3's initial-default vs
     write-default) would need per-file lineage, which plain parquet
     deliberately doesn't carry here."""
-    cols = [dict(c) for c in current_schema(table_dir)]
+    log = _read_log(table_dir)
+    cols = [dict(c) for c in log[-1]["columns"]]
     if any(c["name"] == name for c in cols):
         raise ValueError(f"column {name!r} already exists")
-    cols.append({"name": name, "physical": name, "type": dtype, "default": default})
+    # The physical name must be fresh across the WHOLE schema history,
+    # not just the current version: reusing the physical name of a
+    # previously-dropped column would map the new logical column onto
+    # the dropped column's data still sitting in old files — deleted
+    # values would resurrect instead of reading as the default. Real
+    # table formats prevent this with monotonically-assigned field IDs;
+    # the equivalent here is suffixing a never-before-used version.
+    ever_physical = {
+        c["physical"] for ver in log for c in ver["columns"]
+    }
+    physical = name
+    if physical in ever_physical:
+        physical = f"{name}_v{log[-1]['version'] + 1}"
+        while physical in ever_physical:  # paranoia: suffixed name reused
+            physical += "_"
+    cols.append(
+        {"name": name, "physical": physical, "type": dtype, "default": default}
+    )
     return _evolve(table_dir, f"add:{name}", cols)
 
 

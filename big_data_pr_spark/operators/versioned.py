@@ -64,12 +64,28 @@ def versions(table_dir: str) -> list[dict]:
     return out
 
 
-def write_version(df: DataFrame, table_dir: str, note: str = "") -> int:
+def manifest(table_dir: str, version: int | None = None) -> dict:
+    """The manifest of ``version`` (default: the committed latest)."""
+    ver = version if version is not None else current_version(table_dir)
+    if ver is None:
+        raise FileNotFoundError(f"no committed version at {table_dir}")
+    with open(os.path.join(table_dir, _MANIFESTS, f"v{ver:06d}.json")) as f:
+        return json.load(f)
+
+
+def write_version(
+    df: DataFrame, table_dir: str, note: str = "", extra: dict | None = None
+) -> int:
     """Commit ``df`` as the next version of the table; returns the new
     version number. The data write is fully distributed; the commit is
     the atomic pointer rename at the end — a crash before it leaves the
     table at the previous version with an orphan directory (re-runnable,
-    never corrupt)."""
+    never corrupt).
+
+    ``extra`` rides inside the version manifest, so caller metadata
+    (e.g. a refresh watermark) commits atomically WITH the data — state
+    and metadata can never diverge across a crash (the Delta/Iceberg
+    txn-metadata pattern)."""
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
     ver = (current_version(table_dir) or 0) + 1
     data_dir = _vdir(table_dir, ver)
@@ -79,6 +95,7 @@ def write_version(df: DataFrame, table_dir: str, note: str = "") -> int:
         "committed_at": time.time(),
         "note": note,
         "schema": df.schema.simpleString(),
+        **({"extra": extra} if extra else {}),
     }
     with open(
         os.path.join(table_dir, _MANIFESTS, f"v{ver:06d}.json"), "w"

@@ -157,7 +157,7 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) + 900 * 1000000 AS e
       FROM events),
     marked AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND 1 PRECEDING)
@@ -167,8 +167,11 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_island
       FROM iv),
     labeled AS (
+      -- label ordered by the SAME total order (s, event_id) as the
+      -- marking window: (s, e) ties whenever s ties (e = s + const),
+      -- so engine-arbitrary tie order could diverge between engines
       SELECT user_id, s, e,
-             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM marked),
     islands AS (
@@ -210,9 +213,12 @@ def merged_active_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
         ).otherwise(0),
     )
+    # same deterministic total order (s, event_id) as the marking
+    # window — (s, e) ties whenever s does, and tie order must not be
+    # engine-arbitrary or Spark and the oracle can label differently
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     labeled = marked.withColumn("island", F.sum("new_island").over(w_run))

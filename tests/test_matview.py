@@ -104,3 +104,32 @@ def test_crash_before_commit_is_replayable(spark, mv, monkeypatch):
     res = matview.refresh(spark, d, ev)
     assert res["refreshed"]
     _assert_same(matview.read(spark, d), _full(ev))
+
+
+def test_watermark_commits_atomically_with_state(spark, mv):
+    """ADVICE r5 (medium): the watermark must live in the version
+    manifest the pointer swap publishes — never in a separately-written
+    side file — so a crash between state commit and watermark write
+    cannot leave merged state + stale watermark (which would re-fold
+    the same delta and double-count on replay)."""
+    import json
+    import os
+
+    d, ev, early, _ = mv
+    # create() already committed the watermark inside the manifest
+    wm0 = versioned.manifest(d)["extra"]["watermark_us"]
+    assert wm0 > 0
+    # the side meta file carries ONLY the static view definition
+    with open(os.path.join(d, "_mv.json")) as f:
+        meta = json.load(f)
+    assert "watermark_us" not in meta
+    matview.refresh(spark, d, ev)
+    wm1 = versioned.manifest(d)["extra"]["watermark_us"]
+    assert wm1 > wm0
+    # a stale legacy watermark in _mv.json must be ignored in favor of
+    # the manifest (simulates the old crash window / legacy layout)
+    with open(os.path.join(d, "_mv.json"), "w") as f:
+        json.dump({**meta, "watermark_us": -1}, f)
+    res = matview.refresh(spark, d, ev)
+    assert not res["refreshed"]  # manifest watermark wins → no re-fold
+    _assert_same(matview.read(spark, d), _full(ev))

@@ -106,3 +106,30 @@ def test_guards(spark, table):
         schemalog.rename_column(table, "o_orderstatus", "dup")
     with pytest.raises(KeyError):
         schemalog.drop_column(table, "nope")
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    """ADVICE r5 (low): dropping a column and re-adding one with the
+    same logical name must NOT map onto the dropped column's physical
+    data in old files — deleted values would resurrect. The re-added
+    column gets a fresh physical name and reads as its default."""
+    import os
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, status string"
+    )
+    schemalog.init_table(df, d)
+    schemalog.drop_column(d, "status")
+    schemalog.add_column(d, "status", "string", default="fresh")
+    out = {r["id"]: r["status"] for r in schemalog.read(spark, d).collect()}
+    # old files still physically contain status=a/b — must NOT leak
+    assert out == {1: "fresh", 2: "fresh"}
+    # appends under the new schema land in the fresh physical column
+    schemalog.append(
+        spark.createDataFrame([(3, "live")], "id int, status string"), d
+    )
+    out = {r["id"]: r["status"] for r in schemalog.read(spark, d).collect()}
+    assert out == {1: "fresh", 2: "fresh", 3: "live"}
+    phys = {c["name"]: c["physical"] for c in schemalog.current_schema(d)}
+    assert phys["status"] != "status"
