@@ -375,3 +375,38 @@ def test_simhash_md5_on_planted(planted):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 8
     assert (4, 5) not in pairs
+
+
+def test_banded_lsh_recall_curve(spark, sf_dir):
+    """Pin the band-count↔recall tradeoff (VERDICT r5 #5). Analytic
+    recall for random-hyperplane LSH is 1 − (1 − p^r)^b with
+    p = 1 − arccos(s)/π; the defaults must put ≥0.9 analytic recall at
+    the dedup threshold s = 0.4 while generating FEWER candidates than
+    the old b=4/r=3 geometry (candidate volume ~b/2^r of the n²
+    self-join). Measured recall on the fixture corpus must track the
+    analytic bound."""
+    import inspect
+    import math
+
+    sig = inspect.signature(similarity.lsh_pairs)
+    b = sig.parameters["n_bands"].default
+    r = sig.parameters["planes_per_band"].default
+    p = 1 - math.acos(0.4) / math.pi
+    analytic = 1 - (1 - p**r) ** b
+    assert analytic >= 0.9, (b, r, analytic)
+    # candidate volume (fraction of n² from random pairs) must not
+    # exceed the old geometry's 4/2^3 = 0.5
+    assert b / 2**r <= 0.5, (b, r)
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (x["id_a"], x["id_b"])
+        for x in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (x["id_a"], x["id_b"])
+        for x in similarity.lsh_pairs(emb, dim=64, threshold=0.4).collect()
+    }
+    assert got <= exact  # exact-cosine verifier: no false positives
+    if len(exact) >= 5:
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.8, (recall, len(exact))
