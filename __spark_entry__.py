@@ -190,6 +190,23 @@ _POST_FREEZE = [
     "user_event_entropy",
     "welch_ttest_purchase_vs_view",
     "wow_growth_by_type",
+    # --- round-6 additions (queries/pipeline_ext.py), registered after
+    # this round's window froze; verified locally at sf0.001 + sf0.01,
+    # rotate into round 7's window ---
+    "zorder_layout_stats",
+    "dp_noisy_counts",
+    "dp_noisy_revenue",
+    "k_anonymity_audit",
+    "attribution_last_touch",
+    "vocab_oov_rate",
+    "skew_key_deciles",
+    "target_encode_kfold",
+    "woe_value_deciles",
+    "late_arrival_profile",
+    "sequence_gap_audit",
+    "dedup_survivorship",
+    "hll_set_op_certificate",
+    "token_budget_waterfill",
 ]
 
 

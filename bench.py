@@ -176,6 +176,21 @@ HEADLINE = [
     "acctbal_spend_corr",
     "supplier_skyline_2d",
     "priority_mix_over_time",
+    # round-6 additions (queries/pipeline_ext.py)
+    "zorder_layout_stats",
+    "dp_noisy_counts",
+    "dp_noisy_revenue",
+    "k_anonymity_audit",
+    "attribution_last_touch",
+    "vocab_oov_rate",
+    "skew_key_deciles",
+    "target_encode_kfold",
+    "woe_value_deciles",
+    "late_arrival_profile",
+    "sequence_gap_audit",
+    "dedup_survivorship",
+    "hll_set_op_certificate",
+    "token_budget_waterfill",
 ]
 
 

@@ -266,3 +266,57 @@ def mixture_weights(
         .withColumn("weight", F.round(F.col("__p") / F.sum("__p").over(w), 6))
         .drop("__p")
     )
+
+
+def waterfill(avail: DataFrame, budget_col: str = "b") -> DataFrame:
+    """Capped water-filling: allocate a global budget across groups
+    proportionally to ``w`` but never above ``cap``; budget freed by
+    saturated groups re-flows to the rest.
+
+    ``avail`` columns: a group key ``lang``, ``cap`` (long), ``w``
+    (double), ``b`` (the global budget, same on every row). Classic
+    result: in increasing cap/w order the saturated set is a prefix,
+    so the whole allocation is two window prefix-sums over the
+    |groups|-sized relation plus one pivot row — no iteration. Returns
+    (lang, cap, w, alloc, saturated); sum(alloc) == min(b, sum(cap))
+    and 0 <= alloc <= cap (pinned in tests/test_pipeline_ext.py).
+    """
+    w_prev = Window.orderBy(F.col("cap") / F.col("w"), "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_rest = Window.orderBy(F.col("cap") / F.col("w"), "lang").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ordered = avail.select(
+        "lang",
+        "cap",
+        "w",
+        F.col(budget_col).alias("b"),
+        F.coalesce(F.sum("cap").over(w_prev), F.lit(0)).alias("capsum"),
+        F.sum("w").over(w_rest).alias("wsum"),
+    )
+    flagged = ordered.withColumn(
+        "sat",
+        F.when(
+            F.col("cap") * F.col("wsum")
+            <= (F.col("b") - F.col("capsum")) * F.col("w"),
+            1,
+        ).otherwise(0),
+    )
+    # first unsaturated row in ratio order: capsum increases along the
+    # order (min = first), wsum decreases (max = first)
+    pivot = flagged.agg(
+        F.min(F.when(F.col("sat") == 0, F.col("capsum"))).alias("capsum_k"),
+        F.max(F.when(F.col("sat") == 0, F.col("wsum"))).alias("wsum_k"),
+    )
+    return flagged.crossJoin(F.broadcast(pivot)).select(
+        "lang",
+        "cap",
+        "w",
+        F.when(F.col("sat") == 1, F.col("cap").cast("double"))
+        .otherwise(
+            (F.col("b") - F.col("capsum_k")) * F.col("w") / F.col("wsum_k")
+        )
+        .alias("alloc"),
+        (F.col("sat") == 1).alias("saturated"),
+    )

@@ -1,0 +1,843 @@
+"""Round-6 pipeline extensions: physical layout, privacy, feature
+engineering, and operability diagnostics for a 100 TB corpus engine.
+
+No direct reference parity — these extend families the reference's
+capabilities imply at scale (storage layout beyond
+``batch_processor.py``'s flat daily CSVs; release hygiene beyond
+``app.py``'s raw aggregate endpoints):
+
+- Z-order layout statistics (`zorder_layout_stats`) — the
+  multi-dimension file-skipping lever (operators/layout.py);
+- ε-DP noisy release + k-anonymity audit (`dp_noisy_counts`,
+  `k_anonymity_audit`) — disclosure control for dataset-card stats
+  (operators/privacy.py);
+- marketing-style last-touch attribution (`attribution_last_touch`);
+- tokenizer vocabulary coverage (`vocab_oov_rate`);
+- key-skew deciles (`skew_key_deciles`) — the shuffle-planning
+  diagnostic behind salting decisions (operators/skew.py);
+- leakage-safe K-fold target encoding (`target_encode_kfold`) and
+  weight-of-evidence value binning (`woe_value_deciles`) — classic
+  tabular-ML feature engineering, leave-fold-out so a row never sees
+  its own target.
+
+Scale notes inline per query; every query is pure built-in expression
+work (zero Python UDFs) and every aggregate output column is typed to
+match the DuckDB oracle exactly (integer counts CAST AS BIGINT —
+round-5 lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import layout, privacy
+from ..tables import load
+from ..timeutil import epoch_micros
+from .registry import register
+
+# ---------------------------------------------------------------- layout
+
+_Z_BITS = 5  # day-of-month (1-31) and value/16 (0-20) both fit 5 bits
+_Z_SQL = layout.zvalue_sql(
+    "day(ts)", "CAST(floor(value / 16) AS BIGINT)", bits=_Z_BITS
+)
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH z AS (
+      SELECT day(ts) AS d,
+             CAST(floor(value / 16) AS BIGINT) AS vb,
+             {_Z_SQL} AS zv
+      FROM events),
+    tiled AS (SELECT d, vb, CAST(zv // 64 AS BIGINT) AS tile FROM z)
+    SELECT tile,
+           count(*) AS n_rows,
+           min(d) AS min_day, max(d) AS max_day,
+           CAST(max(d) - min(d) AS BIGINT) AS day_span,
+           min(vb) AS min_vb, max(vb) AS max_vb,
+           CAST(max(vb) - min(vb) AS BIGINT) AS vb_span
+    FROM tiled GROUP BY tile ORDER BY tile
+    """,
+    doc="Z-order (Morton) layout statistics: interleave day-of-month × "
+    "value-bucket into a 10-bit Z-value, cut the Z-space into 16 "
+    "equal-width tiles, and report each tile's bounding box in BOTH "
+    "dimensions — "
+    "the min/max stats parquet row-group pruning would read. Bounded "
+    "spans in both dims are the Z-order win over a linear sort (one "
+    "dim perfectly clustered, the other spanning the full range). "
+    "Pure integer bit arithmetic in codegen; tile assignment is a "
+    "narrow map (equi-width Z-ranges, NOT a global ntile sort), so the "
+    "only shuffle is the |tiles|-sized aggregate — scale-exact at "
+    "100 TB. operators/layout.py.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    z = ev.select(
+        F.dayofmonth("ts").alias("d"),
+        F.floor(F.col("value") / 16).cast("long").alias("vb"),
+    ).withColumn("zv", layout.zvalue(F.col("d"), F.col("vb"), bits=_Z_BITS))
+    tiled = z.withColumn("tile", (F.col("zv") / 64).cast("long"))
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            (F.max("d") - F.min("d")).cast("long").alias("day_span"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+            (F.max("vb") - F.min("vb")).cast("long").alias("vb_span"),
+        )
+        .orderBy("tile")
+    )
+
+
+# --------------------------------------------------------------- privacy
+
+_DP_KEY_SQL = "event_type || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)"
+_DP_SCALE = 1.0  # sensitivity 1 / epsilon 1.0
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           round(n + {privacy.laplace_noise_sql(
+               "event_type || '|' || CAST(day AS VARCHAR)", _DP_SCALE
+           )}, 6) AS n_noisy
+    FROM c ORDER BY event_type, day
+    """,
+    doc="ε-differentially-private release of per-(type, day) counts: "
+    "Laplace(1/ε) noise, ε=1, sensitivity 1. The noise is seeded from "
+    "md5(cell key) — deterministic, so re-releasing the same cell "
+    "replays identical noise (no silent budget spend) and the oracle "
+    "replays it bit-for-bit. One |cells|-sized aggregate + narrow "
+    "per-cell arithmetic; nothing per-row after the partial agg. "
+    "operators/privacy.py.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+    return c.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("n") + privacy.laplace_noise(key, _DP_SCALE), 6).alias(
+            "n_noisy"
+        ),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT c_mktsegment,
+             c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT c_mktsegment,
+           count(*) AS n_cells,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_cells,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                 / CAST(sum(n) AS DOUBLE), 6) AS suppression_rate
+    FROM cells GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="k-anonymity audit (k=5) under the quasi-identifier tuple "
+    "(segment, nation, account-balance band): cells smaller than k are "
+    "the re-identification risk; the per-segment suppression rate is "
+    "the cost of releasing the table with small cells removed "
+    "(Sweeney's k-anonymity / small-cell suppression). Two cascaded "
+    "|cells|-bounded aggregates — corpus-size independent output. "
+    "operators/privacy.py.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky_n = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+    return (
+        cells.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky_cells"),
+            F.sum(risky_n).cast("long").alias("n_rows_at_risk"),
+            F.round(
+                F.sum(risky_n) / F.sum("n").cast("double"), 6
+            ).alias("suppression_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ----------------------------------------------------------- attribution
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH attributed AS (
+      SELECT event_type, value,
+             coalesce(
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS channel
+      FROM events)
+    SELECT channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY channel ORDER BY channel
+    """,
+    doc="Last-touch revenue attribution: each purchase's value is "
+    "credited to the user's most recent preceding non-purchase event "
+    "type ('direct' when none). One keyed window sort on (user, ts, "
+    "event_id) — deterministic total order both engines — then a "
+    "|channels|-sized aggregate. The running last_value IGNORE NULLS "
+    "frame is O(1) state per row; no self-join, no as-of join needed.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(F.col("ts")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "channel",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ------------------------------------------------------- text / tokenizer
+
+
+@register(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+        FROM tok GROUP BY w)
+      WHERE rk <= 500)
+    SELECT t.lang,
+           count(*) AS n_tok,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (w)
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+    doc="Tokenizer vocabulary coverage: build the top-500 token "
+    "vocabulary (count desc, token asc — a deterministic total order), "
+    "then the per-language out-of-vocabulary token rate — the metric "
+    "that decides whether a tokenizer trained on the mixture serves "
+    "every language. The vocab is |V| rows broadcast back onto the "
+    "token stream; corpus-side work is one explode + two aggregates. "
+    "At 100 TB the token-count aggregate is the only wide op and is "
+    "vocabulary-bounded after partial aggregation.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rk") <= 500)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(oov) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# -------------------------------------------------------- skew diagnosis
+
+
+@register(
+    "skew_key_deciles",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    tiled AS (
+      SELECT n, ntile(10) OVER (ORDER BY n, user_id) AS decile
+      FROM per_key)
+    SELECT decile,
+           count(*) AS n_keys,
+           min(n) AS min_n, max(n) AS max_n,
+           CAST(sum(n) AS BIGINT) AS sum_n,
+           round(sum(n) / (SELECT CAST(sum(n) AS DOUBLE) FROM per_key), 6)
+             AS share
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    doc="Join/groupBy key-skew diagnostic: per-key row counts cut into "
+    "count deciles with each decile's share of total rows — the "
+    "planning input for salting (operators/skew.py) and AQE skew-join "
+    "thresholds: a top decile carrying most rows means the shuffle "
+    "hot-spots. The window runs over the |keys|-sized aggregate (NOT "
+    "the corpus): corpus-side cost is one partial-agg shuffle; the "
+    "ntile sort touches |keys| rows only.",
+)
+def skew_key_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(F.sum("n").cast("double").alias("t"))
+    tiled = per_key.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("n", "user_id"))
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("n").alias("min_n"),
+            F.max("n").alias("max_n"),
+            F.sum("n").cast("long").alias("sum_n"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_keys",
+            "min_n",
+            "max_n",
+            "sum_n",
+            F.round(F.col("sum_n") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# -------------------------------------------- feature engineering (ML)
+
+
+@register(
+    "target_encode_kfold",
+    """
+    WITH folded AS (
+      SELECT event_type, event_id % 5 AS fold, value FROM events),
+    per_fold AS (
+      SELECT event_type, fold,
+             count(*) AS n_fold, sum(value) AS sum_fold
+      FROM folded GROUP BY event_type, fold)
+    SELECT event_type,
+           CAST(fold AS BIGINT) AS fold,
+           CAST(n_fold AS BIGINT) AS n_fold,
+           round((sum(sum_fold) OVER (PARTITION BY event_type) - sum_fold)
+                 / (CAST(sum(n_fold) OVER (PARTITION BY event_type)
+                         AS DOUBLE) - n_fold), 6) AS target_enc
+    FROM per_fold ORDER BY event_type, fold
+    """,
+    doc="Leakage-safe K-fold mean-target encoding: the encoding a row "
+    "in fold f receives for its event_type is the mean target (value) "
+    "over every OTHER fold — leave-fold-out, so no row ever sees its "
+    "own target (the standard guard against target leakage in tabular "
+    "ML). Folds are event_id % 5 — deterministic, engine-independent. "
+    "Corpus-side cost: ONE partial-agg shuffle to |types|×5 cells; the "
+    "leave-one-out arithmetic runs on that tiny aggregate via a window "
+    "(sum-all minus own-fold), never a second corpus pass.",
+)
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_fold = ev.groupBy(
+        "event_type", (F.col("event_id") % 5).alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_fold"),
+        F.sum("value").alias("sum_fold"),
+    )
+    w = Window.partitionBy("event_type")
+    return per_fold.select(
+        "event_type",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_fold").cast("long").alias("n_fold"),
+        F.round(
+            (F.sum("sum_fold").over(w) - F.col("sum_fold"))
+            / (F.sum("n_fold").over(w).cast("double") - F.col("n_fold")),
+            6,
+        ).alias("target_enc"),
+    ).orderBy("event_type", "fold")
+
+
+@register(
+    "woe_value_deciles",
+    """
+    WITH labeled AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events),
+    per_bin AS (
+      SELECT decile,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM labeled GROUP BY decile),
+    tot AS (SELECT sum(n_pos) AS p, sum(n_neg) AS q FROM per_bin)
+    SELECT decile, n_pos, n_neg,
+           round(ln(((n_pos + 0.5) / (p + 5.0))
+                    / ((n_neg + 0.5) / (q + 5.0))), 6) AS woe,
+           round(((n_pos + 0.5) / (p + 5.0) - (n_neg + 0.5) / (q + 5.0))
+                 * ln(((n_pos + 0.5) / (p + 5.0))
+                      / ((n_neg + 0.5) / (q + 5.0))), 6) AS iv_term
+    FROM per_bin CROSS JOIN tot ORDER BY decile
+    """,
+    doc="Weight-of-evidence value binning vs the purchase label: cut "
+    "value into population deciles (ORDER BY value, event_id — a "
+    "total order, so bin edges are engine-identical), then per-bin "
+    "WOE = ln(P(bin|pos)/P(bin|neg)) with 0.5 Laplace smoothing and "
+    "the information-value term — the classic credit-scoring / "
+    "feature-screening transform. The global ntile pays one range "
+    "sort (same cost class as any global ranking query here); "
+    "downstream is a 10-row aggregate. At 100 TB swap the exact "
+    "ntile for approx_percentile edges (documented tradeoff).",
+)
+def woe_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    labeled = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.ntile(10)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("decile"),
+    )
+    per_bin = labeled.groupBy("decile").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_pos").alias("p"), F.sum("n_neg").alias("q")
+    )
+    pos_rate = (F.col("n_pos") + 0.5) / (F.col("p") + 5.0)
+    neg_rate = (F.col("n_neg") + 0.5) / (F.col("q") + 5.0)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_pos",
+            "n_neg",
+            F.round(F.log(pos_rate / neg_rate), 6).alias("woe"),
+            F.round(
+                (pos_rate - neg_rate) * F.log(pos_rate / neg_rate), 6
+            ).alias("iv_term"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ----------------------------------------------- ingest / ops integrity
+
+
+@register(
+    "late_arrival_profile",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max_ts
+      FROM events),
+    lat AS (
+      SELECT CASE WHEN prev_max_ts IS NOT NULL AND ts < prev_max_ts
+                  THEN (epoch_us(prev_max_ts) - epoch_us(ts)) / 1e6
+                  ELSE NULL END AS late_s
+      FROM seq)
+    SELECT count(*) AS n_events,
+           CAST(count(late_s) AS BIGINT) AS n_late,
+           round(count(late_s) / CAST(count(*) AS DOUBLE), 6) AS late_frac,
+           round(coalesce(percentile_cont(0.5) WITHIN GROUP
+                            (ORDER BY late_s), 0.0), 6) AS p50_late_s,
+           round(coalesce(percentile_cont(0.95) WITHIN GROUP
+                            (ORDER BY late_s), 0.0), 6) AS p95_late_s,
+           round(coalesce(max(late_s), 0.0), 6) AS max_late_s
+    FROM lat
+    """,
+    doc="Late-arrival profile — THE input for sizing a streaming "
+    "watermark (streaming/pipeline.py T1): per user stream, an event "
+    "is late when its event time precedes the running max event time "
+    "of earlier-ingested rows (event_id = ingest order); report the "
+    "late fraction and p50/p95/max lateness seconds. `withWatermark` "
+    "set at the p95 here bounds state while dropping <5% of late "
+    "rows. One keyed window (running max is O(1)/row) + one global "
+    "aggregate; exact interpolated percentiles on the |late|-sized "
+    "subset.",
+)
+def late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("prev_max_ts", F.max("ts").over(w))
+    lat = seq.select(
+        F.when(
+            F.col("prev_max_ts").isNotNull()
+            & (F.col("ts") < F.col("prev_max_ts")),
+            (
+                epoch_micros(F.col("prev_max_ts"))
+                - epoch_micros(F.col("ts"))
+            )
+            / 1e6,
+        ).alias("late_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("late_s").cast("long").alias("n_late"),
+        F.round(
+            F.count("late_s") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("late_frac"),
+        F.round(
+            F.coalesce(F.expr("percentile(late_s, 0.5)"), F.lit(0.0)), 6
+        ).alias("p50_late_s"),
+        F.round(
+            F.coalesce(F.expr("percentile(late_s, 0.95)"), F.lit(0.0)), 6
+        ).alias("p95_late_s"),
+        F.round(F.coalesce(F.max("late_s"), F.lit(0.0)), 6).alias(
+            "max_late_s"
+        ),
+    )
+
+
+@register(
+    "sequence_gap_audit",
+    """
+    SELECT min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+           CAST(max(event_id) - min(event_id) + 1
+                - count(DISTINCT event_id) AS BIGINT) AS n_missing
+    FROM events
+    """,
+    doc="Ingest completeness audit over a dense sequence id: duplicate "
+    "ids (at-least-once delivery artifacts) and missing ids (dropped "
+    "batches) from one aggregate pass — the first check run after any "
+    "bulk load or replay (the reference's hourly_updater relies on "
+    "max-timestamp watermarks and would silently skip dropped ranges; "
+    "this surfaces them). Single partial-agg; the distinct-count is "
+    "the only wide op and is key-bounded.",
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("n_dup_ids"),
+        (
+            F.max("event_id")
+            - F.min("event_id")
+            + 1
+            - F.countDistinct("event_id")
+        )
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+# ------------------------------------------------- dedup survivorship
+
+
+@register(
+    "dedup_survivorship",
+    """
+    WITH clustered AS (
+      SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               AS content_hash,
+             doc_id, source
+      FROM documents)
+    SELECT content_hash,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_members,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM clustered
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+    doc="Golden-record survivorship over near-dup clusters keyed by the "
+    "leading-8-token fingerprint (the dedup_spans prefix-shingle "
+    "family; this corpus has no byte-identical copies, but shared "
+    "boilerplate openings cluster): per multi-member cluster, the "
+    "deterministic survivor (min doc_id) plus MERGED provenance — "
+    "member count, distinct sources, sorted source list — the record-"
+    "linkage step after dedup decides what to keep: provenance is "
+    "consolidated, not discarded with the losers. One digest shuffle; "
+    "the string_agg runs on cluster-sized groups.",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clustered = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+        ).alias("content_hash"),
+        "doc_id",
+        "source",
+    )
+    return (
+        clustered.groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("content_hash")
+    )
+
+
+# ------------------------------------------------- sketch set algebra
+
+
+@register(
+    "hll_set_op_certificate",
+    """
+    SELECT a_type, b_type, TRUE AS within_bound
+    FROM (VALUES ('click', 'purchase'), ('click', 'view'),
+                 ('view', 'purchase')) AS t(a_type, b_type)
+    ORDER BY a_type, b_type
+    """,
+    doc="Certificate for HLL set algebra: |users(A) ∩ users(B)| "
+    "estimated by inclusion-exclusion over three mergeable HLL "
+    "sketches (|A| + |B| − |A∪B|) must land within the compounded "
+    "sketch error (3·rsd per sketch ⇒ 0.15·(|A|+|B|+|A∪B|) + 5 "
+    "absolute slack) of the exact intersection computed in the same "
+    "pass. Sketch set algebra is what makes cross-source audience / "
+    "corpus overlap questions answerable from pre-aggregated "
+    "per-partition sketches without re-scanning either side. Oracle = "
+    "constant TRUE table over the pairs (certificate pattern, as "
+    "approx_distinct_certificate).",
+)
+def hll_set_op_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pairs = [("click", "purchase"), ("click", "view"), ("view", "purchase")]
+    outs = []
+    for a, b in pairs:
+        sub = ev.filter(F.col("event_type").isin(a, b)).select(
+            "user_id", "event_type"
+        )
+        flags = sub.groupBy("user_id").agg(
+            F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
+                "ia"
+            ),
+            F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
+                "ib"
+            ),
+        )
+        agg = sub.agg(
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == a, F.col("user_id"))
+            ).alias("ha"),
+            F.approx_count_distinct(
+                F.when(F.col("event_type") == b, F.col("user_id"))
+            ).alias("hb"),
+            F.approx_count_distinct("user_id").alias("hu"),
+        ).crossJoin(
+            flags.agg(
+                F.sum(F.col("ia") * F.col("ib")).alias("exact_inter")
+            )
+        )
+        outs.append(
+            agg.select(
+                F.lit(a).alias("a_type"),
+                F.lit(b).alias("b_type"),
+                (
+                    F.abs(
+                        (F.col("ha") + F.col("hb") - F.col("hu"))
+                        - F.col("exact_inter")
+                    )
+                    <= 0.15 * (F.col("ha") + F.col("hb") + F.col("hu")) + 5
+                ).alias("within_bound"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("a_type", "b_type")
+
+
+_DP_CLAMP = 100.0  # per-row contribution clamp for the sum release
+_DP_EPS_SUM = 2.0
+
+
+@register(
+    "dp_noisy_revenue",
+    f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(least(value, {_DP_CLAMP!r})), 6) AS clamped_revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT day, clamped_revenue,
+           round(clamped_revenue + {privacy.laplace_noise_sql(
+               "CAST(day AS VARCHAR)", _DP_CLAMP / _DP_EPS_SUM, seed="dp-rev"
+           )}, 6) AS noisy_revenue
+    FROM c ORDER BY day
+    """,
+    doc="ε-DP SUM release (the mechanism counts alone don't cover): "
+    "per-day purchase revenue with each row's contribution CLAMPED at "
+    "C=100 — bounding sensitivity is what makes a sum releasable — "
+    "then Laplace(C/ε) noise, ε=2, seeded per cell (deterministic "
+    "replay, oracle-exact). Clamp-then-sum is a narrow map into the "
+    "partial aggregate; noise is |days|-sized arithmetic. "
+    "operators/privacy.py.",
+)
+def dp_noisy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.least(F.col("value"), F.lit(_DP_CLAMP))), 6).alias(
+                "clamped_revenue"
+            )
+        )
+    )
+    noise = privacy.laplace_noise(
+        F.col("day").cast("string"), _DP_CLAMP / _DP_EPS_SUM, seed="dp-rev"
+    )
+    return c.select(
+        "day",
+        "clamped_revenue",
+        F.round(F.col("clamped_revenue") + noise, 6).alias("noisy_revenue"),
+    ).orderBy("day")
+
+
+# ------------------------------------------- mixture budget allocation
+
+
+@register(
+    "token_budget_waterfill",
+    """
+    WITH avail AS (
+      SELECT lang,
+             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                  AS BIGINT) AS cap,
+             sqrt(CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                       AS DOUBLE)) AS w
+      FROM documents GROUP BY lang),
+    budget AS (
+      SELECT CAST(floor(sum(cap) * 0.5) AS BIGINT) AS b FROM avail),
+    ordered AS (
+      SELECT lang, cap, w,
+             coalesce(sum(cap) OVER (ORDER BY cap / w, lang
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS capsum,
+             sum(w) OVER (ORDER BY cap / w, lang
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS wsum
+      FROM avail),
+    flagged AS (
+      SELECT o.*, b.b,
+             CASE WHEN cap * wsum <= (b.b - capsum) * w
+                  THEN 1 ELSE 0 END AS sat
+      FROM ordered o CROSS JOIN budget b),
+    pv AS (
+      -- the first unsaturated row in ratio order: capsum increases
+      -- along the order (min = first), wsum decreases (max = first)
+      SELECT min(capsum) FILTER (WHERE sat = 0) AS capsum_k,
+             max(wsum)   FILTER (WHERE sat = 0) AS wsum_k
+      FROM flagged)
+    SELECT f.lang, f.cap, round(f.w, 6) AS weight,
+           CASE WHEN f.sat = 1 THEN CAST(f.cap AS DOUBLE)
+                ELSE round((f.b - p.capsum_k) * f.w / p.wsum_k, 6)
+           END AS alloc,
+           f.sat = 1 AS saturated
+    FROM flagged f CROSS JOIN pv p
+    ORDER BY f.lang
+    """,
+    doc="Capped water-filling token-budget allocation — the mixture "
+    "planner mixture_weights feeds: spend a global budget B (here "
+    "50% of corpus tokens) across languages proportionally to "
+    "sqrt-scaled weights, but never above a language's available "
+    "tokens; freed budget from saturated (small) languages re-flows "
+    "to the rest. Classic result: processed in increasing cap/weight "
+    "order the saturated set is a prefix, so the whole allocation is "
+    "two window prefix-sums over the |langs|-sized aggregate + one "
+    "pivot row — no iteration, no driver loop. Corpus-side cost is "
+    "one token-count aggregate. tests/test_pipeline_ext.py pins the "
+    "water-filling invariants (budget exhaustion, 0 ≤ alloc ≤ cap).",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    avail = docs.groupBy("lang").agg(
+        F.sum(ntok).cast("long").alias("cap"),
+        F.sqrt(F.sum(ntok).cast("double")).alias("w"),
+    )
+    budget = avail.agg(F.floor(F.sum("cap") * 0.5).cast("long").alias("b"))
+    alloc = sampling.waterfill(avail.crossJoin(F.broadcast(budget)))
+    return alloc.select(
+        "lang",
+        "cap",
+        F.round("w", 6).alias("weight"),
+        F.when(F.col("saturated"), F.col("alloc"))
+        .otherwise(F.round("alloc", 6))
+        .alias("alloc"),
+        "saturated",
+    ).orderBy("lang")
