@@ -1,27 +1,24 @@
-"""Multi-dimensional data layout: Z-order (Morton) clustering.
+"""Z-order (Morton) interleaving as an ORACLE-PARITY expression pair.
 
-THE physical-layout lever for multi-column filters at 100 TB. Sorting
-a table by one column gives perfect file skipping on that column and
-none on any other; interleaving the bits of two (or more) columns into
-a single Z-value and range-partitioning on it bounds EVERY dimension's
-min/max range within each file, so predicates on either column prune
-files (the Delta Lake ``OPTIMIZE ZORDER BY`` / ClickHouse
-space-filling-curve idea, from Morton 1966).
+The WRITE path for multi-dimensional clustering lives in
+``operators/storage.py`` (``zorder_column``/``write_zordered``: N
+min-max-scaled columns → range-clustered files, span shrinkage
+asserted from parquet footers in tests/test_layout.py). This module is
+its ANALYSIS twin: the same Morton interleave as a pair of expressions
+— a Spark Column AND a character-identical ANSI-SQL string — so
+Z-value computations can be hash-certified against a DuckDB oracle
+(``zorder_layout_stats``). Differences are deliberate:
 
-Everything here is integer bit arithmetic on built-in column
-expressions — whole-stage codegen, no UDFs, no shuffle beyond the one
-range sort that IS the layout operation.
+- raw clamped ints, NOT min-max scaling — scaling needs a stats pass
+  whose float rounding an independent engine cannot replay exactly;
+- additive bit placement (``+`` of disjoint powers of two, equal to
+  ``|`` here) because DuckDB has no shiftleft/bitwiseOR spelled the
+  same way.
 
-Scale notes:
-- the Z-value is computed per-row (narrow map); the only wide
-  operation is the final ``repartitionByRange``/sort on the Z-value —
-  exactly the shuffle a single-column layout sort would pay;
-- file-level min/max stats per dimension (what parquet row-group
-  pruning reads) shrink as O(1/sqrt(files)) per dim for 2-D Z-order
-  vs O(1) (no pruning) for the non-sorted dimension of a linear sort.
-
-No reference parity: the reference has no layout optimizer; this
-extends the storage family (storage.write_partitioned/write_bucketed).
+Everything stays integer arithmetic inside whole-stage codegen. The
+Morton bijection and 2×2-block locality are pinned in
+tests/test_layout_privacy.py; the write path's multi-axis span
+shrinkage in tests/test_layout.py.
 """
 
 from __future__ import annotations
