@@ -207,6 +207,8 @@ _POST_FREEZE = [
     "dedup_survivorship",
     "hll_set_op_certificate",
     "token_budget_waterfill",
+    "pq_reconstruction_error",
+    "pq_adc_topk_lit",
 ]
 
 

@@ -191,6 +191,9 @@ HEADLINE = [
     "dedup_survivorship",
     "hll_set_op_certificate",
     "token_budget_waterfill",
+    "pq_reconstruction_error",
+    "pq_adc_topk_lit",
+    "pq_adc_topk",
 ]
 
 
@@ -311,7 +314,11 @@ def ann_recall(spark, sf_dir: str) -> dict[str, float | None]:
       dedup; top-k-vs-global recall is ~0 by construction for a
       bucket-restricted search over mostly-random vectors.
     """
-    out: dict[str, float | None] = {"lsh_pair_recall": None, "ivf_recall_at_10": None}
+    out: dict[str, float | None] = {
+        "lsh_pair_recall": None,
+        "ivf_recall_at_10": None,
+        "pq_recall_at_10": None,
+    }
     try:
         exact10 = {
             r["vec_id"]
@@ -330,6 +337,37 @@ def ann_recall(spark, sf_dir: str) -> dict[str, float | None]:
             for r in REGISTRY["embedding_dup_pairs_lsh"].fn(spark, sf_dir).collect()
         }
         out["lsh_pair_recall"] = round(len(pairs & lsh_pairs) / max(len(pairs), 1), 3)
+        # PQ ADC (trained codebooks) top-10 vs the exact L2 top-10 for
+        # the same query — ADC ranks by squared L2, so the exact
+        # baseline must too (cosine top-10 differs for unnormalized
+        # vectors)
+        from pyspark.sql import functions as F
+
+        from big_data_pr_spark.operators import similarity as _sim
+        from big_data_pr_spark.tables import load as _load
+
+        emb = _load(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        exact_l2 = {
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") != 0)
+            .select(
+                "vec_id",
+                _sim._sq_dist_to_literal(F.col("embedding"), qvec).alias("d"),
+            )
+            .orderBy(F.asc("d"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        pq10 = {
+            r["vec_id"] for r in REGISTRY["pq_adc_topk"].fn(spark, sf_dir).collect()
+        }
+        out["pq_recall_at_10"] = round(len(exact_l2 & pq10) / max(len(exact_l2), 1), 3)
     except Exception as exc:  # never fail the bench on the quality probe
         print(f"ann recall probe failed: {exc}", file=sys.stderr)
     return out

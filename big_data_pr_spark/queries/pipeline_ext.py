@@ -841,3 +841,163 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc"),
         "saturated",
     ).orderBy("lang")
+
+
+# ------------------------------------------ product quantization (ANN)
+
+_PQ_M = 4  # subspaces over dim=64 -> 16 dims each
+_PQ_K = 8  # codes per subspace
+_PQ_DSUB = 16
+
+
+def _pq_sqd_sql(a_vec: str, b_vec: str, off: str) -> str:
+    """list_sum fold of the squared diff over one 16-dim subspace
+    (same element order as the Spark-side zip_with/aggregate fold)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {_PQ_DSUB}), d -> "
+        f"(CAST({a_vec}[{off} + d] AS DOUBLE) - CAST({b_vec}[{off} + d] AS DOUBLE)) * "
+        f"(CAST({a_vec}[{off} + d] AS DOUBLE) - CAST({b_vec}[{off} + d] AS DOUBLE))))"
+    )
+
+
+_PQ_INIT_SQL = f"""
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS v
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+    dists AS (
+      SELECT e.vec_id, s.j, i.cid,
+             {_pq_sqd_sql('e.embedding', 'i.v', f's.j * {_PQ_DSUB}')} AS dist
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN init i)
+"""
+
+
+@register(
+    "pq_reconstruction_error",
+    f"""
+    WITH {_PQ_INIT_SQL},
+    best AS (
+      SELECT vec_id, j, min(dist) AS q_err
+      FROM dists GROUP BY vec_id, j)
+    SELECT j AS subspace,
+           count(*) AS n_vecs,
+           round(avg(q_err), 6) AS mse
+    FROM best GROUP BY j ORDER BY j
+    """,
+    doc="Product-quantization reconstruction error per subspace: each "
+    "vector's 64 dims split into 4×16-dim subspaces, each sub-slice "
+    "snapped to its nearest of 8 deterministic sub-centroids (the "
+    "lowest-id vectors' slices, unrefined — the SQL-replayable init "
+    "convention of kmeans_assign/ann_ivf_topk_lit); MSE per subspace "
+    "is the compression-quality dial (PQ = dim·4 bytes → m bytes per "
+    "vector; Jégou et al. 2011). Encode is a zero-shuffle narrow map "
+    "against m·k literal arrays; the trained path (Lloyd-refined "
+    "codebooks, similarity.pq_train) is benchmarked via the "
+    "pq_recall_at_10 probe. operators/similarity.py.",
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_init_codebooks(emb, dim=64, m=_PQ_M, k=_PQ_K)
+    err_cols = []
+    for j in range(_PQ_M):
+        pairs = F.array(
+            *[
+                F.struct(
+                    similarity._sq_dist_slice_to_literal(
+                        F.col("embedding"), j * _PQ_DSUB, _PQ_DSUB, c
+                    ).alias("dist"),
+                    F.lit(ci).alias("cid"),
+                )
+                for ci, c in enumerate(books[j])
+            ]
+        )
+        err_cols.append(
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.array_min(pairs)["dist"].alias("q_err"),
+            )
+        )
+    exploded = emb.select(
+        F.explode(F.array(*err_cols)).alias("s")
+    ).select(F.col("s.subspace").alias("subspace"), F.col("s.q_err").alias("q_err"))
+    return (
+        exploded.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("q_err"), 6).alias("mse"),
+        )
+        .orderBy("subspace")
+    )
+
+
+@register(
+    "pq_adc_topk_lit",
+    f"""
+    WITH {_PQ_INIT_SQL},
+    best AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rk
+        FROM dists) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    adc AS (
+      SELECT b.vec_id,
+             {_pq_sqd_sql('q.qv', 'i.v', f'b.j * {_PQ_DSUB}')} AS dq
+      FROM best b JOIN init i USING (cid) CROSS JOIN q)
+    SELECT vec_id, round(sum(dq), 6) AS adc_dist
+    FROM adc WHERE vec_id <> 0
+    GROUP BY vec_id ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    doc="PQ asymmetric-distance top-10 for query vec 0 (literal "
+    "unrefined codebooks — the oracle-replayable twin; the trained "
+    "path is pq_adc_topk): the query stays full-precision, each "
+    "corpus vector's distance is m table lookups + adds over its "
+    "m-byte code — at 100 TB the scan reads 16× less than the float "
+    "vectors and the driver-sized lookup table is free. Encode = "
+    "narrow map; top-k = TakeOrderedAndProject. "
+    "operators/similarity.py::pq_adc_topk.",
+)
+def pq_adc_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_init_codebooks(emb, dim=64, m=_PQ_M, k=_PQ_K)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10
+    )
+
+
+@register(
+    "pq_adc_topk",
+    None,  # trained codebooks: engine-specific float refinement
+    doc="PQ ADC top-10 with Lloyd-REFINED codebooks + exact re-rank of "
+    "the top-50 ADC candidates (2 iterations, "
+    "similarity.pq_train — joint per-subspace recompute in one "
+    "posexplode pass per iteration). Rows-only: the refined centroids "
+    "are float averages whose exact values are engine-specific; the "
+    "decision path is certified by pq_adc_topk_lit and recall is "
+    "measured by the bench pq_recall_at_10 probe.",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, dim=64, m=_PQ_M, k=_PQ_K, iters=2)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=50
+    )

@@ -81,3 +81,70 @@ def test_waterfill_invariants_random(spark):
         pass
     for r in out.values():
         assert -1e-9 <= r["alloc"] <= r["cap"] + 1e-9
+
+
+def test_pq_roundtrip_compression(spark, sf_dir):
+    """PQ encode: m small codes per vector; trained codebooks must cut
+    reconstruction error vs the unrefined init, and ADC top-k with
+    re-rank must beat raw ADC recall."""
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.operators import similarity as sim
+    from big_data_pr_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = sim.pq_init_codebooks(emb, dim=64, m=4, k=8)
+    trained = sim.pq_train(emb, dim=64, m=4, k=8, iters=2)
+    assert len(trained) == 4 and all(len(b) == 8 for b in trained)
+
+    def mse(books):
+        enc = sim.pq_encode(emb, 64, books)
+        err = F.lit(0.0)
+        for j in range(4):
+            pairs = F.array(
+                *[
+                    F.struct(
+                        sim._sq_dist_slice_to_literal(
+                            F.col("embedding"), j * 16, 16, c
+                        ).alias("dist"),
+                        F.lit(ci).alias("cid"),
+                    )
+                    for ci, c in enumerate(books[j])
+                ]
+            )
+            err = err + F.array_min(pairs)["dist"]
+        return enc.select(err.alias("e")).agg(F.avg("e")).collect()[0][0]
+
+    assert mse(trained) < mse(init)  # Lloyd refinement helps
+
+    codes = sim.pq_encode(emb, 64, trained).select("codes").first()["codes"]
+    assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"]
+        for r in rest.select(
+            "vec_id",
+            sim._sq_dist_to_literal(F.col("embedding"), qvec).alias("d"),
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    raw = {
+        r["vec_id"]
+        for r in sim.pq_adc_topk(rest, 64, trained, qvec, k=10).collect()
+    }
+    rr = {
+        r["vec_id"]
+        for r in sim.pq_adc_topk(
+            rest, 64, trained, qvec, k=10, rerank=50
+        ).collect()
+    }
+    assert len(rr & exact) >= len(raw & exact)
+    assert rr <= exact | rr  # sanity: 10 rows
+    assert len(rr) == 10
