@@ -65,46 +65,14 @@ def test_driver_window_family_coverage():
     assert set(e._FRONT) <= set(REGISTRY)
     front50 = list(e.queries())[:50]
     assert front50 == e._FRONT
-    # Candidate lists grow as families gain members (round 6 added the
-    # never-verified members being rotated through the window); each
-    # family still needs >= 1 representative inside the 50-slot window.
-    families = {
-        "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands",
-                  "atr_14", "obv_running", "stochastic_oscillator_14"],
-        "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
-                   "gap_fill_interpolate", "merged_active_intervals"],
-        "watermark": ["high_watermark", "incremental_new_rows"],
-        "streaming-batch": ["sliding_window_stats", "session_window_native"],
-        "tpch": ["q1_pricing", "q21_waiting_supplier_v", "returns_analysis",
-                 "customer_ltv_deciles", "supplier_scorecard"],
-        "join": ["join_semi_discounted", "join_anti_customers",
-                 "salted_join_segment_revenue", "bloom_prefilter_urgent_revenue"],
-        "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments",
-                    "winsorized_stats"],
-        "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign",
-                  "dedup_minhash_md5", "dedup_simhash_md5"],
-        "similarity": ["knn_cosine_bruteforce", "embedding_quantize",
-                       "ann_lsh_topk_lit", "ann_ivf_topk_lit",
-                       "embedding_pca_project_lit"],
-        "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
-                 "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens"],
-        "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
-                    "contamination_transitive", "blocklist_hit_rate",
-                    "watermark_greenlist_zscore"],
-        "sampling": ["stratified_sample_exact", "stratified_sample_hash",
-                     "weighted_sample_quality", "token_budget_select",
-                     "pack_bins_ffd_global", "corpus_shuffle_shards"],
-        "multimodal": ["multimodal_meta", "multimodal_frames",
-                       "multimodal_ppm_decode", "multimodal_wav_decode",
-                       "multimodal_video_frames"],
-        "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
-                        "matview_incremental_refresh", "scd2_build_customer_priority"],
-        "validation": ["validate_orders", "jsonl_corrupt_quarantine",
-                       "schema_evolution_roundtrip"],
-        "profiling": ["corpus_profile", "profile_orders",
-                      "doc_length_histogram", "benford_first_digit"],
-    }
-    for fam, names in families.items():
+    # The family map is shared with the rotation generator
+    # (tools/rotate_window.py::FAMILIES — single source of truth);
+    # candidate lists grow as families gain members, and each family
+    # needs >= 1 representative inside the 50-slot window.
+    from tools.rotate_window import FAMILIES
+
+    for fam, names in FAMILIES.items():
+        assert set(names) <= set(REGISTRY), (fam, set(names) - set(REGISTRY))
         assert any(n in front50 for n in names), (fam, names)
 
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Plan the next round's driver window rotation.
+"""Plan (and now GENERATE) the next round's driver window rotation.
 
 Reads DRIVER_LEDGER.json (regenerate first with tools/ledger_update.py
 after the new CORRECTNESS file lands) and the query registry, and
@@ -8,7 +8,16 @@ reports: which oracle-backed queries have never been driver-verified
 current-window entries are re-verifications that can rotate out, and
 how many free slots the next window has.
 
-Usage: python tools/rotate_window.py
+``--suggest`` additionally prints a ready-to-paste 50-name _FRONT for
+the next round: flagship first, then never-driver-verified oracle
+queries (in _POST_FREEZE declaration order — the builder's priority
+order), then already-green family-insurance representatives for any
+family the never-verified picks don't cover. FAMILIES below is the
+single source of truth for family coverage — the guard test
+tests/test_queries_oracle.py::test_driver_window_family_coverage
+imports it from here.
+
+Usage: python tools/rotate_window.py [--suggest]
 """
 
 from __future__ import annotations
@@ -24,22 +33,143 @@ from big_data_pr_spark.queries import REGISTRY  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
 
+FLAGSHIP = "ohlcv_candles_sma"
 
-def main() -> None:
+# Operator families and their registry representatives: every round's
+# 50-slot window must keep >= 1 member of each family (guard-enforced).
+# Grow a family's list when new members land; never shrink it.
+FAMILIES: dict[str, list[str]] = {
+    "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands",
+              "atr_14", "obv_running", "stochastic_oscillator_14"],
+    "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
+               "gap_fill_interpolate", "merged_active_intervals"],
+    "watermark": ["high_watermark", "incremental_new_rows"],
+    "streaming-batch": ["sliding_window_stats", "session_window_native"],
+    "tpch": ["q1_pricing", "q21_waiting_supplier_v", "returns_analysis",
+             "customer_ltv_deciles", "supplier_scorecard"],
+    "join": ["join_semi_discounted", "join_anti_customers",
+             "salted_join_segment_revenue", "bloom_prefilter_urgent_revenue"],
+    "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments",
+                "winsorized_stats"],
+    "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign",
+              "dedup_minhash_md5", "dedup_simhash_md5", "dedup_survivorship"],
+    "similarity": ["knn_cosine_bruteforce", "embedding_quantize",
+                   "ann_lsh_topk_lit", "ann_ivf_topk_lit",
+                   "embedding_pca_project_lit", "pq_adc_topk_lit",
+                   "pq_reconstruction_error"],
+    "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
+             "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
+             "vocab_oov_rate"],
+    "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
+                "contamination_transitive", "blocklist_hit_rate",
+                "watermark_greenlist_zscore"],
+    "sampling": ["stratified_sample_exact", "stratified_sample_hash",
+                 "weighted_sample_quality", "token_budget_select",
+                 "pack_bins_ffd_global", "corpus_shuffle_shards",
+                 "token_budget_waterfill"],
+    "multimodal": ["multimodal_meta", "multimodal_frames",
+                   "multimodal_ppm_decode", "multimodal_wav_decode",
+                   "multimodal_video_frames"],
+    "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
+                    "matview_incremental_refresh", "scd2_build_customer_priority"],
+    "validation": ["validate_orders", "jsonl_corrupt_quarantine",
+                   "schema_evolution_roundtrip", "sequence_gap_audit"],
+    "profiling": ["corpus_profile", "profile_orders",
+                  "doc_length_histogram", "benford_first_digit",
+                  "skew_key_deciles"],
+}
+
+
+def load_state():
     with open(os.path.join(ROOT, "DRIVER_LEDGER.json")) as f:
         ledger = json.load(f)["queries"]
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
+    never = sorted(oracle_backed - set(ledger))
+    return ledger, oracle_backed, never
+
+
+def suggest(ledger, never) -> list[str]:
+    """A 50-name _FRONT for the next round."""
+    picks: list[str] = [FLAGSHIP]
+    # never-verified in _POST_FREEZE declaration order (builder priority),
+    # then any stragglers alphabetically — but names that are a family's
+    # ONLY never-verified representative jump the queue, so family
+    # coverage is satisfied by rotation targets instead of spending
+    # slots on already-green insurance reps
+    pf_order = [n for n in entry._POST_FREEZE if n in never]
+    rest = [n for n in never if n not in set(pf_order) and n != FLAGSHIP]
+    queue = pf_order + sorted(rest)
+    never_set = set(queue)
+    priority: list[str] = []
+    for names in FAMILIES.values():
+        fam_never = [n for n in queue if n in set(names)]
+        if fam_never and fam_never[0] not in priority:
+            priority.append(fam_never[0])
+    queue = priority + [n for n in queue if n not in set(priority)]
+    for n in queue:
+        if len(picks) >= 50:
+            break
+        if n not in picks:
+            picks.append(n)
+    # family insurance: fill uncovered families with already-green reps
+    for fam, names in FAMILIES.items():
+        if any(n in picks for n in names):
+            continue
+        green = [n for n in names if n in ledger]
+        if not green:
+            continue
+        if len(picks) < 50:
+            picks.append(green[0])
+        else:
+            # evict the last non-flagship pick whose family stays covered
+            for i in range(len(picks) - 1, 0, -1):
+                cand = picks[i]
+                fams_of = [
+                    f for f, ns in FAMILIES.items() if cand in ns
+                ]
+                still = all(
+                    any(n in (picks[:i] + picks[i + 1:]) for n in FAMILIES[f])
+                    for f in fams_of
+                )
+                if still:
+                    picks[i] = green[0]
+                    break
+    # top up with already-green representatives if under 50
+    if len(picks) < 50:
+        for n in sorted(ledger):
+            if n in REGISTRY and n not in picks:
+                picks.append(n)
+            if len(picks) >= 50:
+                break
+    return picks[:50]
+
+
+def main() -> None:
+    ledger, oracle_backed, never = load_state()
     rows_only = set(REGISTRY) - oracle_backed
-    never_oracle = sorted(oracle_backed - set(ledger))
     never_rows = sorted(rows_only - set(ledger))
     window = list(entry._FRONT)
     reverify = [n for n in window if n in ledger]
 
+    if "--suggest" in sys.argv:
+        picks = suggest(ledger, never)
+        missing_fams = [
+            f for f, ns in FAMILIES.items() if not any(n in picks for n in ns)
+        ]
+        print("# suggested _FRONT for the next round "
+              f"({len([n for n in picks if n not in ledger])} never-verified, "
+              f"{len(picks)} total; uncovered families: {missing_fams or 'none'})")
+        print("_FRONT = [")
+        for n in picks:
+            print(f'    "{n}",')
+        print("]")
+        return
+
     print(f"registry: {len(REGISTRY)} ({len(oracle_backed)} oracle, "
           f"{len(rows_only)} rows-only); ledger: {len(ledger)} driver-verified")
-    print(f"\nnever-verified ORACLE queries ({len(never_oracle)}) — "
+    print(f"\nnever-verified ORACLE queries ({len(never)}) — "
           "must occupy window slots (guard-enforced):")
-    for n in never_oracle:
+    for n in never:
         marker = "in-window" if n in window else "** MISSING FROM WINDOW **"
         print(f"  {n}  [{marker}]")
     print(f"\nnever-run ROWS-ONLY queries ({len(never_rows)}) — optional slots:")
