@@ -304,12 +304,24 @@ def waterfill(avail: DataFrame, budget_col: str = "b") -> DataFrame:
         ).otherwise(0),
     )
     # first unsaturated row in ratio order: capsum increases along the
-    # order (min = first), wsum decreases (max = first)
-    pivot = flagged.agg(
-        F.min(F.when(F.col("sat") == 0, F.col("capsum"))).alias("capsum_k"),
-        F.max(F.when(F.col("sat") == 0, F.col("wsum"))).alias("wsum_k"),
+    # order (min = first), wsum decreases (max = first). Computed as
+    # GLOBAL windows over the |groups|-sized relation — not a separate
+    # aggregate branch crossJoined back, which would re-execute the
+    # upstream (corpus-scan) aggregate once per branch.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return flagged.crossJoin(F.broadcast(pivot)).select(
+    pivoted = flagged.withColumns(
+        {
+            "capsum_k": F.min(
+                F.when(F.col("sat") == 0, F.col("capsum"))
+            ).over(w_all),
+            "wsum_k": F.max(
+                F.when(F.col("sat") == 0, F.col("wsum"))
+            ).over(w_all),
+        }
+    )
+    return pivoted.select(
         "lang",
         "cap",
         "w",

@@ -830,8 +830,16 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ntok).cast("long").alias("cap"),
         F.sqrt(F.sum(ntok).cast("double")).alias("w"),
     )
-    budget = avail.agg(F.floor(F.sum("cap") * 0.5).cast("long").alias("b"))
-    alloc = sampling.waterfill(avail.crossJoin(F.broadcast(budget)))
+    # budget as a global window over the |langs| aggregate keeps the
+    # whole query ONE linear plan (a separate .agg branch would rescan
+    # the corpus for the budget scalar)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    avail = avail.withColumn(
+        "b", F.floor(F.sum("cap").over(w_all) * 0.5).cast("long")
+    )
+    alloc = sampling.waterfill(avail)
     return alloc.select(
         "lang",
         "cap",
