@@ -209,6 +209,7 @@ _POST_FREEZE = [
     "token_budget_waterfill",
     "pq_reconstruction_error",
     "pq_adc_topk_lit",
+    "pseudonymize_users",
 ]
 
 

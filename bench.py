@@ -194,6 +194,7 @@ HEADLINE = [
     "pq_reconstruction_error",
     "pq_adc_topk_lit",
     "pq_adc_topk",
+    "pseudonymize_users",
 ]
 
 

@@ -60,3 +60,53 @@ def laplace_noise_sql(key: str, scale: float, seed: str = "dp1") -> str:
     """DuckDB twin of :func:`laplace_noise`."""
     u = f"({hash_uniform_sql(key, seed)} - 0.5)"
     return f"(-({scale!r}) * sign({u}) * ln(1 - 2 * abs({u})))"
+
+
+def pseudonymize(key: Column, salt: str) -> Column:
+    """Stable salted pseudonym for an identifier column: 16-hex-char
+    md5 prefix of salt|key. Same key + salt ⇒ same pseudonym (joins
+    and per-entity aggregates still work on the pseudonymized data);
+    without the salt the mapping is not re-derivable from public
+    identifiers. Narrow per-row expression. NOT encryption — rotate
+    the salt to break linkage across releases."""
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 16
+    )
+
+
+def pseudonymize_sql(key: str, salt: str) -> str:
+    """DuckDB twin of :func:`pseudonymize`."""
+    return f"substr(md5('{salt}' || '|' || CAST({key} AS VARCHAR)), 1, 16)"
+
+
+def erase_subject(
+    spark,
+    table_dir: str,
+    key_col: str,
+    key_values: list,
+    note: str = "",
+) -> dict:
+    """Right-to-erasure over an MVCC versioned table: commit a new
+    version with every row of the subject(s) removed, then VACUUM all
+    older versions so the erased rows are physically gone — time
+    travel and erasure are in tension, and erasure wins by contract
+    (GDPR art. 17). Returns {'version', 'rows_removed', 'vacuumed'}.
+
+    Scale: the rewrite is one filtered scan → write (no shuffle); at
+    100 TB pair it with partitioning on a subject-id prefix so the
+    rewrite touches only the subject's partitions instead of the
+    whole table."""
+    from . import versioned  # noqa: PLC0415
+
+    cur = versioned.read_version(spark, table_dir)
+    before = cur.count()
+    kept = cur.filter(~F.col(key_col).isin(key_values))
+    after = kept.count()
+    v = versioned.write_version(
+        kept,
+        table_dir,
+        note=note or f"erase {key_col} x{len(key_values)}",
+        extra={"erased": {key_col: [str(k) for k in key_values]}},
+    )
+    vacuumed = versioned.vacuum(table_dir, keep_last=1)
+    return {"version": v, "rows_removed": before - after, "vacuumed": vacuumed}

@@ -1009,3 +1009,39 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(
         emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=50
     )
+
+
+@register(
+    "pseudonymize_users",
+    f"""
+    SELECT {privacy.pseudonymize_sql('user_id', 'rel42')} AS user_pseudo,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY user_pseudo
+    """,
+    doc="Pseudonymized per-user activity release: user_id replaced by a "
+    "stable salted-md5 pseudonym (same subject ⇒ same pseudonym, so "
+    "per-entity aggregates and joins still work; the mapping is not "
+    "re-derivable without the salt, and rotating the salt breaks "
+    "linkage across releases — the GDPR-pseudonymization pattern for "
+    "shared analytics extracts). Narrow per-row hash into one keyed "
+    "aggregate; same cost as the identified query. "
+    "operators/privacy.py.",
+)
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            privacy.pseudonymize(F.col("user_id"), "rel42").alias(
+                "user_pseudo"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_pseudo")
+    )
