@@ -673,51 +673,72 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_certificate).",
 )
 def hll_set_op_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
     pairs = [("click", "purchase"), ("click", "view"), ("view", "purchase")]
-    outs = []
+    types = sorted({t for p in pairs for t in p})
+    ev = load(spark, sf_dir, "events")
+    # ONE corpus scan: per-user membership flags for every type involved
+    # (|users|-sized), then every pair's sketch + exact counts come from
+    # one aggregate over that table — never a second scan per pair.
+    flags = (
+        ev.filter(F.col("event_type").isin(*types))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(f"i_{t}")
+                for t in types
+            ]
+        )
+    )
+    aggs = []
     for a, b in pairs:
-        sub = ev.filter(F.col("event_type").isin(a, b)).select(
-            "user_id", "event_type"
-        )
-        flags = sub.groupBy("user_id").agg(
-            F.max(F.when(F.col("event_type") == a, 1).otherwise(0)).alias(
-                "ia"
-            ),
-            F.max(F.when(F.col("event_type") == b, 1).otherwise(0)).alias(
-                "ib"
-            ),
-        )
-        agg = sub.agg(
+        ia, ib = F.col(f"i_{a}"), F.col(f"i_{b}")
+        tag = f"{a}__{b}"
+        aggs += [
             F.approx_count_distinct(
-                F.when(F.col("event_type") == a, F.col("user_id"))
-            ).alias("ha"),
+                F.when(ia == 1, F.col("user_id"))
+            ).alias(f"ha_{tag}"),
             F.approx_count_distinct(
-                F.when(F.col("event_type") == b, F.col("user_id"))
-            ).alias("hb"),
-            F.approx_count_distinct("user_id").alias("hu"),
-        ).crossJoin(
-            flags.agg(
-                F.sum(F.col("ia") * F.col("ib")).alias("exact_inter")
-            )
-        )
-        outs.append(
-            agg.select(
+                F.when(ib == 1, F.col("user_id"))
+            ).alias(f"hb_{tag}"),
+            F.approx_count_distinct(
+                F.when((ia == 1) | (ib == 1), F.col("user_id"))
+            ).alias(f"hu_{tag}"),
+            F.sum(ia * ib).alias(f"x_{tag}"),
+        ]
+    wide = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(a).alias("a_type"),
                 F.lit(b).alias("b_type"),
                 (
                     F.abs(
-                        (F.col("ha") + F.col("hb") - F.col("hu"))
-                        - F.col("exact_inter")
+                        (
+                            F.col(f"ha_{a}__{b}")
+                            + F.col(f"hb_{a}__{b}")
+                            - F.col(f"hu_{a}__{b}")
+                        )
+                        - F.col(f"x_{a}__{b}")
                     )
-                    <= 0.15 * (F.col("ha") + F.col("hb") + F.col("hu")) + 5
+                    <= 0.15
+                    * (
+                        F.col(f"ha_{a}__{b}")
+                        + F.col(f"hb_{a}__{b}")
+                        + F.col(f"hu_{a}__{b}")
+                    )
+                    + 5
                 ).alias("within_bound"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("a_type", "b_type")
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.a_type", "r.b_type", "r.within_bound")
+        .orderBy("a_type", "b_type")
+    )
 
 
 _DP_CLAMP = 100.0  # per-row contribution clamp for the sum release
