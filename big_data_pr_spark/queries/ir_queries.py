@@ -387,26 +387,31 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("score"), "doc_id"))
         .alias("rk"),
     )
-    nrel = ranked.agg(F.sum("relevant").alias("n_relevant"))
-    dcg = ranked.filter(F.col("rk") <= 10).agg(
-        F.sum(F.col("relevant") / F.log2(F.col("rk") + 1)).alias("dcg"),
-        F.sum("relevant").alias("hits_at_10"),
+    # ONE aggregate branch over ranked computes n_relevant, DCG@10 and
+    # hits@10 together (three separate branches each re-executed the
+    # whole scoring subplan = repeated corpus scans); IDCG is then a
+    # pure sequence-fold EXPRESSION over n_relevant — no extra branch,
+    # no range crossJoin.
+    combined = ranked.agg(
+        F.sum("relevant").alias("n_relevant"),
+        F.sum(
+            F.when(
+                F.col("rk") <= 10, F.col("relevant") / F.log2(F.col("rk") + 1)
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("rk") <= 10, F.col("relevant")).otherwise(0)
+        ).alias("hits_at_10"),
     )
-    idcg = (
-        spark.range(1, 11)
-        .select(F.col("id").alias("r"))
-        .crossJoin(F.broadcast(nrel))
-        .filter(F.col("r") <= F.least(F.col("n_relevant"), F.lit(10)))
-        .agg(F.sum(1.0 / F.log2(F.col("r") + 1)).alias("idcg"))
+    idcg_expr = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1),
     )
-    return (
-        dcg.crossJoin(F.broadcast(idcg))
-        .crossJoin(F.broadcast(nrel))
-        .select(
-            F.col("n_relevant").cast("long").alias("n_relevant"),
-            F.col("hits_at_10").cast("long").alias("hits_at_10"),
-            F.round("dcg", 6).alias("dcg_10"),
-            F.round("idcg", 6).alias("idcg_10"),
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_10"),
-        )
+    return combined.select(
+        F.col("n_relevant").cast("long").alias("n_relevant"),
+        F.col("hits_at_10").cast("long").alias("hits_at_10"),
+        F.round("dcg", 6).alias("dcg_10"),
+        F.round(idcg_expr, 6).alias("idcg_10"),
+        F.round(F.col("dcg") / idcg_expr, 6).alias("ndcg_10"),
     )
