@@ -321,20 +321,31 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lang").alias("true_lang"), "token"
     ).agg(F.count(F.lit(1)).alias("tf"))
     wc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_ct"))
-    cls = wc.groupBy(F.col("lang").alias("c_lang")).agg(
-        F.sum("n_ct").alias("n_tok_c")
+    # class totals + vocabulary size ride on ONE wc-derived relation:
+    # n_tok_c is a per-lang window sum and v = max(dense_rank(token))
+    # — a |vocab|-bounded sort instead of a separate countDistinct
+    # branch that would re-execute the corpus tokenize. Likewise the
+    # doc total rides on the |classes|-sized prior via a global window.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    pri = docs.groupBy(F.col("lang").alias("c_lang")).agg(
-        F.count(F.lit(1)).alias("n_docs_c")
+    cls = (
+        wc.withColumn("dr", F.dense_rank().over(Window.orderBy("token")))
+        .groupBy(F.col("lang").alias("c_lang"))
+        .agg(F.sum("n_ct").alias("n_tok_c"), F.max("dr").alias("v_part"))
+        .withColumn("v", F.max("v_part").over(w_all))
+        .drop("v_part")
     )
-    tot = docs.agg(F.count(F.lit(1)).alias("total"))
-    voc = wc.agg(F.countDistinct("token").alias("v"))
+    pri = (
+        docs.groupBy(F.col("lang").alias("c_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+        .withColumn("total", F.sum("n_docs_c").over(w_all))
+    )
     model = wc.select(
         F.col("lang").alias("m_lang"), F.col("token").alias("m_token"), "n_ct"
     )
     ll = (
         tf.crossJoin(F.broadcast(cls))
-        .crossJoin(F.broadcast(voc))
         .join(
             model,
             (F.col("m_token") == F.col("token"))
@@ -354,7 +365,6 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         ll.join(F.broadcast(pri), "c_lang")
-        .crossJoin(F.broadcast(tot))
         .withColumn(
             "score",
             F.col("ll")
@@ -1148,28 +1158,41 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h")
     ).agg(F.avg("value").alias("v"))
-    a = hourly.select(F.col("h").alias("ha"), F.col("v").alias("va"))
+    # n_hours rides on the hourly rows via a global window and the
+    # slope/count/n_hours all come from ONE aggregate over the pair
+    # relation; the only second branch is the residual-median pass,
+    # which needs the slope scalar. 5 executions of the corpus
+    # aggregate collapse to 2.
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hourly_n = hourly.withColumn("n_hours", F.count(F.lit(1)).over(w_all))
+    a = hourly_n.select(
+        F.col("h").alias("ha"), F.col("v").alias("va"), "n_hours"
+    )
     b = hourly.select(F.col("h").alias("hb"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("ha") < F.col("hb")).select(
         ((F.col("vb") - F.col("va")) / (F.col("hb") - F.col("ha"))).alias(
             "slope"
-        )
+        ),
+        "n_hours",
     )
-    m = pairs.agg(F.median("slope").alias("slope"))
-    counts = hourly.agg(F.count(F.lit(1)).alias("n_hours")).crossJoin(
-        pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    resid = hourly.crossJoin(F.broadcast(m)).agg(
-        F.median(F.col("v") - F.col("slope") * F.col("h")).alias("intercept")
+    pm = pairs.agg(
+        F.median("slope").alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.first("n_hours").alias("n_hours"),
     )
     return (
-        counts.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(resid))
-        .select(
-            "n_hours",
-            "n_pairs",
-            F.round("slope", 6).alias("slope"),
-            F.round("intercept", 6).alias("intercept"),
+        hourly.crossJoin(F.broadcast(pm))
+        .agg(
+            F.first("n_hours").alias("n_hours"),
+            F.first("n_pairs").alias("n_pairs"),
+            F.round(F.first("slope"), 6).alias("slope"),
+            F.round(
+                F.median(F.col("v") - F.col("slope") * F.col("h")), 6
+            ).alias("intercept"),
         )
     )
 
