@@ -325,7 +325,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_keys,
            min(n) AS min_n, max(n) AS max_n,
            CAST(sum(n) AS BIGINT) AS sum_n,
-           round(sum(n) / (SELECT CAST(sum(n) AS DOUBLE) FROM per_key), 6)
+           round(sum(n) / (sum(CAST(sum(n) AS DOUBLE)) OVER ()), 6)
              AS share
     FROM tiled GROUP BY decile ORDER BY decile
     """,
@@ -340,9 +340,13 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skew_key_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    total = per_key.agg(F.sum("n").cast("double").alias("t"))
     tiled = per_key.withColumn(
         "decile", F.ntile(10).over(Window.orderBy("n", "user_id"))
+    )
+    # total rides the 10-row decile aggregate via a global window — a
+    # separate .agg branch would re-execute the per-key corpus aggregate
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
         tiled.groupBy("decile")
@@ -352,14 +356,17 @@ def skew_key_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("max_n"),
             F.sum("n").cast("long").alias("sum_n"),
         )
-        .crossJoin(F.broadcast(total))
         .select(
             "decile",
             "n_keys",
             "min_n",
             "max_n",
             "sum_n",
-            F.round(F.col("sum_n") / F.col("t"), 6).alias("share"),
+            F.round(
+                F.col("sum_n")
+                / F.sum(F.col("sum_n").cast("double")).over(w_all),
+                6,
+            ).alias("share"),
         )
         .orderBy("decile")
     )

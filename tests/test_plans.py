@@ -557,3 +557,51 @@ def test_chisq_windows_over_cells_not_events(q):
     events scan feeds exactly one aggregate; no Python."""
     plan = plan_str(q("chisq_type_weekday"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_waterfill_single_scan(q):
+    """The capped water-filling allocation must stay ONE linear plan:
+    budget + pivot are global windows over the |groups| aggregate, not
+    aggregate branches that re-execute the corpus scan (regression for
+    the 4-scan/3-BNLJ shape it originally had)."""
+    plan = plan_str(q("token_budget_waterfill"), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_set_op_single_scan(q):
+    """All three pairs' HLL sketches + exact intersections come from
+    one events scan via the per-user flag table (regression for the
+    6-scan per-pair-loop shape)."""
+    plan = plan_str(q("hll_set_op_certificate"), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_stats_no_global_sort(q):
+    """Z-order layout stats: tile assignment is an equi-width range map
+    (narrow), so the only wide ops are the tile aggregate + the final
+    tiny sort — never a corpus-wide ntile window, never Python."""
+    plan = plan_str(q("zorder_layout_stats"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_scan_is_narrow(q):
+    """PQ ADC top-k (literal twin): encode + table-lookup distance are
+    narrow expressions over one scan; top-k is a heap
+    (TakeOrderedAndProject), no shuffle exchange at all."""
+    plan = plan_str(q("pq_adc_topk_lit"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skew_deciles_window_over_keys_not_corpus(q):
+    """The ntile window runs over the |keys|-sized aggregate — the
+    corpus feeds exactly one HashAggregate pair before the window."""
+    plan = plan_str(q("skew_key_deciles"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
