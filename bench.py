@@ -195,6 +195,20 @@ HEADLINE = [
     "pq_adc_topk_lit",
     "pq_adc_topk",
     "pseudonymize_users",
+    # round-6b: nonparametric tests, changepoints, graph, CDC, STL
+    "ks_test_purchase_vs_view",
+    "mannwhitney_value_shift",
+    "kruskal_wallis_value_by_type",
+    "spearman_qty_price_corr",
+    "kendall_tau_sampled",
+    "benjamini_hochberg_types",
+    "cusum_changepoint_daily",
+    "pettitt_changepoint",
+    "triangle_count_suppliers",
+    "jaccard_supplier_pairs",
+    "ewma_volatility",
+    "cdc_merge_apply",
+    "stl_decompose_daily",
 ]
 
 

@@ -15,5 +15,6 @@ from . import ir_queries  # noqa: F401, E402
 from . import warehouse_queries  # noqa: F401, E402
 from . import source_queries  # noqa: F401, E402
 from . import pipeline_ext  # noqa: F401, E402
+from . import stat_tests  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,1031 @@
+"""Nonparametric statistical tests, changepoint detection, graph
+analytics, and CDC-apply — round-6 surface extensions.
+
+Reference capability these generalize: the reference's analytics layer
+computes drift/trend statistics over candle series and cross-sectional
+aggregates (batch_processor.py steps 7-9); its report §8 reasons about
+regime changes qualitatively. This module adds the classical
+distribution-free members of that family (rank tests need no normality
+assumption, which matches the reference's heavy-tailed trade values),
+two changepoint detectors over the daily series the reference charts,
+the supplier co-supply graph metrics implied by its supply-side joins,
+RiskMetrics EWMA volatility (the recursive cousin of its SMA/EMA
+indicators), a CDC last-writer-wins apply with tombstones (the
+streaming-upsert semantics its Elasticsearch sink relies on —
+stream_processor.py doc_id upsert), and a 7-day STL-style seasonal
+decomposition of daily traffic.
+
+Every query is oracle-backed and Python-free in the data path: rank
+statistics come from sorted prefix sums over *distinct-value* count
+tables (cardinality ≪ row count, so the single-partition ordered window
+is over the compressed domain — at 100 TB swap it for a range-partitioned
+prefix-sum, same algebra), and the graph queries bound their join fan-out
+by an explicit edge-weight threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared rank helper: avg rank per distinct value via sorted prefix sums
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(df: DataFrame, col: str) -> DataFrame:
+    """(value, cnt, avg_rank) per distinct value of ``col``.
+
+    Midrank = (# values strictly below) + (cnt + 1)/2 — the standard
+    tie-average rank, computed on the distinct-value table so the global
+    ordered window runs over the compressed domain, not the raw rows.
+    """
+    per = df.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "v",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks_test_purchase_vs_view",
+    """
+    WITH ab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a, value
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT value, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM ab GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS nb
+      FROM ab
+    ),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value) AS cca,
+             sum(cb) OVER (ORDER BY value) AS ccb
+      FROM per
+    ),
+    d AS (
+      SELECT max(abs(cca * 1.0 / na - ccb * 1.0 / nb)) AS ks FROM cum, tot
+    )
+    SELECT na AS n_a, nb AS n_b, round(ks, 6) AS ks_d,
+           round(least(1.0, 2.0 * exp(-2.0 * (na * nb * 1.0 / (na + nb)) * ks * ks)), 6)
+             AS p_value
+    FROM d, tot
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test: does the purchase value "
+    "distribution differ from the view value distribution? D = max ECDF "
+    "gap via cumulative counts over the distinct-value table, p from the "
+    "standard asymptotic tail bound. One groupBy + one ordered prefix "
+    "sum over distinct values (compressed domain); at 100 TB the prefix "
+    "sum range-partitions by value with per-partition offsets.",
+)
+def ks_test_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ab = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        "value",
+    )
+    per = ab.groupBy("value").agg(
+        F.sum("is_a").alias("ca"), F.sum(F.lit(1) - F.col("is_a")).alias("cb")
+    )
+    tot = ab.agg(
+        F.sum("is_a").cast("long").alias("na"),
+        (F.count("*") - F.sum("is_a")).cast("long").alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb"))
+            ).alias("ks")
+        )
+    )
+    en = F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
+    return d.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("ks", 6).alias("ks_d"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * en * F.col("ks") * F.col("ks"))),
+            6,
+        ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) with tie correction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mannwhitney_value_shift",
+    """
+    WITH ab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a, value
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT value, sum(is_a) AS ca, count(*) AS cnt FROM ab GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ab
+    ),
+    rk AS (
+      SELECT ca, cnt,
+             sum(cnt) OVER (ORDER BY value) - cnt + (cnt + 1) / 2.0 AS avg_rank
+      FROM per
+    ),
+    s AS (
+      SELECT sum(ca * avg_rank) AS ra,
+             sum(cnt * cnt * cnt - cnt) AS tie3
+      FROM rk
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(ra - na * (na + 1) / 2.0, 4) AS u_stat,
+           round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0 * ((n + 1) - tie3 * 1.0 / (n * (n - 1)))),
+                 6) AS z_value
+    FROM s, tot
+    """,
+    doc="Mann-Whitney U rank-sum test (purchase vs view values) with "
+    "midranks and the tie-corrected normal approximation — the "
+    "distribution-free alternative to welch_ttest_purchase_vs_view. "
+    "Rank sums come from the distinct-value prefix-sum table "
+    "(no per-row rank shuffle); ties feed the variance correction "
+    "exactly. Same scale path as the KS query.",
+)
+def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ab = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        "value",
+    )
+    per = ab.groupBy("value").agg(
+        F.sum("is_a").alias("ca"), F.count("*").alias("cnt")
+    )
+    tot = ab.agg(
+        F.sum("is_a").cast("long").alias("na"),
+        (F.count("*") - F.sum("is_a")).cast("long").alias("nb"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    rk = per.select(
+        "ca",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+    )
+    s = rk.agg(
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie3"
+        ),
+    )
+    na, nb, n = F.col("na"), F.col("nb"), F.col("n")
+    u = F.col("ra") - na * (na + 1) / 2.0
+    var = na * nb / 12.0 * ((n + 1) - F.col("tie3") * 1.0 / (n * (n - 1)))
+    return s.crossJoin(F.broadcast(tot)).select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / F.sqrt(var), 6).alias("z_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across all event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH per AS (SELECT value, count(*) AS cnt FROM events GROUP BY value),
+    rk AS (
+      SELECT value, cnt,
+             sum(cnt) OVER (ORDER BY value) - cnt + (cnt + 1) / 2.0 AS avg_rank
+      FROM per
+    ),
+    j AS (
+      SELECT e.event_type, r.avg_rank FROM events e JOIN rk r USING (value)
+    ),
+    g AS (
+      SELECT event_type, count(*) AS ng, sum(avg_rank) AS rsum
+      FROM j GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    ties AS (SELECT sum(cnt * cnt * cnt - cnt) AS t3 FROM per),
+    h AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_groups,
+             12.0 / (n * (n + 1.0)) * sum(rsum * rsum / ng) - 3.0 * (n + 1)
+               AS hstat
+      FROM g, tot GROUP BY n
+    )
+    SELECT n AS n_events, k_groups, round(hstat, 6) AS h_stat,
+           round(hstat / (1.0 - t3 * 1.0 / (n * 1.0 * n * n - n)), 6) AS h_adj
+    FROM h, tot, ties
+    """,
+    doc="Kruskal-Wallis H test: do the five event types draw their "
+    "values from the same distribution? Midranks from the "
+    "distinct-value prefix-sum table, joined back to rows for per-group "
+    "rank sums, with the exact tie-correction divisor. The join back is "
+    "the only row-scale shuffle; the H reduction is 5 rows.",
+)
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    rk = _avg_ranks(ev, "value")
+    j = ev.join(rk.withColumnRenamed("v", "value"), "value")
+    g = j.groupBy("event_type").agg(
+        F.count("*").alias("ng"), F.sum("avg_rank").alias("rsum")
+    )
+    tot = ev.agg(F.count("*").alias("n"))
+    ties = rk.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("t3")
+    )
+    n = F.col("n")
+    h = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count("*").alias("k_groups"),
+            (
+                12.0 / (n * (n + 1.0)) * F.sum(F.col("rsum") * F.col("rsum") / F.col("ng"))
+                - 3.0 * (n + 1)
+            ).alias("hstat"),
+        )
+    )
+    return h.crossJoin(F.broadcast(ties)).select(
+        n.alias("n_events"),
+        "k_groups",
+        F.round("hstat", 6).alias("h_stat"),
+        F.round(
+            F.col("hstat")
+            / (1.0 - F.col("t3") * 1.0 / (n * 1.0 * n * n - n)),
+            6,
+        ).alias("h_adj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (lineitem quantity vs extended price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_qty_price_corr",
+    """
+    WITH rq AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+    rqr AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS rnk FROM rq
+    ),
+    rp AS (SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+    rpr AS (
+      SELECT v, sum(cnt) OVER (ORDER BY v) - cnt + (cnt + 1) / 2.0 AS rnk FROM rp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(q.rnk, p.rnk), 6) AS spearman_rho
+    FROM lineitem l
+    JOIN rqr q ON l.l_quantity = q.v
+    JOIN rpr p ON l.l_extendedprice = p.v
+    """,
+    doc="Spearman rank correlation between l_quantity and "
+    "l_extendedprice: midranks per column via distinct-value prefix "
+    "sums, Pearson corr of the ranks. The quantity rank table is ~50 "
+    "rows (broadcast); the price rank table shuffles once on its join "
+    "key. Monotone-association sibling of acctbal_spend_corr.",
+)
+def spearman_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rq = _avg_ranks(li, "l_quantity").select(
+        F.col("v").alias("l_quantity"), F.col("avg_rank").alias("rnk_q")
+    )
+    rp = _avg_ranks(li, "l_extendedprice").select(
+        F.col("v").alias("l_extendedprice"), F.col("avg_rank").alias("rnk_p")
+    )
+    j = li.select("l_quantity", "l_extendedprice").join(
+        F.broadcast(rq), "l_quantity"
+    ).join(rp, "l_extendedprice")
+    return j.agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("rnk_q", "rnk_p"), 6).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on a deterministic hash sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_sampled",
+    """
+    WITH s AS (
+      SELECT l_orderkey * 10 + l_linenumber AS k,
+             l_quantity AS x, l_extendedprice AS y
+      FROM lineitem WHERE l_orderkey % 199 = 0
+    ),
+    p AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM s a JOIN s b ON a.k < b.k
+    ),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS c, CAST(sum(d) AS BIGINT) AS d,
+             CAST(sum(tx) AS BIGINT) AS tx, CAST(sum(ty) AS BIGINT) AS ty,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM p
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+           c AS concordant, d AS discordant,
+           round((c - d) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6) AS tau_b
+    FROM t
+    """,
+    doc="Kendall tau-b (tie-adjusted) between l_quantity and "
+    "l_extendedprice on a deterministic 1/199 orderkey sample — the "
+    "pairwise O(n^2) definition stays tractable because the sample is "
+    "fixed-rate; Spark broadcasts the sampled side into a nested-loop "
+    "self-join. At 100 TB the exact statistic swaps to the O(n log n) "
+    "merge-sort inversion count per sorted run; the sampled estimator "
+    "here is itself the scale answer (sqrt-n error).",
+)
+def kendall_tau_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 199 == 0)
+    s = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    prod = (ax - bx) * (ay - by)
+    p = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("c"),
+        F.when(prod < 0, 1).otherwise(0).alias("d"),
+        F.when(ax == bx, 1).otherwise(0).alias("tx"),
+        F.when(ay == by, 1).otherwise(0).alias("ty"),
+    )
+    t = p.agg(
+        F.sum("c").alias("c"),
+        F.sum("d").alias("d"),
+        F.sum("tx").alias("tx"),
+        F.sum("ty").alias("ty"),
+        F.count("*").alias("n0"),
+    )
+    nrow = s.agg(F.count("*").alias("n"))
+    n0, tx, ty = F.col("n0"), F.col("tx"), F.col("ty")
+    return t.crossJoin(F.broadcast(nrow)).select(
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d")) / F.sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-type median-shift tests
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benjamini_hochberg_types",
+    """
+    WITH med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m FROM events
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CASE WHEN value > (SELECT m FROM med) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type, ng, k * 1.0 / ng AS phat,
+             least(1.0, 2.0 * exp(-2.0 * ng * (k * 1.0 / ng - 0.5)
+                                         * (k * 1.0 / ng - 0.5))) AS pval
+      FROM g
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY pval, event_type) AS bh_rank,
+             count(*) OVER () AS m FROM p
+    ),
+    kmax AS (
+      SELECT r.*, max(CASE WHEN pval <= bh_rank * 0.10 / m THEN bh_rank
+                           ELSE 0 END) OVER () AS kx
+      FROM r
+    )
+    SELECT event_type, ng AS n_events, round(phat, 6) AS phat,
+           round(pval, 6) AS p_value, CAST(bh_rank AS BIGINT) AS bh_rank,
+           bh_rank <= kx AS rejected
+    FROM kmax ORDER BY bh_rank
+    """,
+    doc="Benjamini-Hochberg step-up FDR control (alpha=0.10) over five "
+    "simultaneous median-shift tests: per event type, the share of "
+    "values above the global median, with a Hoeffding-bound p-value "
+    "(distribution-free, closed form — computable identically on both "
+    "engines with exp alone). The BH step-up is two ordered windows "
+    "over 5 rows; the data-scale work is one grouped scan + one exact "
+    "median.",
+)
+def benjamini_hochberg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.agg(F.expr("percentile(value, 0.5)").alias("m"))
+    g = (
+        ev.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum(F.when(F.col("value") > F.col("m"), 1).otherwise(0)).alias("k"),
+        )
+    )
+    phat = F.col("k") * 1.0 / F.col("ng")
+    p = g.select(
+        "event_type",
+        "ng",
+        phat.alias("phat"),
+        F.least(
+            F.lit(1.0),
+            2.0 * F.exp(-2.0 * F.col("ng") * (phat - 0.5) * (phat - 0.5)),
+        ).alias("pval"),
+    )
+    wo = Window.orderBy("pval", "event_type")
+    wall = Window.partitionBy()
+    r = p.select(
+        "*",
+        F.row_number().over(wo).alias("bh_rank"),
+        F.count("*").over(wall).alias("m"),
+    )
+    kx = F.max(
+        F.when(
+            F.col("pval") <= F.col("bh_rank") * 0.10 / F.col("m"), F.col("bh_rank")
+        ).otherwise(0)
+    ).over(wall)
+    return (
+        r.withColumn("kx", kx)
+        .select(
+            "event_type",
+            F.col("ng").alias("n_events"),
+            F.round("phat", 6).alias("phat"),
+            F.round("pval", 6).alias("p_value"),
+            F.col("bh_rank").cast("long").alias("bh_rank"),
+            (F.col("bh_rank") <= F.col("kx")).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT avg(x) AS mu FROM d),
+    c AS (
+      SELECT day, x,
+             sum(x) OVER (ORDER BY day)
+               - row_number() OVER (ORDER BY day) * mu AS cusum
+      FROM d, m
+    )
+    SELECT day, x, round(cusum, 6) AS cusum,
+           abs(cusum) = max(abs(cusum)) OVER () AS is_peak
+    FROM c ORDER BY day
+    """,
+    doc="CUSUM changepoint detector on daily event counts: cumulative "
+    "deviation from the series mean, with the |CUSUM| peak (the "
+    "max-likelihood single changepoint under a mean-shift model) "
+    "flagged. Integer daily counts make the statistic bit-deterministic "
+    "across engines. The series is one grouped scan; the window runs "
+    "over n_days rows only.",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    m = d.agg(F.avg("x").alias("mu"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "x",
+        (
+            F.sum("x").over(wd) - F.row_number().over(Window.orderBy("day")) * F.col("mu")
+        ).alias("cusum"),
+    )
+    wall = Window.partitionBy()
+    return c.select(
+        "day",
+        "x",
+        F.round("cusum", 6).alias("cusum"),
+        (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias("is_peak"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Pettitt rank changepoint over daily distinct users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pettitt_changepoint",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    ix AS (
+      SELECT day, x, row_number() OVER (ORDER BY day) AS i,
+             count(*) OVER () AS n
+      FROM d
+    ),
+    pr AS (
+      SELECT a.i AS ai, b.i AS bi,
+             CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS sg
+      FROM ix a JOIN ix b ON a.i < b.i
+    ),
+    u AS (
+      SELECT t.i AS ti, t.day, CAST(sum(p.sg) AS BIGINT) AS ut
+      FROM ix t JOIN pr p ON p.ai <= t.i AND t.i < p.bi
+      GROUP BY t.i, t.day
+    ),
+    mx AS (SELECT max(abs(ut)) AS k FROM u)
+    SELECT (SELECT CAST(max(n) AS BIGINT) FROM ix) AS n_days,
+           CAST(k AS BIGINT) AS k_stat,
+           (SELECT min(day) FROM u WHERE abs(ut) = (SELECT k FROM mx)) AS cp_day,
+           round(least(1.0, 2.0 * exp(-6.0 * k * k
+                 / ((SELECT max(n) FROM ix) * 1.0 * (SELECT max(n) FROM ix)
+                    * ((SELECT max(n) FROM ix) + 1)))), 6) AS p_approx
+    FROM mx
+    """,
+    doc="Pettitt nonparametric changepoint test on daily distinct-user "
+    "counts: U_t sums sign(x_i - x_j) over pairs straddling t; the "
+    "|U| peak is the changepoint, with the standard exp tail "
+    "approximation. Integer series -> deterministic signs. All "
+    "pairwise work happens on the n_days-row aggregate (30 rows), not "
+    "the raw events — the only row-scale cost is the distinct-count "
+    "groupBy.",
+)
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("x")
+    )
+    wday = Window.orderBy("day")
+    ix = d.select(
+        "day",
+        "x",
+        F.row_number().over(wday).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    a, b = ix.alias("a"), ix.alias("b")
+    pr = a.join(F.broadcast(b), F.col("a.i") < F.col("b.i")).select(
+        F.col("a.i").alias("ai"),
+        F.col("b.i").alias("bi"),
+        F.when(F.col("a.x") > F.col("b.x"), 1)
+        .when(F.col("a.x") < F.col("b.x"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    t = ix.alias("t")
+    u = (
+        t.join(
+            F.broadcast(pr),
+            (F.col("ai") <= F.col("t.i")) & (F.col("t.i") < F.col("bi")),
+        )
+        .groupBy(F.col("t.i").alias("ti"), F.col("t.day").alias("day"))
+        .agg(F.sum("sg").alias("ut"))
+    )
+    mx = u.agg(F.max(F.abs("ut")).alias("k"))
+    cp = (
+        u.crossJoin(F.broadcast(mx))
+        .where(F.abs("ut") == F.col("k"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    nd = ix.agg(F.max("n").alias("n_days"))
+    k, n = F.col("k"), F.col("n_days")
+    return (
+        mx.crossJoin(F.broadcast(cp))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            n.alias("n_days"),
+            k.cast("long").alias("k_stat"),
+            "cp_day",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2.0 * F.exp(-6.0 * k * k / (n * 1.0 * n * (n + 1))),
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier co-supply graph: triangle count + clustering coefficient
+# ---------------------------------------------------------------------------
+
+_CO_SUPPLY_PS = """
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 1
+"""
+
+
+@register(
+    "triangle_count_suppliers",
+    f"""
+    WITH ps AS ({_CO_SUPPLY_PS}),
+    e AS (
+      SELECT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT sk, CAST(count(*) AS BIGINT) AS dg FROM (
+        SELECT s1 AS sk FROM e UNION ALL SELECT s2 AS sk FROM e
+      ) GROUP BY sk
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS t
+      FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    wdg AS (SELECT CAST(sum(dg * (dg - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           t AS n_triangles, w AS n_wedges,
+           round(3.0 * t / w, 6) AS global_clustering
+    FROM tri, wdg
+    """,
+    doc="Triangle count + global clustering coefficient of the supplier "
+    "co-supply graph (suppliers are adjacent when they ship >= 2 "
+    "distinct p_size=1 parts in common — the weight threshold keeps the "
+    "graph sparse). Triangles enumerate via the id-ordered orientation "
+    "(each triangle counted once); at 100 TB the orientation switches "
+    "to degree-ordering so the wedge join fans out from low-degree "
+    "endpoints, and the edge build shuffles once on partkey.",
+)
+def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    ps = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("s1", "s2")
+        .cache()
+    )
+    deg = (
+        e.select(F.col("s1").alias("sk"))
+        .unionAll(e.select(F.col("s2").alias("sk")))
+        .groupBy("sk")
+        .agg(F.count("*").alias("dg"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    wdg = deg.agg(
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long").alias("w")
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wdg))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            F.round(3.0 * F.col("t") / F.col("w"), 6).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction over the same co-supply graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jaccard_supplier_pairs",
+    f"""
+    WITH ps AS ({_CO_SUPPLY_PS}),
+    cardv AS (SELECT sk, CAST(count(*) AS BIGINT) AS c FROM ps GROUP BY sk),
+    inter AS (
+      SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS shared
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT s1, s2, shared, ca.c AS c1, cb.c AS c2,
+             shared * 1.0 / (ca.c + cb.c - shared) AS jac
+      FROM inter JOIN cardv ca ON ca.sk = s1 JOIN cardv cb ON cb.sk = s2
+    )
+    SELECT s1, s2, shared, c1, c2, round(jac, 6) AS jaccard
+    FROM j ORDER BY jac DESC, s1, s2 LIMIT 20
+    """,
+    doc="Top-20 supplier pairs by Jaccard similarity of their p_size=1 "
+    "part sets — set-overlap link prediction on the co-supply graph. "
+    "Intersections come from one partkey-join + pair groupBy; "
+    "cardinalities broadcast back. Exact integer-ratio scores make the "
+    "top-k order engine-deterministic. At 100 TB the pair generation "
+    "prunes via the same >=2-shared threshold before ranking.",
+)
+def jaccard_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    ps = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .cache()
+    )
+    cardv = ps.groupBy("sk").agg(F.count("*").alias("c"))
+    a, b = ps.alias("a"), ps.alias("b")
+    inter = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(cardv.select(F.col("sk").alias("s1"), F.col("c").alias("c1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(cardv.select(F.col("sk").alias("s2"), F.col("c").alias("c2"))),
+            "s2",
+        )
+        .withColumn(
+            "jac", F.col("shared") * 1.0 / (F.col("c1") + F.col("c2") - F.col("shared"))
+        )
+    )
+    return (
+        j.orderBy(F.desc("jac"), "s1", "s2")
+        .limit(20)
+        .select("s1", "s2", "shared", "c1", "c2", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# RiskMetrics EWMA volatility per event-type daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ewma_volatility",
+    """
+    WITH px AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS p
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day,
+             ln(p / lag(p) OVER (PARTITION BY event_type ORDER BY day)) AS r
+      FROM px
+    ),
+    rr AS (
+      SELECT event_type, day, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM r WHERE r IS NOT NULL
+    ),
+    v AS (
+      SELECT a.event_type, a.day,
+             sum(0.06 * power(0.94, a.i - b.i) * b.r * b.r) AS var
+      FROM rr a JOIN rr b ON a.event_type = b.event_type AND b.i <= a.i
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day, round(sqrt(var), 6) AS ewma_vol
+    FROM v ORDER BY event_type, day
+    """,
+    doc="RiskMetrics EWMA volatility (lambda=0.94) of daily log returns "
+    "per event-type mean-value series — the exponentially-recursive "
+    "cousin of the reference's SMA/EMA indicators "
+    "(batch_processor.py step 7), expressed in closed form as a "
+    "geometric-weight window so no sequential state is needed: the "
+    "per-key self-join runs over n_days rows per key, never raw "
+    "events. At 100 TB the daily aggregate is the only row-scale pass.",
+)
+def ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    px = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("p")
+    )
+    wk = Window.partitionBy("event_type").orderBy("day")
+    r = px.select(
+        "event_type", "day", F.log(F.col("p") / F.lag("p").over(wk)).alias("r")
+    ).where(F.col("r").isNotNull())
+    rr = r.select("*", F.row_number().over(wk).alias("i"))
+    a, b = rr.alias("a"), rr.alias("b")
+    v = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") <= F.col("a.i")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"))
+        .agg(
+            F.sum(
+                0.06
+                * F.pow(F.lit(0.94), F.col("a.i") - F.col("b.i"))
+                * F.col("b.r")
+                * F.col("b.r")
+            ).alias("var")
+        )
+    )
+    return v.select(
+        "event_type", "day", F.round(F.sqrt("var"), 6).alias("ewma_vol")
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: last-writer-wins upserts with tombstones
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_merge_apply",
+    """
+    WITH ops AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del, value
+      FROM events
+      WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(sum(is_del) AS BIGINT) AS n_deletes
+      FROM ops GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_ops, a.n_deletes,
+           r.is_del = 0 AS alive,
+           CASE WHEN r.is_del = 0 THEN round(r.value, 6) END AS final_value,
+           r.ts AS last_op_ts
+    FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+    ORDER BY a.user_id
+    """,
+    doc="CDC changelog apply with last-writer-wins + tombstone "
+    "semantics: signup/purchase/click are upserts, error is a delete; "
+    "a key is alive iff its latest op (total order ts, event_id) is an "
+    "upsert — the doc_id-upsert semantics of the reference's "
+    "Elasticsearch sink (stream_processor.py:135-155) made explicit, "
+    "with delete support the reference lacks. One shuffle on user_id "
+    "serves both the latest-op window and the op-count aggregate; at "
+    "100 TB this is the standard merge-on-read compaction kernel.",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase", "click", "error")
+    )
+    ops = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_del"),
+        "value",
+    )
+    wu = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ops.select("*", F.row_number().over(wu).alias("rn"))
+    agg = ops.groupBy("user_id").agg(
+        F.count("*").alias("n_ops"), F.sum("is_del").alias("n_deletes")
+    )
+    latest = ranked.where(F.col("rn") == 1)
+    return (
+        agg.join(latest.drop("rn"), "user_id")
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes",
+            (F.col("is_del") == 0).alias("alive"),
+            F.when(F.col("is_del") == 0, F.round("value", 6)).alias("final_value"),
+            F.col("ts").alias("last_op_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonal decomposition of daily traffic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stl_decompose_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, y,
+             avg(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend,
+             count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS wn,
+             CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) % 7 AS wd
+      FROM d
+    ),
+    ft AS (SELECT * FROM t WHERE wn = 7),
+    s AS (SELECT wd, avg(y - trend) AS raw_seas FROM ft GROUP BY wd),
+    sc AS (
+      SELECT wd, raw_seas - (SELECT avg(raw_seas) FROM s) AS seas FROM s
+    )
+    SELECT f.day, f.y, round(f.trend, 6) AS trend,
+           round(sc.seas, 6) AS seasonal,
+           round(f.y - f.trend - sc.seas, 6) AS resid
+    FROM ft f JOIN sc ON f.wd = sc.wd ORDER BY f.day
+    """,
+    doc="Additive STL-style decomposition of the daily event-count "
+    "series: trend = centered 7-day moving average (full windows "
+    "only), seasonal = weekday-mean of the detrended series re-centered "
+    "to sum to zero, remainder = y - trend - seasonal. Weekday index is "
+    "an absolute day-diff mod 7 so both engines agree on alignment. "
+    "One grouped scan at row scale; everything after runs on n_days "
+    "rows.",
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("y"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day",
+        "y",
+        F.avg("y").over(w7).alias("trend"),
+        F.count("*").over(w7).alias("wn"),
+        (F.datediff("day", F.lit("2024-01-01")).cast("long") % 7).alias("wd"),
+    )
+    ft = t.where(F.col("wn") == 7)
+    s = ft.groupBy("wd").agg(F.avg(F.col("y") - F.col("trend")).alias("raw_seas"))
+    smean = s.agg(F.avg("raw_seas").alias("sm"))
+    sc = s.crossJoin(F.broadcast(smean)).select(
+        "wd", (F.col("raw_seas") - F.col("sm")).alias("seas")
+    )
+    return (
+        ft.join(F.broadcast(sc), "wd")
+        .select(
+            "day",
+            "y",
+            F.round("trend", 6).alias("trend"),
+            F.round("seas", 6).alias("seasonal"),
+            F.round(F.col("y") - F.col("trend") - F.col("seas"), 6).alias("resid"),
+        )
+        .orderBy("day")
+    )

@@ -40,7 +40,9 @@ FLAGSHIP = "ohlcv_candles_sma"
 # Grow a family's list when new members land; never shrink it.
 FAMILIES: dict[str, list[str]] = {
     "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands",
-              "atr_14", "obv_running", "stochastic_oscillator_14"],
+              "atr_14", "obv_running", "stochastic_oscillator_14",
+              "ewma_volatility", "cusum_changepoint_daily",
+              "pettitt_changepoint", "stl_decompose_daily"],
     "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
                "gap_fill_interpolate", "merged_active_intervals"],
     "watermark": ["high_watermark", "incremental_new_rows"],
@@ -71,7 +73,15 @@ FAMILIES: dict[str, list[str]] = {
                    "multimodal_ppm_decode", "multimodal_wav_decode",
                    "multimodal_video_frames"],
     "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
-                    "matview_incremental_refresh", "scd2_build_customer_priority"],
+                    "matview_incremental_refresh", "scd2_build_customer_priority",
+                    "cdc_merge_apply"],
+    "stattest": ["mad_anomalies", "welch_ttest_purchase_vs_view",
+                 "chisq_type_weekday", "ks_test_purchase_vs_view",
+                 "mannwhitney_value_shift", "kruskal_wallis_value_by_type",
+                 "spearman_qty_price_corr", "kendall_tau_sampled",
+                 "benjamini_hochberg_types"],
+    "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
+              "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit"],
     "profiling": ["corpus_profile", "profile_orders",
