@@ -105,22 +105,20 @@ def ks_test_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ab.groupBy("value").agg(
         F.sum("is_a").alias("ca"), F.sum(F.lit(1) - F.col("is_a")).alias("cb")
     )
-    tot = ab.agg(
-        F.sum("is_a").cast("long").alias("na"),
-        (F.count("*") - F.sum("is_a")).cast("long").alias("nb"),
-    )
+    # totals ride the distinct-value table as a global window — no second
+    # scan of the raw events, the whole query is one linear plan
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
     cum = per.select(
-        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        F.sum("cb").over(wall).cast("long").alias("nb"),
     )
-    d = (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("na", "nb")
-        .agg(
-            F.max(
-                F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb"))
-            ).alias("ks")
-        )
+    d = cum.groupBy("na", "nb").agg(
+        F.max(
+            F.abs(F.col("cca") / F.col("na") - F.col("ccb") / F.col("nb"))
+        ).alias("ks")
     )
     en = F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
     return d.select(
@@ -190,20 +188,21 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ab.groupBy("value").agg(
         F.sum("is_a").alias("ca"), F.count("*").alias("cnt")
     )
-    tot = ab.agg(
-        F.sum("is_a").cast("long").alias("na"),
-        (F.count("*") - F.sum("is_a")).cast("long").alias("nb"),
-        F.count("*").alias("n"),
-    )
+    # midranks + sample sizes all ride the distinct-value table (ordered
+    # prefix window + global window) — one scan, one linear plan
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
     rk = per.select(
         "ca",
         "cnt",
         (F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0).alias(
             "avg_rank"
         ),
+        F.sum("ca").over(wall).cast("long").alias("na"),
+        (F.sum("cnt").over(wall) - F.sum("ca").over(wall)).cast("long").alias("nb"),
+        F.sum("cnt").over(wall).alias("n"),
     )
-    s = rk.agg(
+    s = rk.groupBy("na", "nb", "n").agg(
         F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
         F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
             "tie3"
@@ -212,7 +211,7 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb, n = F.col("na"), F.col("nb"), F.col("n")
     u = F.col("ra") - na * (na + 1) / 2.0
     var = na * nb / 12.0 * ((n + 1) - F.col("tie3") * 1.0 / (n * (n - 1)))
-    return s.crossJoin(F.broadcast(tot)).select(
+    return s.select(
         na.alias("n_a"),
         nb.alias("n_b"),
         F.round(u, 4).alias("u_stat"),
@@ -254,42 +253,60 @@ def mannwhitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM h, tot, ties
     """,
     doc="Kruskal-Wallis H test: do the five event types draw their "
-    "values from the same distribution? Midranks from the "
-    "distinct-value prefix-sum table, joined back to rows for per-group "
-    "rank sums, with the exact tie-correction divisor. The join back is "
-    "the only row-scale shuffle; the H reduction is 5 rows.",
+    "values from the same distribution? One scan grouped by (value, "
+    "event_type); per-value tie blocks and the <=v cumulative come from "
+    "partition/RANGE windows over that compressed table, so per-group "
+    "rank sums need no join back to raw rows. The exact tie-correction "
+    "divisor falls out of a first-row-per-value flag; the H reduction "
+    "is 5 rows.",
 )
 def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    rk = _avg_ranks(ev, "value")
-    j = ev.join(rk.withColumnRenamed("v", "value"), "value")
-    g = j.groupBy("event_type").agg(
-        F.count("*").alias("ng"), F.sum("avg_rank").alias("rsum")
+    # one scan: group by (value, event_type), then recover per-value
+    # totals with a partition window and the <=v cumulative with a RANGE
+    # frame (peers included), so midranks never need a join back to rows
+    per2 = ev.groupBy("value", "event_type").agg(F.count("*").alias("cg"))
+    wv = Window.partitionBy("value")
+    wr = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    tot = ev.agg(F.count("*").alias("n"))
-    ties = rk.agg(
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("t3")
+    rv = Window.partitionBy("value").orderBy("event_type")
+    r = per2.select(
+        "event_type",
+        "cg",
+        F.sum("cg").over(wv).alias("cv"),
+        F.sum("cg").over(wr).alias("cum_le"),
+        F.row_number().over(rv).alias("rv"),
+    ).select(
+        "event_type",
+        "cg",
+        (F.col("cum_le") - F.col("cv") + (F.col("cv") + 1) / 2.0).alias("avg_rank"),
+        F.when(
+            F.col("rv") == 1,
+            F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"),
+        )
+        .otherwise(0)
+        .alias("t3p"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum("cg").alias("ng"),
+        F.sum(F.col("cg") * F.col("avg_rank")).alias("rsum"),
+        F.sum("t3p").alias("t3g"),
+    )
+    tot = g.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum(F.col("rsum") * F.col("rsum") / F.col("ng")).alias("hsum"),
+        F.sum("t3g").alias("t3"),
     )
     n = F.col("n")
-    h = (
-        g.crossJoin(F.broadcast(tot))
-        .groupBy("n")
-        .agg(
-            F.count("*").alias("k_groups"),
-            (
-                12.0 / (n * (n + 1.0)) * F.sum(F.col("rsum") * F.col("rsum") / F.col("ng"))
-                - 3.0 * (n + 1)
-            ).alias("hstat"),
-        )
-    )
-    return h.crossJoin(F.broadcast(ties)).select(
+    hstat = 12.0 / (n * (n + 1.0)) * F.col("hsum") - 3.0 * (n + 1)
+    return tot.select(
         n.alias("n_events"),
-        "k_groups",
-        F.round("hstat", 6).alias("h_stat"),
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.round(hstat, 6).alias("h_stat"),
         F.round(
-            F.col("hstat")
-            / (1.0 - F.col("t3") * 1.0 / (n * 1.0 * n * n - n)),
-            6,
+            hstat / (1.0 - F.col("t3") * 1.0 / (n * 1.0 * n * n - n)), 6
         ).alias("h_adj"),
     )
 
@@ -385,26 +402,29 @@ def kendall_tau_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
+    # sample size rides the a-side as a global window so the final
+    # scalar needs no third scan of the filtered table
+    s = s.withColumn("n", F.count("*").over(Window.partitionBy()))
     a, b = s.alias("a"), s.alias("b")
     ax, bx = F.col("a.x"), F.col("b.x")
     ay, by = F.col("a.y"), F.col("b.y")
     prod = (ax - bx) * (ay - by)
-    p = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k")).select(
+    p = a.join(F.broadcast(b.drop("n")), F.col("a.k") < F.col("b.k")).select(
+        F.col("a.n").alias("n"),
         F.when(prod > 0, 1).otherwise(0).alias("c"),
         F.when(prod < 0, 1).otherwise(0).alias("d"),
         F.when(ax == bx, 1).otherwise(0).alias("tx"),
         F.when(ay == by, 1).otherwise(0).alias("ty"),
     )
-    t = p.agg(
+    t = p.groupBy("n").agg(
         F.sum("c").alias("c"),
         F.sum("d").alias("d"),
         F.sum("tx").alias("tx"),
         F.sum("ty").alias("ty"),
         F.count("*").alias("n0"),
     )
-    nrow = s.agg(F.count("*").alias("n"))
     n0, tx, ty = F.col("n0"), F.col("tx"), F.col("ty")
-    return t.crossJoin(F.broadcast(nrow)).select(
+    return t.select(
         "n",
         F.col("c").alias("concordant"),
         F.col("d").alias("discordant"),
@@ -539,13 +559,15 @@ def benjamini_hochberg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
-    m = d.agg(F.avg("x").alias("mu"))
+    # series mean rides the daily table as a global window (one scan)
     wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.crossJoin(F.broadcast(m)).select(
+    wall = Window.partitionBy()
+    c = d.select(
         "day",
         "x",
         (
-            F.sum("x").over(wd) - F.row_number().over(Window.orderBy("day")) * F.col("mu")
+            F.sum("x").over(wd)
+            - F.row_number().over(Window.orderBy("day")) * F.avg("x").over(wall)
         ).alias("cusum"),
     )
     wall = Window.partitionBy()
@@ -595,66 +617,63 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mx
     """,
     doc="Pettitt nonparametric changepoint test on daily distinct-user "
-    "counts: U_t sums sign(x_i - x_j) over pairs straddling t; the "
-    "|U| peak is the changepoint, with the standard exp tail "
-    "approximation. Integer series -> deterministic signs. All "
-    "pairwise work happens on the n_days-row aggregate (30 rows), not "
-    "the raw events — the only row-scale cost is the distinct-count "
-    "groupBy.",
+    "counts: U_t sums sign(x_i - x_j) over pairs straddling t (the "
+    "oracle computes that literal pairwise form); the Spark plan uses "
+    "the exact midrank identity U_t = 2*S_t - t(n+1) (S_t = cumulative "
+    "midrank sum), so the whole statistic is windows over the daily "
+    "table — one scan, no self-join, and O(n log n) at any series "
+    "length. Integer series -> deterministic signs/ranks. The |U| peak "
+    "is the changepoint, with the standard exp tail approximation.",
 )
 def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count_distinct("user_id").alias("x")
     )
+    # midrank of x_i among all days: <=x cumulative via RANGE frame
+    # (peers included) minus the tie block, plus (ties+1)/2
+    wx = Window.partitionBy("x")
+    wr = Window.orderBy("x").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
     wday = Window.orderBy("day")
-    ix = d.select(
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select(
         "day",
-        "x",
-        F.row_number().over(wday).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+        (
+            F.sum(F.lit(1)).over(wr)
+            - F.count("*").over(wx)
+            + (F.count("*").over(wx) + 1) / 2.0
+        ).alias("rnk"),
+        F.count("*").over(wall).alias("n"),
     )
-    a, b = ix.alias("a"), ix.alias("b")
-    pr = a.join(F.broadcast(b), F.col("a.i") < F.col("b.i")).select(
-        F.col("a.i").alias("ai"),
-        F.col("b.i").alias("bi"),
-        F.when(F.col("a.x") > F.col("b.x"), 1)
-        .when(F.col("a.x") < F.col("b.x"), -1)
-        .otherwise(0)
-        .alias("sg"),
+    # U_t = 2*S_t - t(n+1); defined for t = 1..n-1
+    u = r.select(
+        "day",
+        "n",
+        (
+            2.0 * F.sum("rnk").over(wcum)
+            - F.row_number().over(wday) * (F.col("n") + 1.0)
+        ).alias("ut"),
+        F.row_number().over(wday).alias("t"),
+    ).where(F.col("t") < F.col("n"))
+    u2 = u.withColumn("mx", F.max(F.abs("ut")).over(wall))
+    res = u2.groupBy("n", "mx").agg(
+        F.min(F.when(F.abs("ut") == F.col("mx"), F.col("day"))).alias("cp_day")
     )
-    t = ix.alias("t")
-    u = (
-        t.join(
-            F.broadcast(pr),
-            (F.col("ai") <= F.col("t.i")) & (F.col("t.i") < F.col("bi")),
-        )
-        .groupBy(F.col("t.i").alias("ti"), F.col("t.day").alias("day"))
-        .agg(F.sum("sg").alias("ut"))
-    )
-    mx = u.agg(F.max(F.abs("ut")).alias("k"))
-    cp = (
-        u.crossJoin(F.broadcast(mx))
-        .where(F.abs("ut") == F.col("k"))
-        .agg(F.min("day").alias("cp_day"))
-    )
-    nd = ix.agg(F.max("n").alias("n_days"))
-    k, n = F.col("k"), F.col("n_days")
-    return (
-        mx.crossJoin(F.broadcast(cp))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            n.alias("n_days"),
-            k.cast("long").alias("k_stat"),
-            "cp_day",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    2.0 * F.exp(-6.0 * k * k / (n * 1.0 * n * (n + 1))),
-                ),
-                6,
-            ).alias("p_approx"),
-        )
+    k, n = F.col("mx"), F.col("n")
+    return res.select(
+        n.alias("n_days"),
+        k.cast("long").alias("k_stat"),
+        "cp_day",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0 * F.exp(-6.0 * k * k / (n * 1.0 * n * (n + 1))),
+            ),
+            6,
+        ).alias("p_approx"),
     )
 
 
@@ -710,6 +729,7 @@ def triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .cache()
     )
     a, b = ps.alias("a"), ps.alias("b")
     e = (
@@ -855,9 +875,13 @@ def jaccard_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per event-type mean-value series — the exponentially-recursive "
     "cousin of the reference's SMA/EMA indicators "
     "(batch_processor.py step 7), expressed in closed form as a "
-    "geometric-weight window so no sequential state is needed: the "
-    "per-key self-join runs over n_days rows per key, never raw "
-    "events. At 100 TB the daily aggregate is the only row-scale pass.",
+    "geometric-weight cumulative window (var_t = 0.06 * 0.94^t * "
+    "cumsum(0.94^-j r_j^2)) so no sequential state and no self-join is "
+    "needed — one scan, keyed windows only. The rescaling trick is "
+    "exact here (30-day series); for multi-year series 0.94^-j "
+    "overflows double precision around j~10^4, so the scale path "
+    "re-bases the exponent per fixed-size segment (same algebra, "
+    "segment-local j).",
 )
 def ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -869,22 +893,17 @@ def ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", F.log(F.col("p") / F.lag("p").over(wk)).alias("r")
     ).where(F.col("r").isNotNull())
     rr = r.select("*", F.row_number().over(wk).alias("i"))
-    a, b = rr.alias("a"), rr.alias("b")
-    v = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("b.i") <= F.col("a.i")),
-        )
-        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"))
-        .agg(
-            F.sum(
-                0.06
-                * F.pow(F.lit(0.94), F.col("a.i") - F.col("b.i"))
-                * F.col("b.r")
-                * F.col("b.r")
-            ).alias("var")
-        )
+    wcum = wk.rowsBetween(Window.unboundedPreceding, 0)
+    v = rr.select(
+        "event_type",
+        "day",
+        (
+            0.06
+            * F.pow(F.lit(0.94), F.col("i"))
+            * F.sum(
+                F.pow(F.lit(0.94), -F.col("i")) * F.col("r") * F.col("r")
+            ).over(wcum)
+        ).alias("var"),
     )
     return v.select(
         "event_type", "day", F.round(F.sqrt("var"), 6).alias("ewma_vol")
@@ -943,13 +962,18 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     wu = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    ranked = ops.select("*", F.row_number().over(wu).alias("rn"))
-    agg = ops.groupBy("user_id").agg(
-        F.count("*").alias("n_ops"), F.sum("is_del").alias("n_deletes")
+    wkey = Window.partitionBy("user_id")
+    # op counts ride the same user_id partition window as the latest-op
+    # row_number: one shuffle, one scan, no groupBy+join-back
+    ranked = ops.select(
+        "*",
+        F.row_number().over(wu).alias("rn"),
+        F.count("*").over(wkey).alias("n_ops"),
+        F.sum("is_del").over(wkey).alias("n_deletes"),
     )
     latest = ranked.where(F.col("rn") == 1)
     return (
-        agg.join(latest.drop("rn"), "user_id")
+        latest
         .select(
             "user_id",
             "n_ops",
@@ -1013,13 +1037,23 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff("day", F.lit("2024-01-01")).cast("long") % 7).alias("wd"),
     )
     ft = t.where(F.col("wn") == 7)
-    s = ft.groupBy("wd").agg(F.avg(F.col("y") - F.col("trend")).alias("raw_seas"))
-    smean = s.agg(F.avg("raw_seas").alias("sm"))
-    sc = s.crossJoin(F.broadcast(smean)).select(
-        "wd", (F.col("raw_seas") - F.col("sm")).alias("seas")
+    # weekday means and their grand mean ride the full-window table as
+    # partition/global windows (first-row-per-weekday flags give the
+    # mean-of-means) — one scan, no groupBy branches to join back
+    wwd = Window.partitionBy("wd")
+    wall = Window.partitionBy()
+    f2 = ft.select(
+        "day",
+        "y",
+        "trend",
+        F.avg(F.col("y") - F.col("trend")).over(wwd).alias("raw_wd"),
+        F.row_number().over(Window.partitionBy("wd").orderBy("day")).alias("rnwd"),
     )
+    first = F.when(F.col("rnwd") == 1, F.col("raw_wd"))
+    sm = F.sum(first).over(wall) / F.count(first).over(wall)
+    f3 = f2.withColumn("seas", F.col("raw_wd") - sm)
     return (
-        ft.join(F.broadcast(sc), "wd")
+        f3
         .select(
             "day",
             "y",

@@ -605,3 +605,69 @@ def test_skew_deciles_window_over_keys_not_corpus(q):
     plan = plan_str(q("skew_key_deciles"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_rank_tests_single_scan_no_join(q):
+    """KS / Mann-Whitney / Kruskal-Wallis: midranks and sample totals
+    all ride the distinct-value aggregate via prefix/global windows —
+    one events scan, no join of any kind, no Python."""
+    for name in (
+        "ks_test_purchase_vs_view",
+        "mannwhitney_value_shift",
+        "kruskal_wallis_value_by_type",
+    ):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, (name, plan.count("Scan parquet"))
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_changepoints_and_stl_windows_only(q):
+    """CUSUM, Pettitt (rank-identity form), STL, EWMA: the raw scan
+    feeds exactly one daily/keyed aggregate; everything downstream is
+    windows over the tiny series table — no self-join re-executing the
+    row-scale scan."""
+    for name in (
+        "cusum_changepoint_daily",
+        "pettitt_changepoint",
+        "stl_decompose_daily",
+        "ewma_volatility",
+    ):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, (name, plan.count("Scan parquet"))
+        assert "Join" not in plan, name
+
+
+def test_cdc_apply_one_shuffle(q):
+    """CDC last-writer-wins apply: op counts ride the same user_id
+    partition window as the latest-op row_number — one scan, one hash
+    exchange (plus the final presentation sort)."""
+    plan = plan_str(q("cdc_merge_apply"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_triangle_count_reuses_cached_edges(q):
+    """Triangle count: the thresholded edge list is tiny and feeds four
+    consumers (degree, wedge, triangle, counts) — it must be a cached
+    relation, not four re-executions of the pair-generation join."""
+    plan = plan_str(q("triangle_count_suppliers"), mode="simple")
+    assert "InMemoryTableScan" in plan
+
+
+def test_kendall_sample_broadcast_not_cartesian(q):
+    """Kendall tau-b: the deterministic 1/199 sample self-joins via a
+    broadcast nested loop (sampled side broadcast), never a
+    CartesianProduct over the full table."""
+    plan = plan_str(q("kendall_tau_sampled"), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_broadcasts_quantity_ranks(q):
+    """Spearman: the ~50-row quantity rank table broadcast-joins back to
+    rows; only the near-unique price rank join shuffles."""
+    plan = plan_str(q("spearman_qty_price_corr"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
