@@ -224,6 +224,12 @@ _POST_FREEZE = [
     "ewma_volatility",
     "cdc_merge_apply",
     "stl_decompose_daily",
+    "mann_kendall_trend",
+    "bootstrap_mean_ci",
+    "hurst_rs_daily",
+    "ljung_box_hourly",
+    "runs_test_daily",
+    "friedman_type_ranks",
 ]
 
 

@@ -1063,3 +1063,596 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on daily purchase counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ix AS (
+      SELECT x, row_number() OVER (ORDER BY day) AS i, count(*) OVER () AS n
+      FROM d
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM ix a JOIN ix b ON a.i < b.i
+    ),
+    ties AS (
+      SELECT coalesce(sum(t * (t - 1.0) * (2 * t + 5.0)), 0.0) AS tt
+      FROM (SELECT count(*) AS t FROM d GROUP BY x HAVING count(*) > 1)
+    ),
+    v AS (
+      SELECT (max(n) * (max(n) - 1.0) * (2 * max(n) + 5.0) - max(tt)) / 18.0
+               AS var_s,
+             CAST(max(n) AS BIGINT) AS n
+      FROM ix, ties
+    )
+    SELECT n AS n_days, s.s AS s_stat, round(var_s, 6) AS var_s,
+           round(CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s)
+                      WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_value,
+           CASE WHEN (CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s)
+                           WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s)
+                           ELSE 0.0 END) > 1.959964 THEN 'increasing'
+                WHEN (CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(var_s)
+                           WHEN s.s < 0 THEN (s.s + 1) / sqrt(var_s)
+                           ELSE 0.0 END) < -1.959964 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM s, v
+    """,
+    doc="Mann-Kendall monotone-trend test on daily purchase counts: "
+    "S sums sign(x_j - x_i) over ordered pairs, variance carries the "
+    "exact tie correction, z uses the continuity-corrected normal "
+    "approximation with a 5% two-sided trend verdict. Integer daily "
+    "counts -> deterministic signs. All pairwise work runs on the "
+    "cached n_days-row aggregate (one row-scale scan); at 100 TB the "
+    "pair join over a long series swaps to merge-sort inversion "
+    "counting, same as Kendall tau.",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    ).cache()
+    ix = d.select(
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    a, b = ix.alias("a"), ix.alias("b")
+    s = a.join(F.broadcast(b.drop("n")), F.col("a.i") < F.col("b.i")).groupBy(
+        "a.n"
+    ).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        ).alias("s")
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1.0) * (2 * F.col("t") + 5.0)),
+                F.lit(0.0),
+            ).alias("tt")
+        )
+    )
+    n = F.col("n").cast("double")
+    var_s = (n * (n - 1.0) * (2 * n + 5.0) - F.col("tt")) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(0.0)
+    )
+    return (
+        s.crossJoin(F.broadcast(ties))
+        .withColumn("var_s", var_s)
+        .withColumn("z", z)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            F.round("var_s", 6).alias("var_s"),
+            F.round("z", 6).alias("z_value"),
+            F.when(F.col("z") > 1.959964, "increasing")
+            .when(F.col("z") < -1.959964, "decreasing")
+            .otherwise("no trend")
+            .alias("trend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-seeded bootstrap CI for the mean daily purchase value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 400  # bootstrap replicates
+
+
+@register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ix AS (
+      SELECT x, row_number() OVER (ORDER BY day) AS i, count(*) OVER () AS n
+      FROM d
+    ),
+    grid AS (
+      SELECT b.b, t.i AS t, ix.n,
+             CAST(floor(((('0x' || substr(md5(CAST(b.b AS VARCHAR) || '_' ||
+                    CAST(t.i AS VARCHAR) || '|boot1'), 1, 12))::BIGINT + 0.5)
+                    / 281474976710656.0) * ix.n) AS BIGINT) + 1 AS idx
+      FROM (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b,
+           (SELECT i FROM ix) t, (SELECT max(n) AS n FROM ix) ix
+    ),
+    reps AS (
+      SELECT g.b, avg(s.x) AS m
+      FROM grid g JOIN ix s ON s.i = g.idx
+      GROUP BY g.b
+    )
+    SELECT (SELECT CAST(max(n) AS BIGINT) FROM ix) AS n_days,
+           CAST({_BOOT_B} AS BIGINT) AS n_reps,
+           round((SELECT avg(x) FROM d), 6) AS mean_obs,
+           round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+           round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6) AS ci_hi,
+           round(stddev_samp(m), 6) AS se_boot
+    FROM reps
+    """,
+    doc="Nonparametric bootstrap CI (95%, percentile method, B=400) for "
+    "the mean of the daily purchase-value series. Resampling indices "
+    "are md5-seeded (operators/privacy.hash_uniform parity pair), so "
+    "both engines draw the SAME replicates and the oracle replays the "
+    "CI bit-for-bit — the same determinism discipline as the DP "
+    "release family. The raw scan feeds one 30-row daily aggregate; "
+    "the B*n replicate grid explodes from the cached series and "
+    "broadcast-joins back, so bootstrap cost is independent of corpus "
+    "size. At 100 TB the same pattern bootstraps any |groups|-sized "
+    "aggregate; resampling raw rows instead uses Poisson(1) hash "
+    "weights per row (one scan, no grid).",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import hash_uniform
+
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    ).cache()
+    ix = d.select(
+        "x",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    grid = ix.select(
+        "i", "n", F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b")
+    ).select(
+        "b",
+        "n",
+        (
+            F.floor(
+                hash_uniform(
+                    F.concat_ws(
+                        "_", F.col("b").cast("string"), F.col("i").cast("string")
+                    ),
+                    "boot1",
+                )
+                * F.col("n")
+            )
+            + 1
+        ).alias("idx"),
+    )
+    reps = (
+        grid.join(F.broadcast(ix.select(F.col("i").alias("idx"), "x")), "idx")
+        .groupBy("b")
+        .agg(F.avg("x").alias("m"))
+    )
+    mean_obs = d.agg(F.round(F.avg("x"), 6).alias("mean_obs"))
+    nd = ix.agg(F.max("n").alias("n_days"))
+    out = reps.agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 6).alias("se_boot"),
+    )
+    return (
+        out.crossJoin(F.broadcast(mean_obs))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.lit(_BOOT_B).cast("long").alias("n_reps"),
+            "mean_obs",
+            "ci_lo",
+            "ci_hi",
+            "se_boot",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hurst_rs_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    ix AS (SELECT x, row_number() OVER (ORDER BY day) AS i FROM d),
+    g AS (
+      SELECT w.w, ix.i, ix.x,
+             CAST(floor((ix.i - 1.0) / w.w) AS BIGINT) AS chunk
+      FROM ix, (SELECT unnest([5, 10, 15, 30]) AS w) w
+    ),
+    c AS (
+      SELECT w, chunk, i, x,
+             avg(x) OVER (PARTITION BY w, chunk) AS mu,
+             stddev_pop(x) OVER (PARTITION BY w, chunk) AS sd,
+             count(*) OVER (PARTITION BY w, chunk) AS cn
+      FROM g
+    ),
+    cum AS (
+      SELECT w, chunk, sd, cn,
+             sum(x - mu) OVER (PARTITION BY w, chunk ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dev
+      FROM c
+    ),
+    rs AS (
+      SELECT w, chunk,
+             (max(dev) - min(dev)) / max(sd) AS rs
+      FROM cum WHERE cn = w AND sd > 0
+      GROUP BY w, chunk
+    ),
+    rw AS (SELECT w, avg(rs) AS rs_mean, count(*) AS n_chunks FROM rs GROUP BY w),
+    ols AS (
+      SELECT (count(*) * sum(ln(w) * ln(rs_mean)) - sum(ln(w)) * sum(ln(rs_mean)))
+             / (count(*) * sum(ln(w) * ln(w)) - sum(ln(w)) * sum(ln(w))) AS h
+      FROM rw
+    )
+    SELECT rw.w, CAST(rw.n_chunks AS BIGINT) AS n_chunks,
+           round(rw.rs_mean, 6) AS rs_mean, round(ols.h, 6) AS hurst
+    FROM rw, ols ORDER BY rw.w
+    """,
+    doc="Hurst exponent by rescaled-range analysis of the daily "
+    "event-count series: for window sizes {5,10,15,30}, each full "
+    "chunk's range of cumulative mean-deviations over its std gives "
+    "R/S; H is the log-log OLS slope of mean R/S vs window size "
+    "(H=0.5 random walk, >0.5 persistent). The raw scan feeds one "
+    "daily aggregate; the 4x replication and all chunk statistics are "
+    "windows over the n_days-row series. H rides every output row via "
+    "a closed-form OLS aggregate.",
+)
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    ix = d.select("x", F.row_number().over(Window.orderBy("day")).alias("i"))
+    g = ix.select(
+        "i", "x", F.explode(F.array(*[F.lit(w) for w in (5, 10, 15, 30)])).alias("w")
+    ).withColumn("chunk", F.floor((F.col("i") - 1) / F.col("w")).cast("long"))
+    wc = Window.partitionBy("w", "chunk")
+    wcum = wc.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "w",
+        "chunk",
+        "i",
+        "x",
+        F.avg("x").over(wc).alias("mu"),
+        F.stddev_pop("x").over(wc).alias("sd"),
+        F.count("*").over(wc).alias("cn"),
+    )
+    cum = c.select(
+        "w",
+        "chunk",
+        "sd",
+        "cn",
+        F.sum(F.col("x") - F.col("mu")).over(wcum).alias("dev"),
+    )
+    rs = (
+        cum.where((F.col("cn") == F.col("w")) & (F.col("sd") > 0))
+        .groupBy("w", "chunk")
+        .agg(((F.max("dev") - F.min("dev")) / F.max("sd")).alias("rs"))
+    )
+    rw = rs.groupBy("w").agg(
+        F.avg("rs").alias("rs_mean"), F.count("*").alias("n_chunks")
+    )
+    # the log-log OLS slope rides the 4-row per-window table as global
+    # window aggregates — one linear plan, no branch re-executing the chain
+    lw, lr = F.log(F.col("w")), F.log(F.col("rs_mean"))
+    wall = Window.partitionBy()
+    cnt = F.count("*").over(wall)
+    h = (cnt * F.sum(lw * lr).over(wall) - F.sum(lw).over(wall) * F.sum(lr).over(wall)) / (
+        cnt * F.sum(lw * lw).over(wall) - F.sum(lw).over(wall) * F.sum(lw).over(wall)
+    )
+    return (
+        rw.withColumn("h", h)
+        .select(
+            "w",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.round("rs_mean", 6).alias("rs_mean"),
+            F.round("h", 6).alias("hurst"),
+        )
+        .orderBy("w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box white-noise test over the hourly mean-value series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ljung_box_hourly",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events GROUP BY 1
+    ),
+    ix0 AS (
+      SELECT v, row_number() OVER (ORDER BY h) AS i,
+             count(*) OVER () AS n, avg(v) OVER () AS xbar
+      FROM hourly
+    ),
+    ix AS (
+      SELECT v, i, n, xbar,
+             sum((v - xbar) * (v - xbar)) OVER () AS ss
+      FROM ix0
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS lag),
+    rho AS (
+      SELECT l.lag, max(a.n) AS n,
+             sum((a.v - a.xbar) * (b.v - b.xbar)) / max(a.ss) AS r
+      FROM lags l
+      JOIN ix a ON a.i > l.lag
+      JOIN ix b ON b.i = a.i - l.lag
+      GROUP BY l.lag
+    ),
+    rho2 AS (
+      SELECT lag, r, max(n) OVER () AS nn FROM rho
+    )
+    SELECT lag, round(r, 6) AS rho,
+           round(nn * (nn + 2.0)
+                 * sum(r * r / (nn - lag))
+                     OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS q_cum
+    FROM rho2 ORDER BY lag
+    """,
+    doc="Ljung-Box white-noise test on the hourly mean-value series: "
+    "positional autocorrelations rho_k (standard covariance estimator, "
+    "global mean/SS via windows) for lags 1..10, with the cumulative "
+    "Q_m = n(n+2) sum rho_k^2/(n-k) per lag — reject white noise when "
+    "Q_m exceeds chi-square(m). The raw scan feeds one hourly "
+    "aggregate (cached); lag pairing joins the 720-row series to "
+    "itself positionally. Companion to acf_value_lags (which reports "
+    "Pearson-of-pairs ACF).",
+)
+def ljung_box_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.floor(epoch_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)).alias("h")
+    ).agg(F.avg("value").alias("v")).cache()
+    wall = Window.partitionBy()
+    ix = hourly.select(
+        "v",
+        F.row_number().over(Window.orderBy("h")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.avg("v").over(wall).alias("xbar"),
+        F.sum(
+            (F.col("v") - F.avg("v").over(wall))
+            * (F.col("v") - F.avg("v").over(wall))
+        )
+        .over(wall)
+        .alias("ss"),
+    )
+    lags = spark.range(1, 11).select(F.col("id").cast("int").alias("lag"))
+    a, b = ix.alias("a"), ix.alias("b")
+    rho = (
+        F.broadcast(lags)
+        .join(a, F.col("a.i") > F.col("lag"))
+        .join(b, F.col("b.i") == F.col("a.i") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.max("a.n").alias("n"),
+            (
+                F.sum(
+                    (F.col("a.v") - F.col("a.xbar"))
+                    * (F.col("b.v") - F.col("b.xbar"))
+                )
+                / F.max("a.ss")
+            ).alias("r"),
+        )
+    )
+    wl = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    nw = F.max("n").over(Window.partitionBy())
+    return rho.select(
+        "lag",
+        F.round("r", 6).alias("rho"),
+        F.round(
+            nw * (nw + 2.0) * F.sum(F.col("r") * F.col("r") / (nw - F.col("lag"))).over(wl),
+            6,
+        ).alias("q_cum"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily count series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runs_test_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) AS med FROM d
+    ),
+    s AS (
+      SELECT day, CASE WHEN x > med THEN 1 ELSE 0 END AS sgn
+      FROM d, med WHERE x <> med
+    ),
+    r AS (
+      SELECT sgn,
+             CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                  OR sgn <> lag(sgn) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+             CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+             CAST(sum(new_run) AS BIGINT) AS runs
+      FROM r
+    )
+    SELECT n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))),
+                 6) AS z_value
+    FROM agg
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily "
+    "event-count series: dichotomize around the series median "
+    "(median-equal days dropped, as is standard), count sign runs via "
+    "one lag window, and compare to the exact run-count normal "
+    "approximation. Integer counts + an engine-identical interpolated "
+    "median make the dichotomy deterministic. One row-scale scan; "
+    "everything else is n_days-row windows.",
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    wall = Window.partitionBy()
+    m = d.select(
+        "day", "x", F.expr("percentile(x, 0.5)").over(wall).alias("med")
+    )
+    s = m.where(F.col("x") != F.col("med")).select(
+        "day", F.when(F.col("x") > F.col("med"), 1).otherwise(0).alias("sgn")
+    )
+    wd = Window.orderBy("day")
+    r = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(wd).isNull() | (F.col("sgn") != F.lag("sgn").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = r.agg(
+        F.sum("sgn").alias("n1"),
+        (F.count("*") - F.sum("sgn")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        runs.alias("runs"),
+        F.round((runs - mu) / F.sqrt(var), 6).alias("z_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test: event types ranked within each day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_type_ranks",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT day, event_type,
+             sum(1) OVER (PARTITION BY day ORDER BY x
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - count(*) OVER (PARTITION BY day, x)
+               + (count(*) OVER (PARTITION BY day, x) + 1) / 2.0 AS r
+      FROM c
+    ),
+    g AS (
+      SELECT event_type, sum(r) AS rsum, count(*) AS n
+      FROM rk GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(rsum * rsum) AS ss
+      FROM g
+    )
+    SELECT g.event_type, CAST(g.n AS BIGINT) AS n_days,
+           round(g.rsum, 1) AS rank_sum,
+           round(12.0 / (tot.n * tot.k * (tot.k + 1)) * tot.ss
+                 - 3.0 * tot.n * (tot.k + 1), 6) AS chi2_f
+    FROM g, tot ORDER BY g.event_type
+    """,
+    doc="Friedman test: within each day (block), rank the five event "
+    "types by their daily count (midranks for ties via the "
+    "partition+RANGE window pair), then chi2_F = 12/(nk(k+1)) * sum "
+    "R_j^2 - 3n(k+1) across type rank sums. Integer counts make "
+    "within-day ranks engine-deterministic. One scan into a "
+    "|days x types| aggregate; all ranking is windows over that "
+    "table. The repeated-measures cousin of kruskal_wallis.",
+)
+def friedman_type_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("x"))
+    wle = Window.partitionBy("day").orderBy("x").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtie = Window.partitionBy("day", "x")
+    rk = c.select(
+        "event_type",
+        (
+            F.sum(F.lit(1)).over(wle)
+            - F.count("*").over(wtie)
+            + (F.count("*").over(wtie) + 1) / 2.0
+        ).alias("r"),
+    )
+    g = rk.groupBy("event_type").agg(
+        F.sum("r").alias("rsum"), F.count("*").alias("n")
+    )
+    wall = Window.partitionBy()
+    n = F.max("n").over(wall)
+    k = F.count("*").over(wall)
+    ss = F.sum(F.col("rsum") * F.col("rsum")).over(wall)
+    return (
+        g.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round("rsum", 1).alias("rank_sum"),
+            F.round(
+                12.0 / (n * k * (k + 1)) * ss - 3.0 * n * (k + 1), 6
+            ).alias("chi2_f"),
+        )
+        .orderBy("event_type")
+    )

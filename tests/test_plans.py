@@ -671,3 +671,32 @@ def test_spearman_broadcasts_quantity_ranks(q):
     plan = plan_str(q("spearman_qty_price_corr"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mk_bootstrap_hurst_one_rowscale_scan(q):
+    """Mann-Kendall, bootstrap CI, Hurst R/S: the raw events scan feeds
+    exactly one daily aggregate; pairs/replicates/chunks all work on
+    the n_days-row series. MK and bootstrap cache the daily table for
+    their multiple consumers (explain re-prints the cached child per
+    consumer, so we assert the InMemoryTableScan rather than the scan
+    count); Hurst is a single linear plan."""
+    for name in ("mann_kendall_trend", "bootstrap_mean_ci"):
+        plan = plan_str(q(name), mode="simple")
+        assert "InMemoryTableScan" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_str(q("hurst_rs_daily"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_ljung_runs_friedman_series_scale(q):
+    """Ljung-Box pairs lags against the cached hourly aggregate;
+    runs test and Friedman are single-scan join-free window chains."""
+    plan = plan_str(q("ljung_box_hourly"), mode="simple")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    for name in ("runs_test_daily", "friedman_type_ranks"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name

@@ -42,7 +42,8 @@ FAMILIES: dict[str, list[str]] = {
     "ohlcv": ["ohlcv_candles_sma", "vwap_daily", "bollinger_bands",
               "atr_14", "obv_running", "stochastic_oscillator_14",
               "ewma_volatility", "cusum_changepoint_daily",
-              "pettitt_changepoint", "stl_decompose_daily"],
+              "pettitt_changepoint", "stl_decompose_daily",
+              "hurst_rs_daily", "ljung_box_hourly"],
     "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
                "gap_fill_interpolate", "merged_active_intervals"],
     "watermark": ["high_watermark", "incremental_new_rows"],
@@ -79,7 +80,9 @@ FAMILIES: dict[str, list[str]] = {
                  "chisq_type_weekday", "ks_test_purchase_vs_view",
                  "mannwhitney_value_shift", "kruskal_wallis_value_by_type",
                  "spearman_qty_price_corr", "kendall_tau_sampled",
-                 "benjamini_hochberg_types"],
+                 "benjamini_hochberg_types", "mann_kendall_trend",
+                 "bootstrap_mean_ci", "runs_test_daily",
+                 "friedman_type_ranks"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
