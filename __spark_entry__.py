@@ -230,6 +230,9 @@ _POST_FREEZE = [
     "ljung_box_hourly",
     "runs_test_daily",
     "friedman_type_ranks",
+    "pinball_loss_eval",
+    "conformal_interval_coverage",
+    "seasonal_naive_mase",
 ]
 
 

@@ -215,6 +215,9 @@ HEADLINE = [
     "ljung_box_hourly",
     "runs_test_daily",
     "friedman_type_ranks",
+    "pinball_loss_eval",
+    "conformal_interval_coverage",
+    "seasonal_naive_mase",
 ]
 
 

@@ -700,3 +700,17 @@ def test_ljung_runs_friedman_series_scale(q):
         plan = plan_str(q(name), mode="simple")
         assert plan.count("Scan parquet") == 1, name
         assert "Join" not in plan, name
+
+
+def test_forecast_eval_broadcast_only(q):
+    """Pinball and conformal evaluation: train/calib/test scans read
+    disjoint day ranges and the per-type predictor tables broadcast
+    back — never a shuffle join; MASE is a single-scan linear plan."""
+    for name in ("pinball_loss_eval", "conformal_interval_coverage"):
+        plan = plan_str(q(name), mode="simple")
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+    plan = plan_str(q("seasonal_naive_mase"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

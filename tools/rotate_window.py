@@ -85,6 +85,9 @@ FAMILIES: dict[str, list[str]] = {
                  "friedman_type_ranks"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
+    "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
+                 "holt_linear_forecast", "pinball_loss_eval",
+                 "conformal_interval_coverage", "seasonal_naive_mase"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit"],
     "profiling": ["corpus_profile", "profile_orders",
