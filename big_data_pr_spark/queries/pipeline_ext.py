@@ -1016,7 +1016,7 @@ def pq_adc_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_adc_topk",
     None,  # trained codebooks: engine-specific float refinement
     doc="PQ ADC top-10 with Lloyd-REFINED codebooks + exact re-rank of "
-    "the top-50 ADC candidates (2 iterations, "
+    "the top-200 ADC candidates (2 iterations, "
     "similarity.pq_train — joint per-subspace recompute in one "
     "posexplode pass per iteration). Rows-only: the refined centroids "
     "are float averages whose exact values are engine-specific; the "
@@ -1035,7 +1035,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     ]
     return similarity.pq_adc_topk(
-        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=50
+        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=200
     )
 
 
