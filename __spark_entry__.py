@@ -233,6 +233,9 @@ _POST_FREEZE = [
     "pinball_loss_eval",
     "conformal_interval_coverage",
     "seasonal_naive_mase",
+    "rfm_segmentation",
+    "multi_touch_attribution",
+    "cohort_ltv_matrix",
 ]
 
 

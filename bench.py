@@ -218,6 +218,9 @@ HEADLINE = [
     "pinball_loss_eval",
     "conformal_interval_coverage",
     "seasonal_naive_mase",
+    "rfm_segmentation",
+    "multi_touch_attribution",
+    "cohort_ltv_matrix",
 ]
 
 

@@ -714,3 +714,19 @@ def test_forecast_eval_broadcast_only(q):
     plan = plan_str(q("seasonal_naive_mase"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_marketing_trio_shapes(q):
+    """RFM ntiles run over the |customers| aggregate (no row-scale
+    window); multi-touch attribution is window-only — one user-keyed
+    shuffle, no self-join; cohort LTV broadcasts the first-order
+    table."""
+    plan = plan_str(q("multi_touch_attribution"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    plan = plan_str(q("rfm_segmentation"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    plan = plan_str(q("cohort_ltv_matrix"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

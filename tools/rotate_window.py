@@ -88,6 +88,10 @@ FAMILIES: dict[str, list[str]] = {
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
                  "holt_linear_forecast", "pinball_loss_eval",
                  "conformal_interval_coverage", "seasonal_naive_mase"],
+    "marketing": ["returns_analysis", "customer_ltv_deciles",
+                  "cohort_retention", "attribution_last_touch",
+                  "rfm_segmentation", "multi_touch_attribution",
+                  "cohort_ltv_matrix"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit"],
     "profiling": ["corpus_profile", "profile_orders",
