@@ -236,6 +236,8 @@ _POST_FREEZE = [
     "rfm_segmentation",
     "multi_touch_attribution",
     "cohort_ltv_matrix",
+    "expectation_suite_audit",
+    "order_total_reconciliation",
 ]
 
 

@@ -221,6 +221,8 @@ HEADLINE = [
     "rfm_segmentation",
     "multi_touch_attribution",
     "cohort_ltv_matrix",
+    "expectation_suite_audit",
+    "order_total_reconciliation",
 ]
 
 

@@ -280,3 +280,188 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "age_years")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite over orders (single-pass checks report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expectation_suite_audit",
+    """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_key,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_key,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bad_price,
+             CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+                             OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+      FROM orders
+    ),
+    ref AS (
+      SELECT CAST(count(*) AS BIGINT) AS orphan
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT c.check_name, c.n_violations, base.n AS n_evaluated,
+           c.n_violations = 0 AS passed
+    FROM base, ref, LATERAL (VALUES
+      ('key_not_null', base.null_key),
+      ('key_unique', base.dup_key),
+      ('price_positive', base.bad_price),
+      ('date_in_range', base.bad_date),
+      ('status_in_domain', base.bad_status),
+      ('custkey_references_customer', ref.orphan)
+    ) AS c(check_name, n_violations)
+    ORDER BY c.check_name
+    """,
+    doc="Expectation-suite audit over orders (the Great-Expectations "
+    "check-report shape): not-null + uniqueness + range + domain "
+    "checks fold into ONE conditional aggregate over a single scan; "
+    "the referential check anti-joins the broadcast customer key set. "
+    "The report pivots out as one row per check with violation counts "
+    "and a pass flag. Generalizes validate_orders from row-filtering "
+    "to suite-reporting; at 100 TB every check still rides the same "
+    "single pass.",
+)
+def expectation_suite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_key"
+        ),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_key"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(
+            F.when(
+                (F.to_date("o_orderdate") < F.lit("1990-01-01"))
+                | (F.to_date("o_orderdate") > F.lit("2005-12-31")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    orphan = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan"))
+    )
+    checks = base.crossJoin(F.broadcast(orphan)).select(
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("key_not_null").alias("check_name"),
+                    F.col("null_key").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("key_unique").alias("check_name"),
+                    F.col("dup_key").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("price_positive").alias("check_name"),
+                    F.col("bad_price").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("date_in_range").alias("check_name"),
+                    F.col("bad_date").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("status_in_domain").alias("check_name"),
+                    F.col("bad_status").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("custkey_references_customer").alias("check_name"),
+                    F.col("orphan").alias("n_violations"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return checks.select(
+        F.col("c.check_name").alias("check_name"),
+        F.col("c.n_violations").alias("n_violations"),
+        F.col("n").alias("n_evaluated"),
+        (F.col("c.n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Order-total reconciliation against line items
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_total_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS items_total,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_without_items,
+           CAST(sum(CASE WHEN li.l_orderkey IS NOT NULL
+                          AND abs(o.o_totalprice - li.items_total) < 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           round(avg(CASE WHEN li.l_orderkey IS NOT NULL
+                          THEN abs(o.o_totalprice - li.items_total) END), 2)
+             AS avg_abs_diff,
+           round(max(CASE WHEN li.l_orderkey IS NOT NULL
+                          THEN abs(o.o_totalprice - li.items_total) END), 2)
+             AS max_abs_diff
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    doc="Cross-table reconciliation audit: does o_totalprice equal the "
+    "TPC-H invariant sum(extprice * (1-disc) * (1+tax)) over the "
+    "order's line items? Reports per-status reconciliation counts, "
+    "orders with no items, and the drift magnitude (the synthetic "
+    "fixtures deliberately violate the invariant — the audit "
+    "quantifies it). One grouped pass over lineitem, one shuffle join "
+    "on orderkey; at 100 TB both sides pre-bucket on orderkey so the "
+    "reconciliation is exchange-free.",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("items_total"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    has = F.col("l_orderkey").isNotNull()
+    diff = F.abs(F.col("o_totalprice") - F.col("items_total"))
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(~has, 1).otherwise(0)).alias("n_without_items"),
+            F.sum(F.when(has & (diff < 0.01), 1).otherwise(0)).alias(
+                "n_reconciled"
+            ),
+            F.round(F.avg(F.when(has, diff)), 2).alias("avg_abs_diff"),
+            F.round(F.max(F.when(has, diff)), 2).alias("max_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )

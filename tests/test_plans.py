@@ -730,3 +730,15 @@ def test_marketing_trio_shapes(q):
     plan = plan_str(q("cohort_ltv_matrix"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_expectation_suite_single_pass(q):
+    """The expectation suite folds every row-level check into one
+    conditional aggregate over a single orders scan; the referential
+    check is a broadcast anti-join — no shuffle join, no Python."""
+    plan = plan_str(q("expectation_suite_audit"), mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "LeftAnti" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = plan_str(q("order_total_reconciliation"), mode="simple")
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, once each

@@ -93,7 +93,8 @@ FAMILIES: dict[str, list[str]] = {
                   "rfm_segmentation", "multi_touch_attribution",
                   "cohort_ltv_matrix"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
-                   "schema_evolution_roundtrip", "sequence_gap_audit"],
+                   "schema_evolution_roundtrip", "sequence_gap_audit",
+                   "expectation_suite_audit", "order_total_reconciliation"],
     "profiling": ["corpus_profile", "profile_orders",
                   "doc_length_histogram", "benford_first_digit",
                   "skew_key_deciles"],
