@@ -238,6 +238,13 @@ _POST_FREEZE = [
     "cohort_ltv_matrix",
     "expectation_suite_audit",
     "order_total_reconciliation",
+    "sharpe_sortino_calmar",
+    "var_cvar_historical",
+    "jarque_bera_returns",
+    "effect_sizes_purchase_view",
+    "sprt_purchase_rate",
+    "l_diversity_audit",
+    "robust_scale_value",
 ]
 
 

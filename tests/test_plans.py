@@ -742,3 +742,42 @@ def test_expectation_suite_single_pass(q):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = plan_str(q("order_total_reconciliation"), mode="simple")
     assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
+
+
+def test_risk_panel_single_scan_windows_only(q):
+    """Sharpe/Sortino/Calmar, VaR/CVaR, Jarque-Bera, SPRT: one orders or
+    events scan -> |days| aggregate -> ordered windows over the
+    compressed domain -> scalar aggregate. No join anywhere."""
+    for name in (
+        "sharpe_sortino_calmar",
+        "var_cvar_historical",
+        "jarque_bera_returns",
+        "sprt_purchase_rate",
+    ):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_effect_sizes_one_distinct_value_pass(q):
+    """Means, variances, AND the rank-sum all come from one distinct-value
+    table: single events scan, single ordered prefix window, no join."""
+    plan = plan_str(q("effect_sizes_purchase_view"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_l_diversity_broadcasts_customer(q):
+    plan = plan_str(q("l_diversity_audit"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_robust_scale_single_grouped_aggregate(q):
+    """The whole robust-scaler profile (median, IQR, scaled mean/p95) is
+    ONE grouped aggregate — the scaled stats are derived algebraically,
+    not from a second pass over scaled rows."""
+    plan = plan_str(q("robust_scale_value"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

@@ -82,7 +82,9 @@ FAMILIES: dict[str, list[str]] = {
                  "spearman_qty_price_corr", "kendall_tau_sampled",
                  "benjamini_hochberg_types", "mann_kendall_trend",
                  "bootstrap_mean_ci", "runs_test_daily",
-                 "friedman_type_ranks"],
+                 "friedman_type_ranks", "sharpe_sortino_calmar",
+                 "var_cvar_historical", "jarque_bera_returns",
+                 "effect_sizes_purchase_view", "sprt_purchase_rate"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
