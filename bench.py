@@ -230,6 +230,12 @@ HEADLINE = [
     "sprt_purchase_rate",
     "l_diversity_audit",
     "robust_scale_value",
+    "lift_gain_deciles",
+    "pr_auc_value",
+    "anova_weekday_revenue",
+    "levene_brown_forsythe",
+    "granger_lag1_purchases",
+    "heaps_law_fit",
 ]
 
 

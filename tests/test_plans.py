@@ -781,3 +781,37 @@ def test_robust_scale_single_grouped_aggregate(q):
     plan = plan_str(q("robust_scale_value"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_ranking_metrics_distinct_score_domain(q):
+    """Lift/gain deciles and PR-AUC follow the AUC idiom: one events
+    scan, grouped to distinct scores BEFORE any ordered window — no
+    global row sort, no join."""
+    for name in ("lift_gain_deciles", "pr_auc_value"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_anova_granger_linear_chains(q):
+    """ANOVA and Granger reduce to |days| sums in one linear plan."""
+    for name in ("anova_weekday_revenue", "granger_lag1_purchases"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_levene_caches_daily_and_broadcasts_medians(q):
+    plan = plan_str(q("levene_brown_forsythe"), mode="simple")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heaps_reuses_cached_tokens(q):
+    """The exploded token table is cached and consumed by both the
+    per-doc and first-occurrence aggregates; the cumulative window runs
+    over |docs| rows."""
+    plan = plan_str(q("heaps_law_fit"), mode="simple")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

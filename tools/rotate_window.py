@@ -62,7 +62,7 @@ FAMILIES: dict[str, list[str]] = {
                    "pq_reconstruction_error"],
     "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
-             "vocab_oov_rate"],
+             "vocab_oov_rate", "heaps_law_fit"],
     "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
                 "contamination_transitive", "blocklist_hit_rate",
                 "watermark_greenlist_zscore"],
@@ -84,7 +84,10 @@ FAMILIES: dict[str, list[str]] = {
                  "bootstrap_mean_ci", "runs_test_daily",
                  "friedman_type_ranks", "sharpe_sortino_calmar",
                  "var_cvar_historical", "jarque_bera_returns",
-                 "effect_sizes_purchase_view", "sprt_purchase_rate"],
+                 "effect_sizes_purchase_view", "sprt_purchase_rate",
+                 "lift_gain_deciles", "pr_auc_value",
+                 "anova_weekday_revenue", "levene_brown_forsythe",
+                 "granger_lag1_purchases"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
