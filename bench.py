@@ -236,6 +236,10 @@ HEADLINE = [
     "levene_brown_forsythe",
     "granger_lag1_purchases",
     "heaps_law_fit",
+    "price_elasticity_by_brand",
+    "kaplan_meier_ship_latency",
+    "mutual_info_type_weekday",
+    "did_value_estimate",
 ]
 
 

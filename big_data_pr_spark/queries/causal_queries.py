@@ -1,0 +1,398 @@
+"""Econometrics, survival, and information-theory extensions — round-6
+continuation.
+
+Reference capability these generalize: the reference's report reasons
+about price sensitivity, customer lifetime, and behavioral drivers
+qualitatively over its TPC-H-shaped warehouse (report §6-§8); this
+module adds the quantitative versions: per-brand log-log price
+elasticity (the demand-curve slope behind price_realization_by_brand),
+a Kaplan-Meier product-limit estimator of user lifetime with
+right-censoring (the nonparametric upgrade of survival_user_retention's
+fixed horizons), a chi-square / Cramér's V / mutual-information panel
+over the (event type x weekday) contingency table (effect-size
+companions to chisq_type_weekday), and a difference-in-differences
+estimator over a deterministic hash-assigned treatment (the A/B
+counterfactual frame, seeded by the same md5 uniform as the DP and
+bootstrap families — operators/privacy.hash_uniform).
+
+Scale posture: elasticity is a grouped regression accumulator on the
+lineitem scan (part joins as a dimension); KM reduces events to a
+|users| table then a |distinct-lifetimes| ordered chain; the MI panel
+is a |types x 7| contingency with window marginals; DiD reduces to a
+|days x 2| cell table before any window. No ordered window ever sees
+raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.privacy import hash_uniform, hash_uniform_sql
+from ..tables import load
+from .registry import register
+
+
+@register(
+    "price_elasticity_by_brand",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(ln(l_quantity),
+                            ln(l_extendedprice / l_quantity
+                               * (1 - l_discount))), 4) AS elasticity,
+           round(regr_r2(ln(l_quantity),
+                         ln(l_extendedprice / l_quantity
+                            * (1 - l_discount))), 4) AS r2
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Per-brand price elasticity of demand: OLS slope of ln(quantity) "
+    "on ln(discounted unit price) — the constant-elasticity demand "
+    "curve; elasticity < -1 is elastic demand where discounting grows "
+    "revenue. One lineitem scan with part broadcast as a dimension; the "
+    "regression is a map-side-partial accumulator per brand (25 "
+    "groups), so the shuffle carries 25 rows of sufficient statistics. "
+    "The causal companion to price_realization_by_brand.",
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.log("l_quantity")
+    x = F.log(
+        F.col("l_extendedprice") / F.col("l_quantity")
+        * (1 - F.col("l_discount"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("elasticity"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "kaplan_meier_ship_latency",
+    """
+    WITH pairs AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, CAST(l_shipdate AS DATE) AS sd,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    cut AS (
+      SELECT od, sd, c, max(od) OVER () AS cutoff FROM pairs
+    ),
+    m AS (
+      SELECT CAST(CASE WHEN sd <= cutoff THEN sd - od
+                       ELSE cutoff - od END AS BIGINT) AS t,
+             CASE WHEN sd <= cutoff THEN 1 ELSE 0 END AS e,
+             c
+      FROM cut
+    ),
+    per_t AS (
+      SELECT t, CAST(sum(c) AS BIGINT) AS n_t,
+             CAST(sum(e * c) AS BIGINT) AS d_t
+      FROM m GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_t, d_t,
+             CAST(sum(n_t) OVER () - coalesce(sum(n_t) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS at_risk
+      FROM per_t
+    ),
+    surv AS (
+      SELECT t, n_t, d_t, at_risk,
+             sum(CASE WHEN d_t < at_risk
+                      THEN ln(1.0 - d_t * 1.0 / at_risk) ELSE 0.0 END)
+               OVER (ORDER BY t) AS cum_ln,
+             sum(CASE WHEN d_t >= at_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS hit_zero
+      FROM risk
+    )
+    SELECT t AS latency_days, at_risk AS n_risk, d_t AS n_events,
+           n_t - d_t AS n_censored,
+           round(CASE WHEN hit_zero > 0 THEN 0.0 ELSE exp(cum_ln) END, 6)
+             AS survival
+    FROM surv WHERE d_t > 0 ORDER BY t
+    """,
+    doc="Kaplan-Meier product-limit estimator of order-to-ship latency "
+    "with administrative right-censoring: as of the last order date, "
+    "lineitems whose ship date falls beyond the cutoff are censored at "
+    "cutoff - orderdate (the still-in-flight tail a live warehouse "
+    "always has). S(t) = product over event times of (1 - d/n_at_risk); "
+    "the cumulative product is exp(cumulative sum of logs) with an "
+    "explicit zero-crossing flag so a d = n step pins S to exactly 0 on "
+    "both engines. The fact-fact join reduces immediately to a "
+    "(orderdate x shipdate) pair-count table, so the cutoff window, the "
+    "lifetime mapping, and the layered KM chain all run over "
+    "date-bounded domains — never raw rows. The nonparametric upgrade "
+    "of ship_latency_percentiles / survival_user_retention.",
+)
+def kaplan_meier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.to_date("o_orderdate").alias("od"),
+            F.to_date("l_shipdate").alias("sd"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wall = Window.partitionBy()
+    cut = pairs.select(
+        "od", "sd", "c", F.max("od").over(wall).alias("cutoff")
+    )
+    m = cut.select(
+        F.when(
+            F.col("sd") <= F.col("cutoff"), F.datediff("sd", "od")
+        )
+        .otherwise(F.datediff("cutoff", "od"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("sd") <= F.col("cutoff"), 1).otherwise(0).alias("e"),
+        "c",
+    )
+    per_t = m.groupBy("t").agg(
+        F.sum("c").cast("long").alias("n_t"),
+        F.sum(F.col("e") * F.col("c")).cast("long").alias("d_t"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.select(
+        "t",
+        "n_t",
+        "d_t",
+        (
+            F.sum("n_t").over(wall)
+            - F.coalesce(F.sum("n_t").over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    surv = risk.select(
+        "t",
+        "n_t",
+        "d_t",
+        "at_risk",
+        F.sum(
+            F.when(
+                F.col("d_t") < F.col("at_risk"),
+                F.log(1.0 - F.col("d_t") * 1.0 / F.col("at_risk")),
+            ).otherwise(0.0)
+        )
+        .over(wcum)
+        .alias("cum_ln"),
+        F.sum(F.when(F.col("d_t") >= F.col("at_risk"), 1).otherwise(0))
+        .over(wcum)
+        .alias("hit_zero"),
+    )
+    return (
+        surv.where(F.col("d_t") > 0)
+        .select(
+            F.col("t").alias("latency_days"),
+            F.col("at_risk").alias("n_risk"),
+            F.col("d_t").alias("n_events"),
+            (F.col("n_t") - F.col("d_t")).alias("n_censored"),
+            F.round(
+                F.when(F.col("hit_zero") > 0, 0.0).otherwise(
+                    F.exp("cum_ln")
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("latency_days")
+    )
+
+
+@register(
+    "mutual_info_type_weekday",
+    """
+    WITH cont AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS n_ij
+      FROM events GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT event_type, dow, n_ij,
+             sum(n_ij) OVER (PARTITION BY event_type) AS ri,
+             sum(n_ij) OVER (PARTITION BY dow) AS cj,
+             sum(n_ij) OVER () AS n
+      FROM cont
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT dow) AS BIGINT) AS n_days,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS df,
+           round(sum(pow(n_ij - ri * cj * 1.0 / n, 2)
+                     / (ri * cj * 1.0 / n)), 6) AS chi2,
+           round(sqrt(sum(pow(n_ij - ri * cj * 1.0 / n, 2)
+                          / (ri * cj * 1.0 / n))
+                      / (max(n) * (least(count(DISTINCT event_type),
+                                         count(DISTINCT dow)) - 1))), 6)
+             AS cramers_v,
+           round(sum(n_ij * 1.0 / n
+                     * ln(n_ij * 1.0 * n / (ri * cj))), 6) AS mi_nats
+    FROM marg
+    """,
+    doc="Association panel for the (event type x weekday) contingency "
+    "table: Pearson chi-square, Cramér's V (the [0,1]-normalized effect "
+    "size the raw chi2 lacks), and mutual information in nats (the "
+    "information-theoretic view — how many nats knowing the weekday "
+    "buys about the event type; companion to user_event_entropy). "
+    "Weekday is days-since-epoch mod 7 (engine-stable). One events scan "
+    "-> |types x 7| contingency; marginals ride the contingency table "
+    "as window sums; single-row closed form.",
+)
+def mutual_info_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cont = ev.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").cast("long").alias("n_ij"))
+    marg = cont.select(
+        "event_type",
+        "dow",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("event_type")).alias("ri"),
+        F.sum("n_ij").over(Window.partitionBy("dow")).alias("cj"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    e_ij = F.col("ri") * F.col("cj") * 1.0 / F.col("n")
+    chi2 = F.sum(F.pow(F.col("n_ij") - e_ij, 2) / e_ij)
+    r = F.countDistinct("event_type")
+    c = F.countDistinct("dow")
+    return marg.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        r.cast("long").alias("n_types"),
+        c.cast("long").alias("n_days"),
+        ((r - 1) * (c - 1)).cast("long").alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * (F.least(r, c) - 1))), 6
+        ).alias("cramers_v"),
+        F.round(
+            F.sum(
+                F.col("n_ij")
+                * 1.0
+                / F.col("n")
+                * F.log(
+                    F.col("n_ij") * 1.0 * F.col("n")
+                    / (F.col("ri") * F.col("cj"))
+                )
+            ),
+            6,
+        ).alias("mi_nats"),
+    )
+
+
+_DID_SEED = "did1"
+
+
+@register(
+    "did_value_estimate",
+    f"""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN {hash_uniform_sql("CAST(user_id AS VARCHAR)", _DID_SEED)}
+                       < 0.5 THEN 1 ELSE 0 END AS treat,
+             sum(value) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT day, treat, s, n,
+             min(day) OVER () + CAST(floor(
+               CAST(max(day) OVER () - min(day) OVER () AS BIGINT) / 2.0
+             ) AS INTEGER) AS mid
+      FROM cells
+    ),
+    quad AS (
+      SELECT treat, CASE WHEN day > mid THEN 1 ELSE 0 END AS post,
+             sum(s) AS s, CAST(sum(n) AS BIGINT) AS n
+      FROM win GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             sum(CASE WHEN treat = 1 AND post = 0 THEN s END)
+               / sum(CASE WHEN treat = 1 AND post = 0 THEN n END) AS m_t_pre,
+             sum(CASE WHEN treat = 1 AND post = 1 THEN s END)
+               / sum(CASE WHEN treat = 1 AND post = 1 THEN n END) AS m_t_post,
+             sum(CASE WHEN treat = 0 AND post = 0 THEN s END)
+               / sum(CASE WHEN treat = 0 AND post = 0 THEN n END) AS m_c_pre,
+             sum(CASE WHEN treat = 0 AND post = 1 THEN s END)
+               / sum(CASE WHEN treat = 0 AND post = 1 THEN n END) AS m_c_post
+      FROM quad
+    )
+    SELECT n_rows,
+           round(m_t_pre, 6) AS mean_treat_pre,
+           round(m_t_post, 6) AS mean_treat_post,
+           round(m_c_pre, 6) AS mean_ctrl_pre,
+           round(m_c_post, 6) AS mean_ctrl_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+             AS did_estimate
+    FROM wide
+    """,
+    doc="Difference-in-differences estimator: users are assigned to "
+    "treatment by the same seeded md5 uniform as the DP/bootstrap "
+    "families (operators/privacy.hash_uniform — engine-stable, no RNG), "
+    "periods split at the date-range midpoint, and the DiD estimate is "
+    "the treated pre/post change net of the control change — the "
+    "parallel-trends counterfactual frame for A/B rollouts. Events "
+    "reduce to a |days x 2| cell table before any window; the midpoint "
+    "rides that table as a global window; the 2x2 collapse is a "
+    "single-row conditional aggregate.",
+)
+def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.when(
+            hash_uniform(F.col("user_id").cast("string"), _DID_SEED) < 0.5, 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+    ).agg(F.sum("value").alias("s"), F.count("*").cast("long").alias("n"))
+    wall = Window.partitionBy()
+    win = cells.select(
+        "day",
+        "treat",
+        "s",
+        "n",
+        F.date_add(
+            F.min("day").over(wall),
+            F.floor(
+                F.datediff(F.max("day").over(wall), F.min("day").over(wall))
+                / 2.0
+            ).cast("int"),
+        ).alias("mid"),
+    )
+    quad = win.groupBy(
+        "treat", F.when(F.col("day") > F.col("mid"), 1).otherwise(0).alias("post")
+    ).agg(F.sum("s").alias("s"), F.sum("n").cast("long").alias("n"))
+
+    def cell(t: int, p: int):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col("s"))) / F.sum(
+            F.when(cond, F.col("n"))
+        )
+
+    m_t_pre, m_t_post = cell(1, 0), cell(1, 1)
+    m_c_pre, m_c_post = cell(0, 0), cell(0, 1)
+    return quad.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.round(m_t_pre, 6).alias("mean_treat_pre"),
+        F.round(m_t_post, 6).alias("mean_treat_post"),
+        F.round(m_c_pre, 6).alias("mean_ctrl_pre"),
+        F.round(m_c_post, 6).alias("mean_ctrl_post"),
+        F.round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6).alias(
+            "did_estimate"
+        ),
+    )

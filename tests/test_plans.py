@@ -815,3 +815,26 @@ def test_heaps_reuses_cached_tokens(q):
     plan = plan_str(q("heaps_law_fit"), mode="simple")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_elasticity_broadcasts_part_dimension(q):
+    plan = plan_str(q("price_elasticity_by_brand"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_km_windows_ride_pair_counts(q):
+    """The fact-fact join reduces to an (orderdate, shipdate) pair-count
+    table before the cutoff window and the KM chain run."""
+    plan = plan_str(q("kaplan_meier_ship_latency"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mi_did_single_scan(q):
+    """MI panel and DiD reduce to contingency/cell tables in one scan;
+    marginals and the midpoint ride those tables as windows."""
+    for name in ("mutual_info_type_weekday", "did_value_estimate"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name

@@ -87,7 +87,9 @@ FAMILIES: dict[str, list[str]] = {
                  "effect_sizes_purchase_view", "sprt_purchase_rate",
                  "lift_gain_deciles", "pr_auc_value",
                  "anova_weekday_revenue", "levene_brown_forsythe",
-                 "granger_lag1_purchases"],
+                 "granger_lag1_purchases", "kaplan_meier_ship_latency",
+                 "mutual_info_type_weekday", "did_value_estimate",
+                 "price_elasticity_by_brand"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
