@@ -255,6 +255,7 @@ _POST_FREEZE = [
     "kaplan_meier_ship_latency",
     "mutual_info_type_weekday",
     "did_value_estimate",
+    "heavy_hitters_certificate",
 ]
 
 

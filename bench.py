@@ -240,6 +240,7 @@ HEADLINE = [
     "kaplan_meier_ship_latency",
     "mutual_info_type_weekday",
     "did_value_estimate",
+    "heavy_hitters_certificate",
 ]
 
 

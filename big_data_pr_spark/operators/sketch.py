@@ -93,3 +93,76 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — mergeable deterministic frequent-items summary
+# ---------------------------------------------------------------------------
+
+
+def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ``(key, c)`` with at most
+    k-1 rows per partition.
+
+    The classical streaming algorithm: keep a dict of at most k-1
+    counters; an unseen key with a full dict decrements ALL counters by
+    the arriving weight's share and evicts non-positive ones. Within a
+    partition of n_p rows every kept count underestimates the true
+    partition count by at most n_p/k, and any key with partition
+    frequency > n_p/k is guaranteed to survive.
+
+    This is the genuinely imperative per-partition path (SURVEY §4's
+    "custom operator" tier c): state across rows of one partition, so
+    ``mapInPandas`` with a dict — Arrow-batched, zero shuffle. The
+    output is at most 32*(k-1) rows total on local[32]; at 1000
+    executors it is still executor-count * k, kilobytes.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = "key string, c long"
+
+    def summarize(batches):
+        # Weighted MG: fold each Arrow batch's value_counts in as
+        # (key, weight) pairs; a full dict subtracts the current MIN
+        # from every counter and evicts zeros. Same guarantees as the
+        # per-row classic (each subtract-min of amount m consumes m*k
+        # of input mass, so total per-key undercount <= n/k; a key with
+        # true count > n/k can never be fully cancelled), but the
+        # Python loop runs over DISTINCT keys per batch, not rows.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, w in pdf[key_col].astype(str).value_counts().items():
+                counters[key] = counters.get(key, 0) + int(w)
+                if len(counters) > k - 1:
+                    m = min(counters.values())
+                    counters = {
+                        kk: c - m for kk, c in counters.items() if c > m
+                    }
+        yield pd.DataFrame(
+            {"key": list(counters), "c": list(counters.values())}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, schema=out_schema
+    )
+
+
+def mg_topk(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Merged Misra-Gries estimate: ``(key, est_count)``.
+
+    Merging per-partition summaries by plain summation preserves both
+    guarantees globally (error bounds add: sum_p n_p/k = n/k, and a key
+    with global frequency > n/k exceeds n_p/k in at least one partition
+    by pigeonhole, so it appears in the union):
+
+    - est_count <= true count (never overcounts),
+    - est_count >= true count - n/k,
+    - every key with true count > n/k is present.
+
+    One mapInPandas pass + one tiny groupBy over executor_count*k rows.
+    """
+    return (
+        mg_partition_summaries(df, key_col, k)
+        .groupBy("key")
+        .agg(F.sum("c").alias("est_count"))
+    )

@@ -20,5 +20,6 @@ from . import marketing  # noqa: F401, E402
 from . import risk_queries  # noqa: F401, E402
 from . import eval_ext  # noqa: F401, E402
 from . import causal_queries  # noqa: F401, E402
+from . import sketch_ext  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

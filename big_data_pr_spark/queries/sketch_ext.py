@@ -1,0 +1,84 @@
+"""Misra-Gries heavy-hitters certificate — sketch-family extension.
+
+The count-min sketch (operators/sketch.py) answers "how often does
+THIS key occur"; Misra-Gries answers the dual "WHICH keys are
+frequent" with a deterministic, mergeable, k-sized summary — the
+at-scale replacement for exact per-key counts when only the heavy tail
+matters (trending users, hot partitions, top tokens). The certificate
+below converts the engine-specific summary into an oracle-gated
+correctness row, exactly like cms_error_certificate /
+approx_distinct_certificate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import mg_topk
+from ..tables import load
+from .registry import register
+
+_MG_K = 64
+
+
+@register(
+    "heavy_hitters_certificate",
+    f"""
+    WITH tok AS (
+      SELECT t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    )
+    SELECT token, TRUE AS captured, TRUE AS no_overcount,
+           TRUE AS within_bound
+    FROM tok GROUP BY token
+    HAVING count(*) > (SELECT count(*) / {_MG_K}.0 FROM tok)
+    ORDER BY token
+    """,
+    doc="Driver-checkable certificate for the Misra-Gries frequent-items "
+    f"summary (operators/sketch.py, k={_MG_K}) over the Zipfian corpus "
+    "token stream (vocabulary >> k, so the decrement/evict path is "
+    "genuinely exercised): for every token whose TRUE count exceeds "
+    "n/k, the merged per-partition summary must (a) contain the token "
+    "— the pigeonhole capture guarantee, (b) never overcount, and (c) "
+    "undercount by at most n/k. All three guarantees are deterministic "
+    "(no hashing, no probability), so the oracle is the constant TRUE "
+    "table over the true heavy hitters. The summary itself is one "
+    "Arrow-batched mapInPandas pass (at most k-1 rows per partition — "
+    "the genuinely imperative tier-c path) merged by a kilobyte-sized "
+    "groupBy; the exact-count side exists only to CHECK the bounds and "
+    "disappears in production use.",
+)
+def heavy_hitters_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tok = tok.cache()
+    est = mg_topk(tok, "token", _MG_K)
+    exact = tok.groupBy("token").agg(F.count("*").alias("true_c"))
+    wall_n = exact.agg(
+        F.sum("true_c").alias("n")
+    )  # driver-sized scalar relation, broadcast below
+    hh = (
+        exact.crossJoin(F.broadcast(wall_n))
+        .where(F.col("true_c") > F.col("n") / float(_MG_K))
+        .join(
+            F.broadcast(est.withColumnRenamed("key", "token_est")),
+            F.col("token") == F.col("token_est"),
+            "left",
+        )
+    )
+    return (
+        hh.select(
+            "token",
+            F.col("est_count").isNotNull().alias("captured"),
+            (F.col("est_count") <= F.col("true_c")).alias("no_overcount"),
+            (
+                F.col("est_count")
+                >= F.col("true_c") - F.col("n") / float(_MG_K)
+            ).alias("within_bound"),
+        )
+        .orderBy("token")
+    )

@@ -53,3 +53,46 @@ def test_cms_heavy_hitter_ranks_first(spark):
     top = est.orderBy(F.desc("est_count"), "k").limit(1).collect()[0]
     assert top["k"] == "hot"
     assert top["est_count"] >= 400
+
+
+def test_mg_never_overcounts_and_bounds_undercount(spark, sf_dir):
+    from big_data_pr_spark.operators.sketch import mg_topk
+    from big_data_pr_spark.tables import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    k = 32
+    est = {r["key"]: r["est_count"] for r in mg_topk(ev, "user_id", k).collect()}
+    exact = {
+        str(r["user_id"]): r["c"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    for key, e in est.items():
+        assert e <= exact[key]
+        assert e >= exact[key] - n / k
+    # capture guarantee: every key with true freq > n/k is present
+    for key, c in exact.items():
+        if c > n / k:
+            assert key in est, key
+
+
+def test_mg_merge_matches_repartitioned_build(spark):
+    """The summary's guarantees hold regardless of partitioning — the
+    certificate properties survive an adversarial 16-way shuffle."""
+    from big_data_pr_spark.operators.sketch import mg_topk
+    from pyspark.sql import functions as F
+
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 100 < 60, F.lit("hot"))
+        .when(F.col("id") % 100 < 80, F.lit("warm"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))
+        .alias("key")
+    )
+    for parts in (1, 16):
+        est = {
+            r["key"]: r["est_count"]
+            for r in mg_topk(df.repartition(parts), "key", 8).collect()
+        }
+        assert "hot" in est and "warm" in est
+        assert est["hot"] <= 6000 and est["hot"] >= 6000 - 10000 / 8
