@@ -241,6 +241,9 @@ HEADLINE = [
     "mutual_info_type_weekday",
     "did_value_estimate",
     "heavy_hitters_certificate",
+    "periodogram_top_periods",
+    "cv_rmse_linreg_daily",
+    "bloom_fpr_certificate",
 ]
 
 

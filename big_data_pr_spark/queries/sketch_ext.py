@@ -82,3 +82,70 @@ def heavy_hitters_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+_BLOOM_BUCKETS = 1024
+
+
+@register(
+    "bloom_fpr_certificate",
+    """
+    WITH member AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    nonmember AS (
+      SELECT c_custkey FROM customer
+      WHERE c_custkey NOT IN (SELECT o_custkey FROM member)
+    )
+    SELECT CAST((SELECT count(*) FROM member) AS BIGINT) AS n_members,
+           CAST((SELECT count(*) FROM nonmember) AS BIGINT) AS n_nonmembers,
+           TRUE AS no_false_negatives,
+           TRUE AS fpr_within_bound
+    """,
+    doc="Driver-checkable certificate for the explicit bloom-style "
+    "hashset prefilter (operators/bloomfilter.py, shrunk to 1024 "
+    "buckets so collisions actually occur): membership = customers "
+    "with an urgent order; probe = all OTHER customers. The filter "
+    "must (a) pass every true member — the no-false-negative guarantee "
+    "that makes it safe as a join prefilter — and (b) keep the "
+    "false-positive rate under 3x the n_keys/num_buckets expectation "
+    "(deterministic here: fixed fixture + fixed xxhash64). The exact "
+    "member/nonmember counts come from data, so the oracle recomputes "
+    "them and the TRUE flags gate the engine-side guarantees — same "
+    "pattern as cms_error_certificate.",
+)
+def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloomfilter import hashset_prefilter
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    member = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    ).cache()
+    nonmember = cust.select(F.col("c_custkey").alias("ck")).join(
+        member, "ck", "left_anti"
+    )
+    kept_members = hashset_prefilter(
+        member, member, "ck", "ck", num_buckets=_BLOOM_BUCKETS
+    ).count()
+    n_members = member.count()
+    n_nonmembers = nonmember.count()
+    false_pos = hashset_prefilter(
+        nonmember, member, "ck", "ck", num_buckets=_BLOOM_BUCKETS
+    ).count()
+    bound = 3.0 * n_members / _BLOOM_BUCKETS
+    row = [
+        (
+            n_members,
+            n_nonmembers,
+            bool(kept_members == n_members),
+            bool(false_pos <= bound * n_nonmembers),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_members long, n_nonmembers long, no_false_negatives boolean, "
+        "fpr_within_bound boolean",
+    )

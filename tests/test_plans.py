@@ -838,3 +838,21 @@ def test_mi_did_single_scan(q):
         plan = plan_str(q(name), mode="simple")
         assert plan.count("Scan parquet") == 1, name
         assert "Join" not in plan, name
+
+
+def test_periodogram_fans_compressed_domain(q):
+    """The 29-period fanout crosses the |days| table, not raw rows: the
+    orders scan feeds one daily aggregate, the literal period range
+    broadcasts, and the trig sums group on period."""
+    plan = plan_str(q("periodogram_top_periods"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cv_rmse_closed_form_no_refit(q):
+    """Leave-fold-out CV: one scan -> |days| -> 5-row fold table with a
+    global window; no join back to rows, no per-fold recompute."""
+    plan = plan_str(q("cv_rmse_linreg_daily"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

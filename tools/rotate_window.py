@@ -94,7 +94,8 @@ FAMILIES: dict[str, list[str]] = {
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
                  "holt_linear_forecast", "pinball_loss_eval",
-                 "conformal_interval_coverage", "seasonal_naive_mase"],
+                 "conformal_interval_coverage", "seasonal_naive_mase",
+                 "periodogram_top_periods", "cv_rmse_linreg_daily"],
     "marketing": ["returns_analysis", "customer_ltv_deciles",
                   "cohort_retention", "attribution_last_touch",
                   "rfm_segmentation", "multi_touch_attribution",
