@@ -244,6 +244,10 @@ HEADLINE = [
     "periodogram_top_periods",
     "cv_rmse_linreg_daily",
     "bloom_fpr_certificate",
+    "duplicate_order_pairs",
+    "order_priority_transitions",
+    "token_coverage_curve",
+    "embedding_norm_profile",
 ]
 
 

@@ -1,0 +1,264 @@
+"""Operational-integrity and corpus/vector-hygiene extensions —
+round-6 continuation.
+
+Reference capability these generalize: the reference's ops layer
+eyeballs duplicate submissions and data health on dashboards
+(app.py admin views, report §5); this module adds the quantitative
+audits: duplicate-payment candidate pairs (same customer,
+near-identical totals — the classic AP fraud screen), the customer
+order-priority transition matrix (the Markov view of ordering
+behavior, the orders-side cousin of pagerank_event_transitions), the
+token coverage curve (what share of the corpus the top-k vocabulary
+explains — the tokenizer-budget planning input next to
+zipf_token_slope / heaps_law_fit), and an embedding-norm profile (the
+vector-hygiene gate in front of the ANN family: zero/degenerate
+vectors break cosine math silently).
+
+Scale posture: the duplicate screen joins on the customer key so
+quadratic work is bounded by orders-per-customer; the
+transition matrix is one keyed window over orders; the coverage curve
+runs its rank window over the vocabulary table; the norm profile is a
+zero-shuffle narrow map followed by one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+
+@register(
+    "duplicate_order_pairs",
+    """
+    SELECT a.o_custkey,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           round(abs(a.o_totalprice - b.o_totalprice), 2) AS price_delta,
+           CAST(abs(CAST(a.o_orderdate AS DATE)
+                    - CAST(b.o_orderdate AS DATE)) AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.o_totalprice - b.o_totalprice) <= 500
+    ORDER BY a.o_custkey, key_a, key_b
+    """,
+    doc="Duplicate-payment screen: order pairs from the same customer "
+    "with near-identical totals (within $500 on ~$150k orders) — the "
+    "accounts-payable double-submission audit. The self-join keys on "
+    "the customer, so quadratic work is bounded by orders-per-customer "
+    "(naturally small and scale-invariant); the amount band is a "
+    "residual predicate. At 100 TB with pathological customers, add a "
+    "floor(totalprice/1000) band (+neighbor) to the join key — the "
+    "bucketized pattern of operators/rangejoin.py.",
+)
+def duplicate_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("d")
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .where(
+            F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")) <= 500
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.round(
+                F.abs(F.col("a.o_totalprice") - F.col("b.o_totalprice")), 2
+            ).alias("price_delta"),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+            .cast("long")
+            .alias("days_apart"),
+        )
+        .orderBy("o_custkey", "key_a", "key_b")
+    )
+
+
+@register(
+    "order_priority_transitions",
+    """
+    WITH seq AS (
+      SELECT lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_p,
+             o_orderpriority AS next_p
+      FROM orders
+    ),
+    pairs AS (
+      SELECT prev_p, next_p, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_p IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_p, next_p, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_p), 6) AS p
+    FROM pairs ORDER BY prev_p, next_p
+    """,
+    doc="Customer order-priority transition matrix: for consecutive "
+    "orders of the same customer (deterministic (date, key) order), "
+    "the empirical Markov transition probability between priority "
+    "classes — the orders-side behavioral-sequence view next to "
+    "pagerank_event_transitions. One keyed window sort produces the "
+    "lag; the matrix is a 5x5 aggregate and the row-normalization "
+    "window rides that 25-row table.",
+)
+def order_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+        F.col("o_orderpriority").alias("next_p"),
+    ).where(F.col("prev_p").isNotNull())
+    pairs = seq.groupBy("prev_p", "next_p").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return pairs.select(
+        "prev_p",
+        "next_p",
+        "n",
+        F.round(
+            F.col("n") * 1.0
+            / F.sum("n").over(Window.partitionBy("prev_p")),
+            6,
+        ).alias("p"),
+    ).orderBy("prev_p", "next_p")
+
+
+_COVERAGE_KS = [5, 10, 20, 30]
+
+
+@register(
+    "token_coverage_curve",
+    f"""
+    WITH tok AS (
+      SELECT t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r,
+             sum(f) OVER () AS total,
+             count(*) OVER () AS vocab
+      FROM freq
+    ),
+    cum AS (
+      SELECT r, total, vocab,
+             sum(f) OVER (ORDER BY r) AS cum_f
+      FROM ranked
+    )
+    SELECT CAST(r AS BIGINT) AS k,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(total AS BIGINT) AS total_tokens,
+           round(cum_f * 1.0 / total, 6) AS coverage
+    FROM cum WHERE r IN ({", ".join(str(k) for k in _COVERAGE_KS)})
+    ORDER BY k
+    """,
+    doc="Token coverage curve: the share of total corpus token mass "
+    "explained by the top-k vocabulary at k in {5,10,20,30} — "
+    "the tokenizer-budget planning number (how big must the vocab be "
+    "for X% coverage) that Zipf's slope implies and this measures "
+    "directly; k capped at the synthetic corpus's 31-token vocabulary. Count-desc/token-asc ranking makes the curve engine-"
+    "deterministic under frequency ties. Token counting is one "
+    "map-side-partial aggregate; the rank and prefix windows run over "
+    "the vocabulary table only.",
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count("*").cast("long").alias("f"))
+    wall = Window.partitionBy()
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("token")))
+        .alias("r"),
+        F.sum("f").over(wall).alias("total"),
+        F.count("*").over(wall).alias("vocab"),
+    )
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ranked.select(
+        "r", "total", "vocab", F.sum("f").over(wcum).alias("cum_f")
+    )
+    return (
+        cum.where(F.col("r").isin(_COVERAGE_KS))
+        .select(
+            F.col("r").cast("long").alias("k"),
+            F.col("vocab").cast("long").alias("vocab_size"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.round(F.col("cum_f") * 1.0 / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    """
+    WITH norms AS (
+      SELECT round(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS mean_norm,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm), 6)
+             AS p50_norm,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY nrm), 6)
+             AS p95_norm,
+           CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(sum(CASE WHEN abs(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unit
+    FROM norms
+    """,
+    doc="Embedding-norm hygiene profile: L2-norm distribution plus "
+    "degenerate (near-zero — cosine undefined, silently breaks ANN) "
+    "and unit-normalized counts — the pre-flight gate in front of the "
+    "knn/ann/pq family. Norms round at 6 before the percentile so the "
+    "order statistics are float-accumulation-order stable across "
+    "engines. Zero-shuffle narrow map over the vectors, then one "
+    "aggregate; at 100 TB swap percentile for approx_percentile "
+    "partials.",
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("nrm")
+    )
+    return norms.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.percentile("nrm", 0.5), 6).alias("p50_norm"),
+        F.round(F.percentile("nrm", 0.95), 6).alias("p95_norm"),
+        F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.sum(F.when(F.abs(F.col("nrm") - 1.0) <= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unit"),
+    )

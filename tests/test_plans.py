@@ -856,3 +856,24 @@ def test_cv_rmse_closed_form_no_refit(q):
     plan = plan_str(q("cv_rmse_linreg_daily"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_duplicate_pairs_join_is_keyed_not_cartesian(q):
+    plan = plan_str(q("duplicate_order_pairs"), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "o_custkey" in plan
+
+
+def test_coverage_curve_windows_over_vocab(q):
+    """Token counting is one map-side aggregate; rank and prefix
+    windows run over the vocabulary table only."""
+    plan = plan_str(q("token_coverage_curve"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_norm_profile_zero_shuffle_map(q):
+    plan = plan_str(q("embedding_norm_profile"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

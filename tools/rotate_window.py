@@ -59,10 +59,10 @@ FAMILIES: dict[str, list[str]] = {
     "similarity": ["knn_cosine_bruteforce", "embedding_quantize",
                    "ann_lsh_topk_lit", "ann_ivf_topk_lit",
                    "embedding_pca_project_lit", "pq_adc_topk_lit",
-                   "pq_reconstruction_error"],
+                   "pq_reconstruction_error", "embedding_norm_profile"],
     "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
-             "vocab_oov_rate", "heaps_law_fit"],
+             "vocab_oov_rate", "heaps_law_fit", "token_coverage_curve"],
     "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
                 "contamination_transitive", "blocklist_hit_rate",
                 "watermark_greenlist_zscore"],
@@ -102,7 +102,8 @@ FAMILIES: dict[str, list[str]] = {
                   "cohort_ltv_matrix"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit",
-                   "expectation_suite_audit", "order_total_reconciliation"],
+                   "expectation_suite_audit", "order_total_reconciliation",
+                   "duplicate_order_pairs", "order_priority_transitions"],
     "profiling": ["corpus_profile", "profile_orders",
                   "doc_length_histogram", "benford_first_digit",
                   "skew_key_deciles"],
