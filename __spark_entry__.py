@@ -263,6 +263,8 @@ _POST_FREEZE = [
     "order_priority_transitions",
     "token_coverage_curve",
     "embedding_norm_profile",
+    "weekend_purchase_contrast",
+    "dunn_posthoc_pairwise",
 ]
 
 

@@ -248,6 +248,8 @@ HEADLINE = [
     "order_priority_transitions",
     "token_coverage_curve",
     "embedding_norm_profile",
+    "weekend_purchase_contrast",
+    "dunn_posthoc_pairwise",
 ]
 
 

@@ -1898,3 +1898,237 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 inference panel: weekend vs weekday purchase rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekend_purchase_contrast",
+    """
+    WITH f AS (
+      SELECT CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+                       IN (2, 3) THEN 1 ELSE 0 END AS wkend,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN wkend = 1 THEN y ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN wkend = 1 THEN 1 - y ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN wkend = 0 THEN y ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN wkend = 0 THEN 1 - y ELSE 0 END) AS BIGINT) AS d
+      FROM f
+    ),
+    e AS (
+      SELECT a, b, c, d,
+             a * 1.0 / (a + b) AS p1, c * 1.0 / (c + d) AS p2,
+             (a + c) * 1.0 / (a + b + c + d) AS pp,
+             a + b AS n1, c + d AS n2
+      FROM c
+    ),
+    z AS (
+      SELECT a, b, c, d, p1, p2,
+             (p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)) AS zstat
+      FROM e
+    )
+    SELECT CAST(a + b AS BIGINT) AS n_weekend,
+           CAST(c + d AS BIGINT) AS n_weekday,
+           round(p1, 6) AS rate_weekend,
+           round(p2, 6) AS rate_weekday,
+           round(zstat, 6) AS z,
+           round(least(1.0, 2.0 * exp(-zstat * zstat / 2.0)), 6) AS p_bound,
+           round(a * 1.0 * d / (b * 1.0 * c), 6) AS odds_ratio,
+           round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                 - 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS or_ci_lo,
+           round(exp(ln(a * 1.0 * d / (b * 1.0 * c))
+                 + 1.959964 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS or_ci_hi
+    FROM z
+    """,
+    doc="2x2 inference panel for weekend vs weekday purchase rates: "
+    "pooled two-proportion z statistic, a sub-Gaussian tail bound "
+    "p <= 2 exp(-z^2/2) (conservative, engine-portable — no erf "
+    "needed), the odds ratio, and its Woolf 95% CI on the log scale. "
+    "Weekend = days-since-epoch mod 7 in {2,3} (Sat/Sun; engine-stable "
+    "arithmetic weekday). One conditional aggregate over a single "
+    "events scan — the whole panel is closed-form from four cells.",
+)
+def weekend_purchase_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wkend = (
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).isin(2, 3)
+    ).cast("int")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    c = ev.select(wkend.alias("wkend"), y.alias("y")).agg(
+        F.sum(F.when(F.col("wkend") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("wkend") == 1, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(F.col("wkend") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(F.col("wkend") == 0, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, cc, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n1, n2 = a + b, cc + d
+    p1, p2 = a * 1.0 / n1, cc * 1.0 / n2
+    pp = (a + cc) * 1.0 / (n1 + n2)
+    zstat = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))
+    lor = F.log(a * 1.0 * d / (b * 1.0 * cc))
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / cc + 1.0 / d)
+    return c.select(
+        n1.cast("long").alias("n_weekend"),
+        n2.cast("long").alias("n_weekday"),
+        F.round(p1, 6).alias("rate_weekend"),
+        F.round(p2, 6).alias("rate_weekday"),
+        F.round(zstat, 6).alias("z"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-zstat * zstat / 2.0)), 6
+        ).alias("p_bound"),
+        F.round(F.exp(lor), 6).alias("odds_ratio"),
+        F.round(F.exp(lor - 1.959964 * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(lor + 1.959964 * se), 6).alias("or_ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc pairwise test (after Kruskal-Wallis)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dunn_posthoc_pairwise",
+    """
+    WITH per2 AS (
+      SELECT value, event_type, count(*) AS cg FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, cg,
+             sum(cg) OVER (ORDER BY value RANGE UNBOUNDED PRECEDING)
+               - sum(cg) OVER (PARTITION BY value)
+               + (sum(cg) OVER (PARTITION BY value) + 1) / 2.0 AS avg_rank,
+             CASE WHEN row_number() OVER (PARTITION BY value
+                                          ORDER BY event_type) = 1
+                  THEN pow(sum(cg) OVER (PARTITION BY value), 3)
+                       - sum(cg) OVER (PARTITION BY value)
+                  ELSE 0 END AS t3p
+      FROM per2
+    ),
+    g AS (
+      SELECT event_type, CAST(sum(cg) AS BIGINT) AS ng,
+             sum(cg * avg_rank) AS rsum, sum(t3p) AS t3g
+      FROM rk GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n, sum(t3g) AS t3 FROM g
+    ),
+    pairs AS (
+      SELECT x.event_type AS type_a, yy.event_type AS type_b,
+             x.ng AS na, yy.ng AS nb,
+             x.rsum / x.ng - yy.rsum / yy.ng AS rdiff,
+             t.n, t.t3
+      FROM g x JOIN g yy ON x.event_type < yy.event_type, tot t
+    ),
+    z AS (
+      SELECT type_a, type_b, na, nb,
+             rdiff / sqrt((n * (n + 1.0) / 12.0
+                           - t3 / (12.0 * (n - 1.0)))
+                          * (1.0 / na + 1.0 / nb)) AS zstat
+      FROM pairs
+    )
+    SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(zstat, 6) AS z,
+           round(least(1.0, 2.0 * exp(-zstat * zstat / 2.0)), 6) AS p_bound,
+           abs(zstat) > 2.241403 AS significant
+    FROM z ORDER BY type_a, type_b
+    """,
+    doc="Dunn's post-hoc pairwise comparisons following "
+    "kruskal_wallis_value_by_type: for each of the 10 event-type "
+    "pairs, the standardized mean-rank difference with the exact tie "
+    "correction (T = sum(t^3 - t) over value-tie blocks), a "
+    "sub-Gaussian tail bound p, and a Bonferroni-style significance "
+    "flag at family alpha 0.25 (|z| > 2.2414 per pair, 10 pairs). "
+    "Midranks reuse the KW one-scan idiom: partition/RANGE windows "
+    "over the (value, type) aggregate, never a join back to rows; the "
+    "pairwise join is over the 5-row group table.",
+)
+def dunn_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per2 = ev.groupBy("value", "event_type").agg(F.count("*").alias("cg"))
+    wv = Window.partitionBy("value")
+    wr = Window.orderBy("value").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rv = Window.partitionBy("value").orderBy("event_type")
+    r = per2.select(
+        "event_type",
+        "cg",
+        F.sum("cg").over(wv).alias("cv"),
+        F.sum("cg").over(wr).alias("cum_le"),
+        F.row_number().over(rv).alias("rv"),
+    ).select(
+        "event_type",
+        "cg",
+        (F.col("cum_le") - F.col("cv") + (F.col("cv") + 1) / 2.0).alias(
+            "avg_rank"
+        ),
+        F.when(
+            F.col("rv") == 1,
+            F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv"),
+        )
+        .otherwise(0)
+        .alias("t3p"),
+    )
+    # the 5-row group table feeds three consumers (both pair sides and
+    # the totals) — cache it so the row-scale scan runs once
+    g = r.groupBy("event_type").agg(
+        F.sum("cg").cast("long").alias("ng"),
+        F.sum(F.col("cg") * F.col("avg_rank")).alias("rsum"),
+        F.sum("t3p").alias("t3g"),
+    ).cache()
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("t3g").alias("t3")
+    )
+    x = g.alias("x")
+    yy = g.alias("yy")
+    pairs = (
+        x.join(yy, F.col("x.event_type") < F.col("yy.event_type"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("x.event_type").alias("type_a"),
+            F.col("yy.event_type").alias("type_b"),
+            F.col("x.ng").alias("na"),
+            F.col("yy.ng").alias("nb"),
+            (
+                F.col("x.rsum") / F.col("x.ng")
+                - F.col("yy.rsum") / F.col("yy.ng")
+            ).alias("rdiff"),
+            "n",
+            "t3",
+        )
+    )
+    n = F.col("n")
+    sigma = F.sqrt(
+        (n * (n + 1.0) / 12.0 - F.col("t3") / (12.0 * (n - 1.0)))
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    zstat = F.col("rdiff") / sigma
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(zstat, 6).alias("z"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-zstat * zstat / 2.0)), 6
+        ).alias("p_bound"),
+        (F.abs(zstat) > 2.241403).alias("significant"),
+    ).orderBy("type_a", "type_b")

@@ -877,3 +877,19 @@ def test_norm_profile_zero_shuffle_map(q):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weekend_contrast_single_aggregate(q):
+    plan = plan_str(q("weekend_purchase_contrast"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_dunn_pairs_join_group_table_only(q):
+    """Midranks come from the KW one-scan RANGE-window idiom; the only
+    joins are the 10-pair broadcast self-join of the 5-row group table
+    and the 1-row totals broadcast — never a shuffle join."""
+    plan = plan_str(q("dunn_posthoc_pairwise"), mode="simple")
+    assert "InMemoryTableScan" in plan  # cached 5-row group table
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -89,7 +89,8 @@ FAMILIES: dict[str, list[str]] = {
                  "anova_weekday_revenue", "levene_brown_forsythe",
                  "granger_lag1_purchases", "kaplan_meier_ship_latency",
                  "mutual_info_type_weekday", "did_value_estimate",
-                 "price_elasticity_by_brand"],
+                 "price_elasticity_by_brand", "weekend_purchase_contrast",
+                 "dunn_posthoc_pairwise"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
