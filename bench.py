@@ -250,6 +250,10 @@ HEADLINE = [
     "embedding_norm_profile",
     "weekend_purchase_contrast",
     "dunn_posthoc_pairwise",
+    "ab_power_mde",
+    "cuped_variance_reduction",
+    "srm_check_hash_split",
+    "degree_assortativity_suppliers",
 ]
 
 

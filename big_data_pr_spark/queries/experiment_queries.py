@@ -1,0 +1,368 @@
+"""Experimentation toolkit and graph-mixing extensions — round-6
+continuation.
+
+Reference capability these generalize: the reference's report draws
+before/after conclusions from dashboard deltas (report §8); this
+module adds the experiment-design math that makes such conclusions
+sound: the A/B power / minimum-detectable-effect table (how long must
+a test run), CUPED variance reduction (how much pre-period covariates
+shrink the required sample), a sample-ratio-mismatch check for the
+hash-based assignment the DiD/bootstrap families already use, and
+degree assortativity of the supplier co-supply graph (the mixing
+pattern behind the triangle/Jaccard metrics).
+
+Scale posture: power/MDE is a 1-row base aggregate crossed with a
+3-row literal horizon table; CUPED reduces events to (user, day) cells
+then |users| sums; SRM counts distinct users per hash arm (one
+aggregate); assortativity joins the edge list to the |nodes|-sized
+degree table (broadcast). No ordered window ever sees raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.privacy import hash_uniform, hash_uniform_sql
+from ..tables import load
+from .registry import register
+
+_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_Z_BETA = 0.841621  # power = 0.80
+
+
+@register(
+    "ab_power_mde",
+    f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS p,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS ndays
+      FROM events
+    )
+    SELECT days,
+           CAST(floor(n * 1.0 / ndays / 2 * days) AS BIGINT) AS n_per_arm,
+           round(p, 6) AS base_rate,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt(2 * p * (1 - p)
+                        / floor(n * 1.0 / ndays / 2 * days)), 6) AS mde_abs,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt(2 * p * (1 - p)
+                        / floor(n * 1.0 / ndays / 2 * days)) / p, 6)
+             AS mde_rel
+    FROM base, (VALUES (7), (14), (30)) AS h(days)
+    ORDER BY days
+    """,
+    doc="A/B test power planning: for 7/14/30-day horizons at the "
+    "observed event volume, the minimum detectable absolute and "
+    "relative lift in purchase rate at alpha=0.05 (two-sided) and 80% "
+    "power — MDE = (z_a + z_b) * sqrt(2 p (1-p) / n_per_arm), the "
+    "standard two-proportion approximation. The design-phase companion "
+    "to weekend_purchase_contrast (analysis) and sprt_purchase_rate "
+    "(sequential monitoring). One events aggregate crossed with a "
+    "3-row literal horizon table.",
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("p"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("ndays"),
+    )
+    horizons = spark.createDataFrame([(7,), (14,), (30,)], "days int")
+    j = base.crossJoin(F.broadcast(horizons))
+    n_arm = F.floor(
+        F.col("n") * 1.0 / F.col("ndays") / 2 * F.col("days")
+    )
+    mde = (_Z_ALPHA + _Z_BETA) * F.sqrt(
+        2 * F.col("p") * (1 - F.col("p")) / n_arm
+    )
+    return j.select(
+        "days",
+        n_arm.cast("long").alias("n_per_arm"),
+        F.round("p", 6).alias("base_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("p"), 6).alias("mde_rel"),
+    ).orderBy("days")
+
+
+@register(
+    "cuped_variance_reduction",
+    """
+    WITH cells AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT user_id, day, v,
+             min(day) OVER () + CAST(floor(
+               CAST(max(day) OVER () - min(day) OVER () AS BIGINT) / 2.0
+             ) AS INTEGER) AS mid
+      FROM cells
+    ),
+    u AS (
+      SELECT user_id,
+             sum(CASE WHEN day <= mid THEN v ELSE 0.0 END) AS pre,
+             sum(CASE WHEN day > mid THEN v ELSE 0.0 END) AS post
+      FROM win GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(pre) AS sx, sum(post) AS sy,
+             sum(pre * pre) AS sxx, sum(post * post) AS syy,
+             sum(pre * post) AS sxy
+      FROM u
+    ),
+    m AS (
+      SELECT n,
+             (sxy - sx * sy / n) / (n - 1) AS cov,
+             (sxx - sx * sx / n) / (n - 1) AS var_pre,
+             (syy - sy * sy / n) / (n - 1) AS var_post
+      FROM s
+    )
+    SELECT n AS n_users,
+           round(cov / var_pre, 6) AS theta,
+           round(cov / sqrt(var_pre * var_post), 6) AS rho,
+           round(var_post, 6) AS var_post,
+           round(var_post * (1 - cov * cov / (var_pre * var_post)), 6)
+             AS var_adjusted,
+           round(cov * cov / (var_pre * var_post), 6) AS reduction_frac
+    FROM m
+    """,
+    doc="CUPED variance reduction: using each user's pre-period spend "
+    "(first half of the date range) as the control covariate for the "
+    "post-period metric, theta = cov/var(pre) and the adjusted metric "
+    "variance shrinks by rho^2 — the experiment runs 1/(1-rho^2) times "
+    "faster at equal power (Deng et al. 2013). Events reduce to "
+    "(user, day) cells, the midpoint rides that table as a global "
+    "window, then |users| sums close the whole computation in one "
+    "aggregate chain. Pairs with ab_power_mde: its n_per_arm "
+    "requirement scales down by exactly reduction_frac.",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    wall = Window.partitionBy()
+    win = cells.select(
+        "user_id",
+        "day",
+        "v",
+        F.date_add(
+            F.min("day").over(wall),
+            F.floor(
+                F.datediff(F.max("day").over(wall), F.min("day").over(wall))
+                / 2.0
+            ).cast("int"),
+        ).alias("mid"),
+    )
+    u = win.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("day") <= F.col("mid"), F.col("v")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("day") > F.col("mid"), F.col("v")).otherwise(0.0)
+        ).alias("post"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_pre = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_post = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    rho2 = cov * cov / (var_pre * var_post)
+    return s.select(
+        n.alias("n_users"),
+        F.round(cov / var_pre, 6).alias("theta"),
+        F.round(cov / F.sqrt(var_pre * var_post), 6).alias("rho"),
+        F.round(var_post, 6).alias("var_post"),
+        F.round(var_post * (1 - rho2), 6).alias("var_adjusted"),
+        F.round(rho2, 6).alias("reduction_frac"),
+    )
+
+
+_SRM_SEED = "srm1"
+
+
+@register(
+    "srm_check_hash_split",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CASE WHEN {hash_uniform_sql("CAST(user_id AS VARCHAR)", _SRM_SEED)}
+                       < 0.5 THEN 1 ELSE 0 END AS arm
+      FROM u
+    ),
+    c AS (
+      SELECT CAST(sum(arm) AS BIGINT) AS n_a,
+             CAST(sum(1 - arm) AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(pow(n_a - n_b, 2) * 1.0 / (n_a + n_b), 6) AS chi2,
+           round(least(1.0, 2.0 * exp(-pow(n_a - n_b, 2) * 1.0
+                                      / (n_a + n_b) / 2.0)), 6) AS p_bound,
+           least(1.0, 2.0 * exp(-pow(n_a - n_b, 2) * 1.0
+                                / (n_a + n_b) / 2.0)) < 0.001 AS srm_flag
+    FROM c
+    """,
+    doc="Sample-ratio-mismatch check for the seeded md5 hash assignment "
+    "used by did_value_estimate / the bootstrap family: distinct users "
+    "per arm, the 1-df chi-square against the intended 50/50, a "
+    "sub-Gaussian tail-bound p, and the standard p<0.001 SRM alarm — "
+    "the first gate any experiment readout must pass (an imbalanced "
+    "split invalidates the comparison before any metric is read). One "
+    "distinct-user aggregate; the hash is the engine-portable "
+    "operators/privacy.hash_uniform pair, so the oracle replays the "
+    "assignment bit-for-bit.",
+)
+def srm_check_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    arms = u.select(
+        F.when(
+            hash_uniform(F.col("user_id").cast("string"), _SRM_SEED) < 0.5, 1
+        )
+        .otherwise(0)
+        .alias("arm")
+    )
+    c = arms.agg(
+        F.sum("arm").cast("long").alias("n_a"),
+        F.sum(1 - F.col("arm")).cast("long").alias("n_b"),
+    )
+    chi2 = F.pow(F.col("n_a") - F.col("n_b"), 2) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    pb = F.least(F.lit(1.0), 2.0 * F.exp(-chi2 / 2.0))
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(pb, 6).alias("p_bound"),
+        (pb < 0.001).alias("srm_flag"),
+    )
+
+
+@register(
+    "degree_assortativity_suppliers",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size = 1
+    ),
+    e AS (
+      SELECT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT sk, CAST(count(*) AS BIGINT) AS dg FROM (
+        SELECT s1 AS sk FROM e UNION ALL SELECT s2 AS sk FROM e
+      ) GROUP BY sk
+    ),
+    sym AS (
+      SELECT d1.dg AS da, d2.dg AS db
+      FROM e JOIN deg d1 ON e.s1 = d1.sk JOIN deg d2 ON e.s2 = d2.sk
+      UNION ALL
+      SELECT d2.dg AS da, d1.dg AS db
+      FROM e JOIN deg d1 ON e.s1 = d1.sk JOIN deg d2 ON e.s2 = d2.sk
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(da * 1.0) AS sx, sum(db * 1.0) AS sy,
+             sum(da * 1.0 * da) AS sxx, sum(db * 1.0 * db) AS syy,
+             sum(da * 1.0 * db) AS sxy
+      FROM sym
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CASE WHEN (sxx - sx * sx / m) <= 0 OR (syy - sy * sy / m) <= 0
+                THEN NULL
+                ELSE round((sxy - sx * sy / m)
+                           / sqrt((sxx - sx * sx / m)
+                                  * (syy - sy * sy / m)), 6) END
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the supplier co-supply graph (same "
+    "weight-thresholded edges as triangle_count_suppliers): the Pearson "
+    "correlation of endpoint degrees over both edge orientations — "
+    "positive means hub suppliers co-supply with other hubs (Newman "
+    "2002's mixing coefficient). Completes the graph panel: triangles "
+    "measure closure, Jaccard measures overlap, assortativity measures "
+    "mixing. Edge list and degree table are both graph-sized; degrees "
+    "broadcast back onto edges.",
+)
+def degree_assortativity_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    ps = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+        .cache()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(
+            b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk"))
+        )
+        .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("s1", "s2")
+        .cache()
+    )
+    deg = (
+        e.select(F.col("s1").alias("sk"))
+        .unionAll(e.select(F.col("s2").alias("sk")))
+        .groupBy("sk")
+        .agg(F.count("*").cast("long").alias("dg"))
+    )
+    d1 = deg.alias("d1")
+    d2 = deg.alias("d2")
+    joined = (
+        e.join(F.broadcast(d1), F.col("s1") == F.col("d1.sk"))
+        .join(F.broadcast(d2), F.col("s2") == F.col("d2.sk"))
+        .select(F.col("d1.dg").alias("da"), F.col("d2.dg").alias("db"))
+    ).cache()
+    sym = joined.unionAll(
+        joined.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    )
+    nn = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    ne = e.agg(F.count("*").cast("long").alias("n_edges"))
+    s = sym.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.col("da") * 1.0).alias("sx"),
+        F.sum(F.col("db") * 1.0).alias("sy"),
+        F.sum(F.col("da") * 1.0 * F.col("da")).alias("sxx"),
+        F.sum(F.col("db") * 1.0 * F.col("db")).alias("syy"),
+        F.sum(F.col("da") * 1.0 * F.col("db")).alias("sxy"),
+    )
+    m = F.col("m")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / m
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / m
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / m
+    # manual corr with a zero-variance guard: a degree-regular graph
+    # has undefined assortativity (NULL), not a division error
+    assort = F.when(
+        (cxx <= 0) | (cyy <= 0), F.lit(None)
+    ).otherwise(F.round(cxy / F.sqrt(cxx * cyy), 6))
+    return (
+        s.select(assort.alias("assortativity"))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ne))
+        .select("n_nodes", "n_edges", "assortativity")
+    )

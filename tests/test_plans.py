@@ -893,3 +893,21 @@ def test_dunn_pairs_join_group_table_only(q):
     assert "InMemoryTableScan" in plan  # cached 5-row group table
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_experiment_panel_linear_shapes(q):
+    """Power/MDE crosses a 1-row aggregate with a 3-row literal table;
+    CUPED and SRM are single-scan aggregate chains."""
+    plan = plan_str(q("ab_power_mde"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    for name in ("cuped_variance_reduction", "srm_check_hash_split"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_assortativity_broadcasts_degrees(q):
+    plan = plan_str(q("degree_assortativity_suppliers"), mode="simple")
+    assert "InMemoryTableScan" in plan  # cached edges/endpoint-degree pairs
+    assert "CartesianProduct" not in plan

@@ -90,9 +90,11 @@ FAMILIES: dict[str, list[str]] = {
                  "granger_lag1_purchases", "kaplan_meier_ship_latency",
                  "mutual_info_type_weekday", "did_value_estimate",
                  "price_elasticity_by_brand", "weekend_purchase_contrast",
-                 "dunn_posthoc_pairwise"],
+                 "dunn_posthoc_pairwise", "ab_power_mde",
+                 "cuped_variance_reduction", "srm_check_hash_split"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
-              "triangle_count_suppliers", "jaccard_supplier_pairs"],
+              "triangle_count_suppliers", "jaccard_supplier_pairs",
+              "degree_assortativity_suppliers"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
                  "holt_linear_forecast", "pinball_loss_eval",
                  "conformal_interval_coverage", "seasonal_naive_mase",
