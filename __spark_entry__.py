@@ -269,6 +269,8 @@ _POST_FREEZE = [
     "cuped_variance_reduction",
     "srm_check_hash_split",
     "degree_assortativity_suppliers",
+    "pareto_share_curve",
+    "spend_band_migration",
 ]
 
 

@@ -254,6 +254,8 @@ HEADLINE = [
     "cuped_variance_reduction",
     "srm_check_hash_split",
     "degree_assortativity_suppliers",
+    "pareto_share_curve",
+    "spend_band_migration",
 ]
 
 

@@ -366,3 +366,164 @@ def degree_assortativity_suppliers(
         .crossJoin(F.broadcast(ne))
         .select("n_nodes", "n_edges", "assortativity")
     )
+
+
+@register(
+    "pareto_share_curve",
+    """
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS r,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS total
+      FROM cust
+    ),
+    cum AS (
+      SELECT r, n, total,
+             sum(spend) OVER (ORDER BY r) AS cum_spend
+      FROM rk
+    )
+    SELECT pct,
+           CAST(greatest(1, CAST(floor(pct / 100.0 * n) AS BIGINT))
+                AS BIGINT) AS n_customers,
+           round(max(CASE WHEN r <= greatest(1, CAST(floor(pct / 100.0 * n)
+                                                     AS BIGINT))
+                          THEN cum_spend END) / max(total), 6) AS revenue_share
+    FROM cum, (VALUES (1), (5), (10), (20)) AS p(pct)
+    GROUP BY pct, n, total ORDER BY pct
+    """,
+    doc="Pareto revenue-share curve: the fraction of total revenue "
+    "contributed by the top 1/5/10/20% of customers by spend — the "
+    "curve form of revenue_concentration's single top-20% point and "
+    "the planning input for account tiering. Customers aggregate "
+    "first; rank/prefix windows ride the |customers| table; the 4-row "
+    "literal percent table fans the cumulative curve, and each share "
+    "is the cumulative spend at the percentile cutoff row "
+    "(deterministic spend-desc/custkey tiebreak).",
+)
+def pareto_share_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    wall = Window.partitionBy()
+    rk = cust.select(
+        "spend",
+        F.row_number()
+        .over(Window.orderBy(F.desc("spend"), F.asc("o_custkey")))
+        .alias("r"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("total"),
+    )
+    wcum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = rk.select(
+        "r", "n", "total", F.sum("spend").over(wcum).alias("cum_spend")
+    )
+    pcts = spark.createDataFrame([(1,), (5,), (10,), (20,)], "pct int")
+    j = cum.crossJoin(F.broadcast(pcts))
+    cutoff = F.greatest(
+        F.lit(1), F.floor(F.col("pct") / 100.0 * F.col("n")).cast("long")
+    )
+    return (
+        j.groupBy("pct", "n", "total")
+        .agg(
+            F.max(F.when(F.col("r") <= cutoff, F.col("cum_spend"))).alias(
+                "cut_spend"
+            )
+        )
+        .select(
+            "pct",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.col("pct") / 100.0 * F.col("n")).cast("long"),
+            )
+            .cast("long")
+            .alias("n_customers"),
+            F.round(F.col("cut_spend") / F.col("total"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("pct")
+    )
+
+
+@register(
+    "spend_band_migration",
+    """
+    WITH cy AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(o_totalprice) AS spend
+      FROM orders GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT o_custkey, yr,
+             CASE WHEN spend < 200000 THEN 'low'
+                  WHEN spend < 500000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM cy
+    ),
+    seq AS (
+      SELECT band AS cur_band,
+             lag(band) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_band,
+             lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr,
+             yr
+      FROM banded
+    ),
+    pairs AS (
+      SELECT prev_band, cur_band, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_band IS NOT NULL AND yr = prev_yr + 1
+      GROUP BY 1, 2
+    )
+    SELECT prev_band, cur_band, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_band), 6) AS p
+    FROM pairs ORDER BY prev_band, cur_band
+    """,
+    doc="Customer spend-band migration matrix: per customer-year spend "
+    "bucketed into fixed low/mid/high bands, then the year-over-year "
+    "transition probabilities between bands (consecutive years only — "
+    "a gap year breaks the chain rather than faking a transition). "
+    "The longitudinal upgrade of customer_ltv_deciles: where do "
+    "customers MOVE, not just where they sit. One orders scan -> "
+    "|customer-years| -> keyed lag window -> 9-cell matrix with a "
+    "row-normalization window over it.",
+)
+def spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cy = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    band = (
+        F.when(F.col("spend") < 200000, "low")
+        .when(F.col("spend") < 500000, "mid")
+        .otherwise("high")
+    )
+    banded = cy.select("o_custkey", "yr", band.alias("band"))
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    seq = banded.select(
+        F.col("band").alias("cur_band"),
+        F.lag("band").over(w).alias("prev_band"),
+        F.lag("yr").over(w).alias("prev_yr"),
+        "yr",
+    ).where(
+        F.col("prev_band").isNotNull() & (F.col("yr") == F.col("prev_yr") + 1)
+    )
+    pairs = seq.groupBy("prev_band", "cur_band").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return pairs.select(
+        "prev_band",
+        "cur_band",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("prev_band")),
+            6,
+        ).alias("p"),
+    ).orderBy("prev_band", "cur_band")

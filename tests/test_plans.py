@@ -911,3 +911,15 @@ def test_assortativity_broadcasts_degrees(q):
     plan = plan_str(q("degree_assortativity_suppliers"), mode="simple")
     assert "InMemoryTableScan" in plan  # cached edges/endpoint-degree pairs
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_and_migration_compressed_domains(q):
+    """Pareto curve windows ride the |customers| table with a 4-row
+    literal fanout; band migration is one keyed lag window over
+    |customer-years| and a 9-cell normalization."""
+    plan = plan_str(q("pareto_share_curve"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+    plan = plan_str(q("spend_band_migration"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -102,7 +102,8 @@ FAMILIES: dict[str, list[str]] = {
     "marketing": ["returns_analysis", "customer_ltv_deciles",
                   "cohort_retention", "attribution_last_touch",
                   "rfm_segmentation", "multi_touch_attribution",
-                  "cohort_ltv_matrix"],
+                  "cohort_ltv_matrix", "pareto_share_curve",
+                  "spend_band_migration"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit",
                    "expectation_suite_audit", "order_total_reconciliation",
