@@ -271,6 +271,8 @@ _POST_FREEZE = [
     "degree_assortativity_suppliers",
     "pareto_share_curve",
     "spend_band_migration",
+    "join_size_profile",
+    "range_partition_boundaries",
 ]
 
 

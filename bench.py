@@ -256,6 +256,8 @@ HEADLINE = [
     "degree_assortativity_suppliers",
     "pareto_share_curve",
     "spend_band_migration",
+    "join_size_profile",
+    "range_partition_boundaries",
 ]
 
 

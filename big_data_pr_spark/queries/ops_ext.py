@@ -262,3 +262,91 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unit"),
     )
+
+
+@register(
+    "join_size_profile",
+    """
+    WITH pk AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(sum(n * n) AS BIGINT) AS selfjoin_rows,
+           CAST(max(n) AS BIGINT) AS max_key_fanout,
+           round(max(n) / (sum(n) * 1.0 / count(*)), 6) AS skew_ratio,
+           round(sum(n * n) * 1.0 / sum(n), 6) AS avg_output_per_row
+    FROM pk
+    """,
+    doc="Join-size and skew profile for the partkey self-join that "
+    "underlies the co-supply graph family: exact output cardinality "
+    "sum(n_k^2), the hottest key's fanout, and the skew ratio "
+    "(max/mean) — computed from per-key counts WITHOUT running the "
+    "join, which is how a planner decides between plain shuffle, "
+    "salting (operators/skew.py), and AQE skew splitting before "
+    "spending the shuffle. One grouped aggregate; the profile is the "
+    "pre-flight for every self-join query in the registry.",
+)
+def join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pk = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return pk.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("selfjoin_rows"),
+        F.max("n").cast("long").alias("max_key_fanout"),
+        F.round(
+            F.max("n") / (F.sum("n") * 1.0 / F.count("*")), 6
+        ).alias("skew_ratio"),
+        F.round(
+            F.sum(F.col("n") * F.col("n")) * 1.0 / F.sum("n"), 6
+        ).alias("avg_output_per_row"),
+    )
+
+
+_RANGE_PARTS = 8
+
+
+@register(
+    "range_partition_boundaries",
+    f"""
+    WITH q AS (
+      SELECT {", ".join(
+        f"percentile_cont({i}.0 / {_RANGE_PARTS}) WITHIN GROUP "
+        f"(ORDER BY o_totalprice) AS b{i}"
+        for i in range(1, _RANGE_PARTS)
+      )}
+      FROM orders
+    )
+    SELECT idx, round(boundary, 6) AS boundary
+    FROM q, LATERAL (VALUES {", ".join(
+        f"({i}, b{i})" for i in range(1, _RANGE_PARTS)
+    )}) AS t(idx, boundary)
+    ORDER BY idx
+    """,
+    doc=f"Range-partition planner: the {_RANGE_PARTS - 1} interior "
+    "boundaries that split orders into equal-row o_totalprice ranges — "
+    "what repartitionByRange / range-clustered compaction "
+    "(storage.compact sort_cols) computes internally via sampling, "
+    "here exact. Emitting the boundaries as a table makes the layout "
+    "decision itself testable and hash-gated. One grouped percentile "
+    "aggregate; at 100 TB swap percentile for approx_percentile "
+    "partials (same boundaries within sketch tolerance).",
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    fracs = [i / _RANGE_PARTS for i in range(1, _RANGE_PARTS)]
+    q = orders.agg(
+        F.percentile("o_totalprice", fracs).alias("bs")
+    )
+    return (
+        q.select(F.posexplode("bs").alias("pos", "boundary"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("idx"),
+            F.round("boundary", 6).alias("boundary"),
+        )
+        .orderBy("idx")
+    )

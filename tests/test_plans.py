@@ -923,3 +923,13 @@ def test_pareto_and_migration_compressed_domains(q):
     plan = plan_str(q("spend_band_migration"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_planning_profiles_single_aggregate(q):
+    """Join-size/skew profile and range boundaries are each one scan
+    and one aggregate chain — the planner inputs cost less than the
+    plans they inform."""
+    for name in ("join_size_profile", "range_partition_boundaries"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name

@@ -110,7 +110,8 @@ FAMILIES: dict[str, list[str]] = {
                    "duplicate_order_pairs", "order_priority_transitions"],
     "profiling": ["corpus_profile", "profile_orders",
                   "doc_length_histogram", "benford_first_digit",
-                  "skew_key_deciles"],
+                  "skew_key_deciles", "join_size_profile",
+                  "range_partition_boundaries"],
 }
 
 
