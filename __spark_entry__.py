@@ -273,6 +273,7 @@ _POST_FREEZE = [
     "spend_band_migration",
     "join_size_profile",
     "range_partition_boundaries",
+    "fk_containment_profile",
 ]
 
 

@@ -258,6 +258,7 @@ HEADLINE = [
     "spend_band_migration",
     "join_size_profile",
     "range_partition_boundaries",
+    "fk_containment_profile",
 ]
 
 

@@ -350,3 +350,90 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("idx")
     )
+
+
+@register(
+    "fk_containment_profile",
+    """
+    SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_child_keys,
+           CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                                    THEN o_custkey END) AS BIGINT)
+             AS n_orphan_keys,
+           round(1.0 - count(DISTINCT CASE WHEN c_custkey IS NULL
+                                           THEN o_custkey END)
+                 * 1.0 / count(DISTINCT o_custkey), 6) AS containment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+           CAST(count(DISTINCT l_orderkey) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                    THEN l_orderkey END) AS BIGINT),
+           round(1.0 - count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                           THEN l_orderkey END)
+                 * 1.0 / count(DISTINCT l_orderkey), 6)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part.p_partkey',
+           CAST(count(DISTINCT l_partkey) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN p_partkey IS NULL
+                                    THEN l_partkey END) AS BIGINT),
+           round(1.0 - count(DISTINCT CASE WHEN p_partkey IS NULL
+                                           THEN l_partkey END)
+                 * 1.0 / count(DISTINCT l_partkey), 6)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+           CAST(count(DISTINCT l_suppkey) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
+                                    THEN l_suppkey END) AS BIGINT),
+           round(1.0 - count(DISTINCT CASE WHEN s_suppkey IS NULL
+                                           THEN l_suppkey END)
+                 * 1.0 / count(DISTINCT l_suppkey), 6)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY fk
+    """,
+    doc="Foreign-key containment profile across the warehouse's four "
+    "declared relationships: distinct child keys, orphaned keys "
+    "(no parent row), and the containment fraction — the referential-"
+    "integrity scorecard that decides whether a join can assume "
+    "FK semantics (safe to broadcast-inner) or needs orphan handling "
+    "(the synthetic fixtures DO carry orphans, which "
+    "expectation_suite_audit flags row-level; this profiles them "
+    "key-level). Each branch is a left join on the key with "
+    "distinct-count aggregates; parents broadcast.",
+)
+def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def branch(child, ckey, parent, pkey, label):
+        c = load(spark, sf_dir, child).select(F.col(ckey))
+        p = load(spark, sf_dir, parent).select(F.col(pkey))
+        j = c.join(F.broadcast(p), c[ckey] == p[pkey], "left")
+        orphans = F.countDistinct(
+            F.when(F.col(pkey).isNull(), F.col(ckey))
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.countDistinct(ckey).cast("long").alias("n_child_keys"),
+            orphans.cast("long").alias("n_orphan_keys"),
+            F.round(
+                1.0 - orphans * 1.0 / F.countDistinct(ckey), 6
+            ).alias("containment"),
+        )
+
+    out = (
+        branch("orders", "o_custkey", "customer", "c_custkey",
+               "orders.o_custkey->customer.c_custkey")
+        .unionByName(
+            branch("lineitem", "l_orderkey", "orders", "o_orderkey",
+                   "lineitem.l_orderkey->orders.o_orderkey")
+        )
+        .unionByName(
+            branch("lineitem", "l_partkey", "part", "p_partkey",
+                   "lineitem.l_partkey->part.p_partkey")
+        )
+        .unionByName(
+            branch("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                   "lineitem.l_suppkey->supplier.s_suppkey")
+        )
+    )
+    return out.orderBy("fk")

@@ -933,3 +933,9 @@ def test_planning_profiles_single_aggregate(q):
         plan = plan_str(q(name), mode="simple")
         assert plan.count("Scan parquet") == 1, name
         assert "Join" not in plan, name
+
+
+def test_fk_profile_broadcasts_parents(q):
+    plan = plan_str(q("fk_containment_profile"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

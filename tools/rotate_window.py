@@ -107,7 +107,8 @@ FAMILIES: dict[str, list[str]] = {
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit",
                    "expectation_suite_audit", "order_total_reconciliation",
-                   "duplicate_order_pairs", "order_priority_transitions"],
+                   "duplicate_order_pairs", "order_priority_transitions",
+                   "fk_containment_profile"],
     "profiling": ["corpus_profile", "profile_orders",
                   "doc_length_histogram", "benford_first_digit",
                   "skew_key_deciles", "join_size_profile",
