@@ -1035,7 +1035,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     ]
     return similarity.pq_adc_topk(
-        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=200
+        emb.filter(F.col("vec_id") != 0), 64, books, qvec, k=10, rerank=500
     )
 
 
