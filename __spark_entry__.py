@@ -274,6 +274,8 @@ _POST_FREEZE = [
     "join_size_profile",
     "range_partition_boundaries",
     "fk_containment_profile",
+    "regression_diagnostics_daily",
+    "engle_granger_cointegration",
 ]
 
 

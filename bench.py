@@ -259,6 +259,8 @@ HEADLINE = [
     "join_size_profile",
     "range_partition_boundaries",
     "fk_containment_profile",
+    "regression_diagnostics_daily",
+    "engle_granger_cointegration",
 ]
 
 

@@ -191,3 +191,296 @@ def cv_rmse_linreg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "regression_diagnostics_daily",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x2,
+             sum(value) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT day, x1, x2, y,
+             count(*) OVER () AS n,
+             sum(x1) OVER () AS sx1, sum(x2) OVER () AS sx2,
+             sum(y) OVER () AS sy,
+             sum(x1 * x1) OVER () AS s11, sum(x2 * x2) OVER () AS s22,
+             sum(x1 * x2) OVER () AS s12,
+             sum(x1 * y) OVER () AS s1y, sum(x2 * y) OVER () AS s2y,
+             sum(y * y) OVER () AS syy
+      FROM d
+    ),
+    c AS (
+      SELECT day, x1, x2, y, n,
+             s11 - sx1 * sx1 / n AS c11, s22 - sx2 * sx2 / n AS c22,
+             s12 - sx1 * sx2 / n AS c12,
+             s1y - sx1 * sy / n AS c1y, s2y - sx2 * sy / n AS c2y,
+             syy - sy * sy / n AS cyy,
+             sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+      FROM s
+    ),
+    fit AS (
+      SELECT day, y, n, cyy, c11, c22, c12,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2,
+             c1y, c2y, mx1, mx2, my, x1, x2
+      FROM c
+    ),
+    resid AS (
+      SELECT day, n, cyy, c11, c22, c12, b1, b2, c1y, c2y,
+             y - (my - b1 * mx1 - b2 * mx2) - b1 * x1 - b2 * x2 AS e
+      FROM fit
+    ),
+    dw AS (
+      SELECT n, cyy, c11, c22, c12, b1, b2, c1y, c2y, e,
+             e - lag(e) OVER (ORDER BY day) AS de
+      FROM resid
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           round(max(b1), 6) AS beta_purchases,
+           round(max(b2), 6) AS beta_views,
+           round((max(b1) * max(c1y) + max(b2) * max(c2y)) / max(cyy), 6)
+             AS r2,
+           round(1.0 - (1.0 - (max(b1) * max(c1y) + max(b2) * max(c2y))
+                        / max(cyy))
+                 * (max(n) - 1.0) / (max(n) - 3.0), 6) AS adj_r2,
+           round(1.0 / (1.0 - max(c12) * max(c12)
+                        / (max(c11) * max(c22))), 6) AS vif,
+           round(sum(de * de) / sum(e * e), 6) AS durbin_watson
+    FROM dw
+    """,
+    doc="Regression diagnostics panel for daily revenue on daily "
+    "purchase and view counts: R-squared / adjusted R-squared from the "
+    "closed-form 2-regressor fit, the variance inflation factor "
+    "1/(1 - r12^2) quantifying collinearity between the regressors, "
+    "and the Durbin-Watson statistic on the residual series (near 2 = "
+    "no serial correlation; the assumption check behind every OLS "
+    "trend query in the registry). The betas ride the |days| table as "
+    "global-window sums so the residuals are computed in the SAME "
+    "linear chain — no coefficient join-back, no second scan.",
+)
+def regression_diagnostics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("x1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("x2"),
+        F.sum("value").alias("y"),
+    )
+    wall = Window.partitionBy()
+    s = d.select(
+        "day",
+        "x1",
+        "x2",
+        "y",
+        F.count("*").over(wall).alias("n"),
+        F.sum("x1").over(wall).alias("sx1"),
+        F.sum("x2").over(wall).alias("sx2"),
+        F.sum("y").over(wall).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).over(wall).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).over(wall).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).over(wall).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).over(wall).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).over(wall).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("sx1") * F.col("sx1") / n
+    c22 = F.col("s22") - F.col("sx2") * F.col("sx2") / n
+    c12 = F.col("s12") - F.col("sx1") * F.col("sx2") / n
+    c1y = F.col("s1y") - F.col("sx1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("sx2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    a = (
+        F.col("sy") / n
+        - b1 * F.col("sx1") / n
+        - b2 * F.col("sx2") / n
+    )
+    resid = s.select(
+        "day",
+        "n",
+        cyy.alias("cyy"),
+        c11.alias("c11"),
+        c22.alias("c22"),
+        c12.alias("c12"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+        c1y.alias("c1y"),
+        c2y.alias("c2y"),
+        (F.col("y") - a - b1 * F.col("x1") - b2 * F.col("x2")).alias("e"),
+    )
+    dw = resid.select(
+        "*", (F.col("e") - F.lag("e").over(Window.orderBy("day"))).alias("de")
+    )
+    r2 = (F.max("b1") * F.max("c1y") + F.max("b2") * F.max("c2y")) / F.max(
+        "cyy"
+    )
+    return dw.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.round(F.max("b1"), 6).alias("beta_purchases"),
+        F.round(F.max("b2"), 6).alias("beta_views"),
+        F.round(r2, 6).alias("r2"),
+        F.round(
+            1.0 - (1.0 - r2) * (F.max("n") - 1.0) / (F.max("n") - 3.0), 6
+        ).alias("adj_r2"),
+        F.round(
+            1.0
+            / (1.0 - F.max("c12") * F.max("c12") / (F.max("c11") * F.max("c22"))),
+            6,
+        ).alias("vif"),
+        F.round(
+            F.sum(F.col("de") * F.col("de")) / F.sum(F.col("e") * F.col("e")),
+            6,
+        ).alias("durbin_watson"),
+    )
+
+
+@register(
+    "engle_granger_cointegration",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS p,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    cumser AS (
+      SELECT day,
+             sum(p) OVER (ORDER BY day) AS cp,
+             sum(v) OVER (ORDER BY day) AS cv
+      FROM d
+    ),
+    s AS (
+      SELECT day, cp, cv,
+             count(*) OVER () AS n,
+             sum(cv) OVER () AS sx, sum(cp) OVER () AS sy,
+             sum(cv * cv) OVER () AS sxx, sum(cv * cp) OVER () AS sxy
+      FROM cumser
+    ),
+    resid AS (
+      SELECT day, n,
+             cp - (sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n)
+                - (sxy - sx * sy / n) / (sxx - sx * sx / n) * cv AS e
+      FROM s
+    ),
+    lagged AS (
+      SELECT n, e,
+             lag(e) OVER (ORDER BY day) AS e1
+      FROM resid
+    ),
+    adf AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_days,
+             sum(e1 * (e - e1)) / sum(e1 * e1) AS gamma,
+             sum(e1 * e1) AS see1,
+             CAST(count(e1) AS BIGINT) AS m
+      FROM lagged WHERE e1 IS NOT NULL
+    ),
+    sse AS (
+      SELECT a.n_days, a.gamma, a.see1, a.m,
+             sum(pow((l.e - l.e1) - a.gamma * l.e1, 2)) AS ss
+      FROM lagged l, adf a WHERE l.e1 IS NOT NULL
+      GROUP BY a.n_days, a.gamma, a.see1, a.m
+    )
+    SELECT n_days,
+           round(gamma, 6) AS gamma,
+           round(gamma / sqrt((ss / (m - 1)) / see1), 6) AS adf_t,
+           gamma / sqrt((ss / (m - 1)) / see1) < -3.34 AS cointegrated_5pct
+    FROM sse
+    """,
+    doc="Engle-Granger two-step cointegration test between the "
+    "cumulative purchase and view series: step 1 fits the long-run "
+    "relation cp ~ cv in closed form (coefficients ride the |days| "
+    "table as global windows — residuals in the same chain, no "
+    "join-back); step 2 runs the no-constant ADF regression "
+    "delta_e ~ e_(t-1) and compares the t-statistic to the -3.34 "
+    "Engle-Granger 5% critical value (2 variables, no trend). Two "
+    "integrated counting series from the same user population SHOULD "
+    "cointegrate — a break in this relation flags a structural change "
+    "upstream. One events scan; every window runs over |days|.",
+)
+def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("p"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("v"),
+    )
+    wday = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cumser = d.select(
+        "day",
+        F.sum("p").over(wday).alias("cp"),
+        F.sum("v").over(wday).alias("cv"),
+    )
+    wall = Window.partitionBy()
+    s = cumser.select(
+        "day",
+        "cp",
+        "cv",
+        F.count("*").over(wall).alias("n"),
+        F.sum("cv").over(wall).alias("sx"),
+        F.sum("cp").over(wall).alias("sy"),
+        F.sum(F.col("cv") * F.col("cv")).over(wall).alias("sxx"),
+        F.sum(F.col("cv") * F.col("cp")).over(wall).alias("sxy"),
+    )
+    n = F.col("n")
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    a = F.col("sy") / n - b * F.col("sx") / n
+    resid = s.select(
+        "day", "n", (F.col("cp") - a - b * F.col("cv")).alias("e")
+    )
+    lagged = resid.select(
+        "n", "e", F.lag("e").over(Window.orderBy("day")).alias("e1")
+    ).where(F.col("e1").isNotNull())
+    # gamma rides the lagged table as a global window, so the ADF
+    # residual sum-of-squares is a plain aggregate over the same rows
+    g1 = lagged.select(
+        "n",
+        "e",
+        "e1",
+        (
+            F.sum(F.col("e1") * (F.col("e") - F.col("e1"))).over(wall)
+            / F.sum(F.col("e1") * F.col("e1")).over(wall)
+        ).alias("gamma"),
+        F.sum(F.col("e1") * F.col("e1")).over(wall).alias("see1"),
+        F.count("e1").over(wall).alias("m"),
+    )
+    adf = g1.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("gamma").alias("gamma"),
+        F.max("see1").alias("see1"),
+        F.max("m").cast("long").alias("m"),
+        F.sum(
+            F.pow(
+                (F.col("e") - F.col("e1")) - F.col("gamma") * F.col("e1"), 2
+            )
+        ).alias("ss"),
+    )
+    t = F.col("gamma") / F.sqrt(
+        (F.col("ss") / (F.col("m") - 1)) / F.col("see1")
+    )
+    return adf.select(
+        "n_days",
+        F.round("gamma", 6).alias("gamma"),
+        F.round(t, 6).alias("adf_t"),
+        (t < -3.34).alias("cointegrated_5pct"),
+    )

@@ -939,3 +939,13 @@ def test_fk_profile_broadcasts_parents(q):
     plan = plan_str(q("fk_containment_profile"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_diagnostics_and_cointegration_no_join(q):
+    """Betas ride the |days| table as global windows, so residuals and
+    the ADF step stay in one linear chain — no coefficient join-back,
+    one scan each."""
+    for name in ("regression_diagnostics_daily", "engle_granger_cointegration"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name

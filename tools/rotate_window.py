@@ -91,7 +91,9 @@ FAMILIES: dict[str, list[str]] = {
                  "mutual_info_type_weekday", "did_value_estimate",
                  "price_elasticity_by_brand", "weekend_purchase_contrast",
                  "dunn_posthoc_pairwise", "ab_power_mde",
-                 "cuped_variance_reduction", "srm_check_hash_split"],
+                 "cuped_variance_reduction", "srm_check_hash_split",
+                 "regression_diagnostics_daily",
+                 "engle_granger_cointegration"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs",
               "degree_assortativity_suppliers"],
