@@ -261,6 +261,8 @@ HEADLINE = [
     "fk_containment_profile",
     "regression_diagnostics_daily",
     "engle_granger_cointegration",
+    "newey_west_trend_test",
+    "breusch_pagan_daily",
 ]
 
 

@@ -484,3 +484,247 @@ def engle_granger_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("adf_t"),
         (t < -3.34).alias("cointegrated_5pct"),
     )
+
+
+@register(
+    "newey_west_trend_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev FROM daily
+    ),
+    s AS (
+      SELECT t, rev,
+             count(*) OVER () AS n,
+             sum(t * 1.0) OVER () AS sx, sum(rev) OVER () AS sy,
+             sum(t * 1.0 * t) OVER () AS sxx, sum(t * rev) OVER () AS sxy
+      FROM idx
+    ),
+    resid AS (
+      SELECT t, n,
+             t - sx / n AS xc,
+             rev - (sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                    * sx / n)
+                 - (sxy - sx * sy / n) / (sxx - sx * sx / n) * t AS e,
+             sxx - sx * sx / n AS cxx,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b
+      FROM s
+    ),
+    u AS (
+      SELECT t, n, cxx, b, xc * e AS u,
+             lag(xc * e, 1) OVER (ORDER BY t) AS u1,
+             lag(xc * e, 2) OVER (ORDER BY t) AS u2,
+             lag(xc * e, 3) OVER (ORDER BY t) AS u3,
+             lag(xc * e, 4) OVER (ORDER BY t) AS u4,
+             lag(xc * e, 5) OVER (ORDER BY t) AS u5
+      FROM resid
+    ),
+    lrv AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_days, max(cxx) AS cxx, max(b) AS b,
+             sum(u * u)
+             + 2 * (5.0/6.0) * sum(u * coalesce(u1, 0.0))
+             + 2 * (4.0/6.0) * sum(u * coalesce(u2, 0.0))
+             + 2 * (3.0/6.0) * sum(u * coalesce(u3, 0.0))
+             + 2 * (2.0/6.0) * sum(u * coalesce(u4, 0.0))
+             + 2 * (1.0/6.0) * sum(u * coalesce(u5, 0.0)) AS s_hac
+      FROM u
+    )
+    SELECT n_days,
+           round(b, 6) AS slope,
+           round(sqrt(s_hac) / cxx, 6) AS hac_se,
+           round(b / (sqrt(s_hac) / cxx), 6) AS t_hac,
+           round(least(1.0, 2.0 * exp(-pow(b / (sqrt(s_hac) / cxx), 2)
+                                      / 2.0)), 6) AS p_bound
+    FROM lrv
+    """,
+    doc="Newey-West HAC test of the daily-revenue time trend: the OLS "
+    "slope's standard error replaces the iid formula with the "
+    "Bartlett-weighted long-run variance of the score series x_c*e "
+    "(lags 1-5), so serial correlation — which durbin_watson showed — "
+    "no longer understates the SE. Slope and residuals come from "
+    "global-window sums over the |days| table; the five lag columns "
+    "share one ordered window; a sub-Gaussian bound gives the "
+    "engine-portable p. The honest version of linreg_value_trend's "
+    "significance.",
+)
+def newey_west_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "rev"
+    )
+    wall = Window.partitionBy()
+    s = idx.select(
+        "t",
+        "rev",
+        F.count("*").over(wall).alias("n"),
+        F.sum(F.col("t") * 1.0).over(wall).alias("sx"),
+        F.sum("rev").over(wall).alias("sy"),
+        F.sum(F.col("t") * 1.0 * F.col("t")).over(wall).alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).over(wall).alias("sxy"),
+    )
+    n = F.col("n")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / cxx
+    a = F.col("sy") / n - b * F.col("sx") / n
+    resid = s.select(
+        "t",
+        "n",
+        (F.col("t") - F.col("sx") / n).alias("xc"),
+        (F.col("rev") - a - b * F.col("t")).alias("e"),
+        cxx.alias("cxx"),
+        b.alias("b"),
+    )
+    wt = Window.orderBy("t")
+    u0 = F.col("xc") * F.col("e")
+    u = resid.select(
+        "t",
+        "n",
+        "cxx",
+        "b",
+        u0.alias("u"),
+        *[F.lag(u0, lag).over(wt).alias(f"u{lag}") for lag in range(1, 6)],
+    )
+    s_hac = F.sum(F.col("u") * F.col("u"))
+    for lag in range(1, 6):
+        s_hac = s_hac + 2.0 * ((6.0 - lag) / 6.0) * F.sum(
+            F.col("u") * F.coalesce(F.col(f"u{lag}"), F.lit(0.0))
+        )
+    lrv = u.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("cxx").alias("cxx"),
+        F.max("b").alias("b"),
+        s_hac.alias("s_hac"),
+    )
+    se = F.sqrt(F.col("s_hac")) / F.col("cxx")
+    t = F.col("b") / se
+    return lrv.select(
+        "n_days",
+        F.round("b", 6).alias("slope"),
+        F.round(se, 6).alias("hac_se"),
+        F.round(t, 6).alias("t_hac"),
+        F.round(
+            F.least(F.lit(1.0), 2.0 * F.exp(-F.pow(t, 2) / 2.0)), 6
+        ).alias("p_bound"),
+    )
+
+
+@register(
+    "breusch_pagan_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev FROM daily
+    ),
+    s AS (
+      SELECT t, rev,
+             count(*) OVER () AS n,
+             sum(t * 1.0) OVER () AS sx, sum(rev) OVER () AS sy,
+             sum(t * 1.0 * t) OVER () AS sxx, sum(t * rev) OVER () AS sxy
+      FROM idx
+    ),
+    resid AS (
+      SELECT t, n, sx, sxx,
+             pow(rev - (sy / n - (sxy - sx * sy / n)
+                        / (sxx - sx * sx / n) * sx / n)
+                     - (sxy - sx * sy / n) / (sxx - sx * sx / n) * t,
+                 2) AS e2
+      FROM s
+    ),
+    aux AS (
+      SELECT n,
+             sum(e2) OVER () AS se2, sum(t * e2) OVER () AS ste2,
+             sum(e2 * e2) OVER () AS se4,
+             sx, sxx, t, e2
+      FROM resid
+    ),
+    r2 AS (
+      SELECT CAST(max(n) AS BIGINT) AS n_days,
+             pow(max(ste2) - max(sx) * max(se2) / max(n), 2)
+               / ((max(sxx) - max(sx) * max(sx) / max(n))
+                  * (max(se4) - max(se2) * max(se2) / max(n))) AS r2aux
+      FROM aux
+    )
+    SELECT n_days,
+           round(n_days * r2aux, 6) AS bp_stat,
+           round(least(1.0, 2.0 * exp(-n_days * r2aux / 2.0)), 6) AS p_bound,
+           n_days * r2aux > 3.841 AS heteroskedastic_5pct
+    FROM r2
+    """,
+    doc="Breusch-Pagan heteroskedasticity test for the daily-revenue "
+    "trend regression: squared residuals are regressed on the day "
+    "index (the studentized Koenker form n*R-squared, chi-square 1 df "
+    "— 3.841 critical value at 5%). Heteroskedastic residuals mean the "
+    "iid OLS standard errors are wrong in a different way than serial "
+    "correlation (Durbin-Watson) — together with newey_west_trend_test "
+    "this completes the assumption audit for the trend family. Same "
+    "shape: global-window sums over |days|, one scan, no join.",
+)
+def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "rev"
+    )
+    wall = Window.partitionBy()
+    s = idx.select(
+        "t",
+        "rev",
+        F.count("*").over(wall).alias("n"),
+        F.sum(F.col("t") * 1.0).over(wall).alias("sx"),
+        F.sum("rev").over(wall).alias("sy"),
+        F.sum(F.col("t") * 1.0 * F.col("t")).over(wall).alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).over(wall).alias("sxy"),
+    )
+    n = F.col("n")
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    a = F.col("sy") / n - b * F.col("sx") / n
+    resid = s.select(
+        "t",
+        "n",
+        "sx",
+        "sxx",
+        F.pow(F.col("rev") - a - b * F.col("t"), 2).alias("e2"),
+    )
+    aux = resid.select(
+        "n",
+        "sx",
+        "sxx",
+        "t",
+        "e2",
+        F.sum("e2").over(wall).alias("se2"),
+        F.sum(F.col("t") * F.col("e2")).over(wall).alias("ste2"),
+        F.sum(F.col("e2") * F.col("e2")).over(wall).alias("se4"),
+    )
+    r2aux = F.pow(
+        F.max("ste2") - F.max("sx") * F.max("se2") / F.max("n"), 2
+    ) / (
+        (F.max("sxx") - F.max("sx") * F.max("sx") / F.max("n"))
+        * (F.max("se4") - F.max("se2") * F.max("se2") / F.max("n"))
+    )
+    out = aux.agg(
+        F.max("n").cast("long").alias("n_days"), r2aux.alias("r2aux")
+    )
+    bp = F.col("n_days") * F.col("r2aux")
+    return out.select(
+        "n_days",
+        F.round(bp, 6).alias("bp_stat"),
+        F.round(F.least(F.lit(1.0), 2.0 * F.exp(-bp / 2.0)), 6).alias(
+            "p_bound"
+        ),
+        (bp > 3.841).alias("heteroskedastic_5pct"),
+    )

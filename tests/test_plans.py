@@ -949,3 +949,10 @@ def test_diagnostics_and_cointegration_no_join(q):
         plan = plan_str(q(name), mode="simple")
         assert plan.count("Scan parquet") == 1, name
         assert "Join" not in plan, name
+
+
+def test_hac_and_bp_single_chain(q):
+    for name in ("newey_west_trend_test", "breusch_pagan_daily"):
+        plan = plan_str(q(name), mode="simple")
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name

@@ -93,7 +93,8 @@ FAMILIES: dict[str, list[str]] = {
                  "dunn_posthoc_pairwise", "ab_power_mde",
                  "cuped_variance_reduction", "srm_check_hash_split",
                  "regression_diagnostics_daily",
-                 "engle_granger_cointegration"],
+                 "engle_granger_cointegration",
+                 "newey_west_trend_test", "breusch_pagan_daily"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs",
               "degree_assortativity_suppliers"],
