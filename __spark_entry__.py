@@ -278,6 +278,7 @@ _POST_FREEZE = [
     "engle_granger_cointegration",
     "newey_west_trend_test",
     "breusch_pagan_daily",
+    "lang_id_confusion",
 ]
 
 

@@ -263,6 +263,7 @@ HEADLINE = [
     "engle_granger_cointegration",
     "newey_west_trend_test",
     "breusch_pagan_daily",
+    "lang_id_confusion",
 ]
 
 

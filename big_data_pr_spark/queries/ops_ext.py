@@ -437,3 +437,49 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("fk")
+
+
+from .registry import REGISTRY as _REGISTRY  # noqa: E402  (composed oracle)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS ({_REGISTRY["lang_id"].oracle}),
+    m AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n,
+           round(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) OVER ()
+                 * 1.0 / sum(n) OVER (), 6) AS overall_accuracy
+    FROM m ORDER BY lang, pred_lang
+    """,
+    doc="Confusion matrix of the heuristic language identifier against "
+    "the corpus's labeled lang column, plus overall accuracy — the "
+    "quality evaluation the lang_id gate itself needs before it is "
+    "trusted to route documents (mislabeling = silently dropping a "
+    "language from the training mix). Composes the registered lang_id "
+    "oracle verbatim as a CTE, so classifier and evaluation can never "
+    "drift apart; the matrix is a 25-cell aggregate with the accuracy "
+    "riding it as a global window.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _REGISTRY["lang_id"].fn(spark, sf_dir)
+    m = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    return m.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.sum(
+                F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)
+            ).over(wall)
+            * 1.0
+            / F.sum("n").over(wall),
+            6,
+        ).alias("overall_accuracy"),
+    ).orderBy("lang", "pred_lang")

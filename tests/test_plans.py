@@ -956,3 +956,9 @@ def test_hac_and_bp_single_chain(q):
         plan = plan_str(q(name), mode="simple")
         assert plan.count("Scan parquet") == 1, name
         assert "Join" not in plan, name
+
+
+def test_lang_confusion_single_scan(q):
+    plan = plan_str(q("lang_id_confusion"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

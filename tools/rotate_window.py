@@ -60,7 +60,8 @@ FAMILIES: dict[str, list[str]] = {
                    "ann_lsh_topk_lit", "ann_ivf_topk_lit",
                    "embedding_pca_project_lit", "pq_adc_topk_lit",
                    "pq_reconstruction_error", "embedding_norm_profile"],
-    "text": ["text_stats", "tfidf_top_terms", "perplexity_scores",
+    "text": ["lang_id_confusion",
+             "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
              "vocab_oov_rate", "heaps_law_fit", "token_coverage_curve"],
     "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
