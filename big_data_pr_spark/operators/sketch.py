@@ -100,6 +100,25 @@ def cms_estimate(
 # ---------------------------------------------------------------------------
 
 
+def mg_fold(counters: dict, key: str, w: int, k: int) -> dict:
+    """One weighted Misra-Gries update, in place: add ``w`` to ``key``;
+    if the dict exceeds k-1 entries, subtract the current MIN from
+    every counter and evict non-positives. Each subtract-min of amount
+    m cancels m mass from >= k counters (the k-1 kept plus the
+    arrival), so total per-key undercount <= n/k and a key with true
+    weight > n/k can never be fully cancelled. Pure function so the
+    guarantee is property-testable without Spark."""
+    counters[key] = counters.get(key, 0) + w
+    if len(counters) > k - 1:
+        m = min(counters.values())
+        doomed = [kk for kk, c in counters.items() if c <= m]
+        for kk in counters:
+            counters[kk] -= m
+        for kk in doomed:
+            del counters[kk]
+    return counters
+
+
 def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: ``(key, c)`` with at most
     k-1 rows per partition.
@@ -123,21 +142,12 @@ def mg_partition_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
 
     def summarize(batches):
         # Weighted MG: fold each Arrow batch's value_counts in as
-        # (key, weight) pairs; a full dict subtracts the current MIN
-        # from every counter and evicts zeros. Same guarantees as the
-        # per-row classic (each subtract-min of amount m consumes m*k
-        # of input mass, so total per-key undercount <= n/k; a key with
-        # true count > n/k can never be fully cancelled), but the
-        # Python loop runs over DISTINCT keys per batch, not rows.
+        # (key, weight) pairs. The Python loop runs over DISTINCT keys
+        # per batch, not rows.
         counters: dict[str, int] = {}
         for pdf in batches:
             for key, w in pdf[key_col].astype(str).value_counts().items():
-                counters[key] = counters.get(key, 0) + int(w)
-                if len(counters) > k - 1:
-                    m = min(counters.values())
-                    counters = {
-                        kk: c - m for kk, c in counters.items() if c > m
-                    }
+                mg_fold(counters, key, int(w), k)
         yield pd.DataFrame(
             {"key": list(counters), "c": list(counters.values())}
         )

@@ -325,3 +325,40 @@ def test_dedup_spans_matches_model(spark, docs, k):
                 seen.add(c)
                 kept.append(c)
         assert got[i] == (len(chunks), len(kept), " ".join(kept)), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries fold: guarantees hold for arbitrary streams (no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 50)), max_size=200
+    ),
+    k=st.integers(2, 12),
+)
+def test_mg_fold_guarantees_any_stream(stream, k):
+    """For ANY weighted stream and any k: never overcount, undercount
+    <= n/k, every key with true weight > n/k survives, and the dict
+    never exceeds k-1 entries."""
+    from big_data_pr_spark.operators.sketch import mg_fold
+
+    counters: dict = {}
+    exact: dict = {}
+    for key, w in stream:
+        kk = f"k{key}"
+        exact[kk] = exact.get(kk, 0) + w
+        mg_fold(counters, kk, w, k)
+        assert len(counters) <= k - 1
+    n = sum(exact.values())
+    for key, c in counters.items():
+        assert c <= exact[key]
+        assert c >= exact[key] - n / k
+    for key, c in exact.items():
+        if c > n / k:
+            assert key in counters, (key, c, n, k)
