@@ -279,6 +279,8 @@ _POST_FREEZE = [
     "newey_west_trend_test",
     "breusch_pagan_daily",
     "lang_id_confusion",
+    "process_capability_ship_latency",
+    "xbar_control_chart_weekly",
 ]
 
 

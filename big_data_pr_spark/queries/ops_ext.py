@@ -483,3 +483,143 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("overall_accuracy"),
     ).orderBy("lang", "pred_lang")
+
+
+@register(
+    "process_capability_ship_latency",
+    """
+    WITH lat AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(t * 1.0) AS mu, stddev_samp(t * 1.0) AS sigma,
+             CAST(sum(CASE WHEN t < 1 OR t > 120 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_out
+      FROM lat
+    )
+    SELECT n, round(mu, 6) AS mean_latency, round(sigma, 6) AS sd_latency,
+           round((120 - 1) / (6 * sigma), 6) AS cp,
+           round(least((120 - mu) / (3 * sigma),
+                       (mu - 1) / (3 * sigma)), 6) AS cpk,
+           n_out AS n_outside_spec,
+           round(n_out * 1.0 / n, 6) AS outside_rate
+    FROM s
+    """,
+    doc="Process-capability indices for order-to-ship latency against "
+    "the [1, 120]-day spec window: Cp (spec width over 6 sigma — what "
+    "the process COULD hold if centered) and Cpk (the one-sided "
+    "worst case — what it actually holds), plus the observed "
+    "out-of-spec rate. Cpk >= 1.33 is the conventional capable "
+    "threshold; the SPC view of ship_latency_percentiles. One "
+    "fact-fact join reduced to a single-row moment aggregate.",
+)
+def process_capability_ship_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("t")
+    )
+    lo, hi = 1, 120
+    s = lat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg(F.col("t") * 1.0).alias("mu"),
+        F.stddev_samp(F.col("t") * 1.0).alias("sigma"),
+        F.sum(F.when((F.col("t") < lo) | (F.col("t") > hi), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out"),
+    )
+    mu, sigma = F.col("mu"), F.col("sigma")
+    return s.select(
+        "n",
+        F.round(mu, 6).alias("mean_latency"),
+        F.round(sigma, 6).alias("sd_latency"),
+        F.round((hi - lo) / (6 * sigma), 6).alias("cp"),
+        F.round(
+            F.least((hi - mu) / (3 * sigma), (mu - lo) / (3 * sigma)), 6
+        ).alias("cpk"),
+        F.col("n_out").alias("n_outside_spec"),
+        F.round(F.col("n_out") * 1.0 / F.col("n"), 6).alias("outside_rate"),
+    )
+
+
+@register(
+    "xbar_control_chart_weekly",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    wk AS (
+      SELECT CAST(floor(CAST(day - DATE '1970-01-01' AS BIGINT) / 7.0)
+                  AS BIGINT) AS week,
+             CAST(count(*) AS BIGINT) AS n_days,
+             avg(rev) AS xbar
+      FROM daily GROUP BY 1
+    ),
+    lim AS (
+      SELECT week, n_days, xbar,
+             avg(xbar) OVER () AS grand_mean,
+             stddev_samp(xbar) OVER () AS s_between
+      FROM wk
+    )
+    SELECT week, n_days, round(xbar, 6) AS xbar,
+           round(grand_mean, 6) AS center,
+           round(grand_mean - 3 * s_between, 6) AS lcl,
+           round(grand_mean + 3 * s_between, 6) AS ucl,
+           xbar < grand_mean - 3 * s_between
+             OR xbar > grand_mean + 3 * s_between AS out_of_control
+    FROM lim ORDER BY week
+    """,
+    doc="X-bar control chart of weekly mean daily revenue: 3-sigma "
+    "control limits from the between-week dispersion (grand mean and "
+    "limits ride the |weeks| table as global windows), each week "
+    "flagged in or out of control — the Shewhart monitoring view that "
+    "separates common-cause noise from assignable shifts, next to the "
+    "CUSUM/Pettitt changepoint detectors. Week index is "
+    "days-since-epoch div 7 (engine-stable). One orders scan -> "
+    "|days| -> |weeks|; no join.",
+)
+def xbar_control_chart_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wk = daily.groupBy(
+        F.floor(
+            F.datediff("day", F.lit("1970-01-01")) / 7.0
+        )
+        .cast("long")
+        .alias("week")
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.avg("rev").alias("xbar"),
+    )
+    wall = Window.partitionBy()
+    lim = wk.select(
+        "week",
+        "n_days",
+        "xbar",
+        F.avg("xbar").over(wall).alias("grand_mean"),
+        F.stddev_samp("xbar").over(wall).alias("s_between"),
+    )
+    lcl = F.col("grand_mean") - 3 * F.col("s_between")
+    ucl = F.col("grand_mean") + 3 * F.col("s_between")
+    return lim.select(
+        "week",
+        "n_days",
+        F.round("xbar", 6).alias("xbar"),
+        F.round("grand_mean", 6).alias("center"),
+        F.round(lcl, 6).alias("lcl"),
+        F.round(ucl, 6).alias("ucl"),
+        ((F.col("xbar") < lcl) | (F.col("xbar") > ucl)).alias(
+            "out_of_control"
+        ),
+    ).orderBy("week")

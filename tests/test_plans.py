@@ -962,3 +962,13 @@ def test_lang_confusion_single_scan(q):
     plan = plan_str(q("lang_id_confusion"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_spc_pair_shapes(q):
+    """Capability reduces the fact-fact join to a single-row moment
+    aggregate; the control chart is a |days|->|weeks| window chain."""
+    plan = plan_str(q("process_capability_ship_latency"), mode="simple")
+    assert "CartesianProduct" not in plan
+    plan = plan_str(q("xbar_control_chart_weekly"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

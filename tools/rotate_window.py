@@ -112,7 +112,9 @@ FAMILIES: dict[str, list[str]] = {
                    "schema_evolution_roundtrip", "sequence_gap_audit",
                    "expectation_suite_audit", "order_total_reconciliation",
                    "duplicate_order_pairs", "order_priority_transitions",
-                   "fk_containment_profile"],
+                   "fk_containment_profile",
+                   "process_capability_ship_latency",
+                   "xbar_control_chart_weekly"],
     "profiling": ["corpus_profile", "profile_orders",
                   "doc_length_histogram", "benford_first_digit",
                   "skew_key_deciles", "join_size_profile",
