@@ -281,6 +281,7 @@ _POST_FREEZE = [
     "lang_id_confusion",
     "process_capability_ship_latency",
     "xbar_control_chart_weekly",
+    "youden_optimal_threshold",
 ]
 
 

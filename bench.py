@@ -266,6 +266,7 @@ HEADLINE = [
     "lang_id_confusion",
     "process_capability_ship_latency",
     "xbar_control_chart_weekly",
+    "youden_optimal_threshold",
 ]
 
 

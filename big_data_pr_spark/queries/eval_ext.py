@@ -549,3 +549,82 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.regr_intercept(lv, ln_)), 4).alias("heaps_k"),
         F.round(F.regr_r2(lv, ln_), 4).alias("r2"),
     )
+
+
+@register(
+    "youden_optimal_threshold",
+    f"""
+    WITH per_score AS ({_PER_SCORE}),
+    cum AS (
+      SELECT s,
+             sum(pos) OVER (ORDER BY s DESC) AS tp,
+             sum(n - pos) OVER (ORDER BY s DESC) AS fp,
+             sum(pos) OVER () AS p_tot,
+             sum(n - pos) OVER () AS n_tot
+      FROM per_score
+    ),
+    j AS (
+      SELECT s, tp, fp, p_tot, n_tot,
+             tp * 1.0 / p_tot - fp * 1.0 / n_tot AS jstat
+      FROM cum
+    ),
+    best AS (
+      SELECT s, tp, fp, p_tot, n_tot, jstat,
+             row_number() OVER (ORDER BY jstat DESC, s DESC) AS r
+      FROM j
+    )
+    SELECT round(s, 6) AS threshold,
+           round(tp * 1.0 / p_tot, 6) AS tpr,
+           round(fp * 1.0 / n_tot, 6) AS fpr,
+           round(jstat, 6) AS youden_j,
+           CAST(tp AS BIGINT) AS n_tp,
+           CAST(fp AS BIGINT) AS n_fp
+    FROM best WHERE r = 1
+    """,
+    doc="Youden-optimal decision threshold for `value` scoring the "
+    "purchase label: the score cutoff maximizing J = TPR - FPR (ties "
+    "broken toward the higher threshold), with the operating point it "
+    "buys. max J equals the KS separation between the positive and "
+    "negative score distributions, so this also certifies the "
+    "classifier's KS. Completes the ranking family: AUC summarizes the "
+    "whole curve, PR-AUC the imbalanced view, lift/gain the campaign "
+    "view — this picks the single deployable cutoff. Same "
+    "distinct-score compressed domain as all of them.",
+)
+def youden_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _per_score(spark, sf_dir)
+    wdesc = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = per.select(
+        "s",
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(wdesc).alias("fp"),
+        F.sum("pos").over(wall).alias("p_tot"),
+        F.sum(F.col("n") - F.col("pos")).over(wall).alias("n_tot"),
+    )
+    j = cum.select(
+        "s",
+        "tp",
+        "fp",
+        "p_tot",
+        "n_tot",
+        (F.col("tp") * 1.0 / F.col("p_tot") - F.col("fp") * 1.0 / F.col("n_tot")).alias(
+            "jstat"
+        ),
+    )
+    best = j.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("jstat"), F.desc("s")))
+        .alias("r"),
+    ).where(F.col("r") == 1)
+    return best.select(
+        F.round("s", 6).alias("threshold"),
+        F.round(F.col("tp") * 1.0 / F.col("p_tot"), 6).alias("tpr"),
+        F.round(F.col("fp") * 1.0 / F.col("n_tot"), 6).alias("fpr"),
+        F.round("jstat", 6).alias("youden_j"),
+        F.col("tp").cast("long").alias("n_tp"),
+        F.col("fp").cast("long").alias("n_fp"),
+    )

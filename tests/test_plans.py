@@ -972,3 +972,9 @@ def test_spc_pair_shapes(q):
     plan = plan_str(q("xbar_control_chart_weekly"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_youden_distinct_score_domain(q):
+    plan = plan_str(q("youden_optimal_threshold"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

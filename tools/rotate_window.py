@@ -95,7 +95,8 @@ FAMILIES: dict[str, list[str]] = {
                  "cuped_variance_reduction", "srm_check_hash_split",
                  "regression_diagnostics_daily",
                  "engle_granger_cointegration",
-                 "newey_west_trend_test", "breusch_pagan_daily"],
+                 "newey_west_trend_test", "breusch_pagan_daily",
+                 "youden_optimal_threshold"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs",
               "degree_assortativity_suppliers"],
