@@ -282,6 +282,8 @@ _POST_FREEZE = [
     "process_capability_ship_latency",
     "xbar_control_chart_weekly",
     "youden_optimal_threshold",
+    "price_index_fisher_yearly",
+    "token_burstiness_top",
 ]
 
 

@@ -267,6 +267,8 @@ HEADLINE = [
     "process_capability_ship_latency",
     "xbar_control_chart_weekly",
     "youden_optimal_threshold",
+    "price_index_fisher_yearly",
+    "token_burstiness_top",
 ]
 
 

@@ -396,3 +396,78 @@ def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate"
         ),
     )
+
+
+@register(
+    "price_index_fisher_yearly",
+    """
+    WITH yb AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, p_brand,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             sum(l_quantity) AS q
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.yr,
+             sum(c.p * b.q) AS pt_q0, sum(b.p * b.q) AS p0_q0,
+             sum(c.p * c.q) AS pt_qt, sum(b.p * c.q) AS p0_qt
+      FROM yb c JOIN yb b ON b.yr = c.yr - 1 AND b.p_brand = c.p_brand
+      GROUP BY c.yr
+    )
+    SELECT yr,
+           round(pt_q0 / p0_q0, 6) AS laspeyres,
+           round(pt_qt / p0_qt, 6) AS paasche,
+           round(sqrt((pt_q0 / p0_q0) * (pt_qt / p0_qt)), 6) AS fisher
+    FROM pairs ORDER BY yr
+    """,
+    doc="Year-over-year price indices for the parts basket: Laspeyres "
+    "(base-year quantity weights), Paasche (current-year weights), and "
+    "their geometric mean the Fisher ideal index — the formal answer "
+    "to 'did prices move or did the mix shift' that "
+    "price_realization_by_brand eyeballs. Unit prices and quantity "
+    "weights aggregate per (year, brand) first, so the year-pair "
+    "self-join runs over a |years x 25| table. The star join "
+    "broadcasts part; orders joins on the orderkey.",
+)
+def price_index_fisher_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"), "p_brand"
+        )
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+            F.sum("l_quantity").alias("q"),
+        )
+    )
+    c = yb.alias("c")
+    b = yb.alias("b")
+    pairs = (
+        c.join(
+            b,
+            (F.col("b.yr") == F.col("c.yr") - 1)
+            & (F.col("b.p_brand") == F.col("c.p_brand")),
+        )
+        .groupBy(F.col("c.yr").alias("yr"))
+        .agg(
+            F.sum(F.col("c.p") * F.col("b.q")).alias("pt_q0"),
+            F.sum(F.col("b.p") * F.col("b.q")).alias("p0_q0"),
+            F.sum(F.col("c.p") * F.col("c.q")).alias("pt_qt"),
+            F.sum(F.col("b.p") * F.col("c.q")).alias("p0_qt"),
+        )
+    )
+    lasp = F.col("pt_q0") / F.col("p0_q0")
+    paas = F.col("pt_qt") / F.col("p0_qt")
+    return pairs.select(
+        "yr",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("yr")

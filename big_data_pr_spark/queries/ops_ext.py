@@ -623,3 +623,53 @@ def xbar_control_chart_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_of_control"
         ),
     ).orderBy("week")
+
+
+@register(
+    "token_burstiness_top",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    stats AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    )
+    SELECT token, cf, df,
+           round(cf * 1.0 / df, 6) AS burstiness
+    FROM stats WHERE df >= 5
+    ORDER BY burstiness DESC, token LIMIT 20
+    """,
+    doc="Church-Gale token burstiness: collection frequency over "
+    "document frequency — a token that appears many times in few "
+    "documents (bursty) behaves like content/boilerplate; one spread "
+    "evenly behaves like function words. The per-token view that "
+    "complements doc-level repetition_ratio and corpus-level "
+    "zipf/heaps. One token explode -> vocabulary-sized (cf, df) "
+    "aggregate -> heap top-20 with a deterministic tiebreak.",
+)
+def token_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    stats = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        stats.where(F.col("df") >= 5)
+        .select(
+            "token",
+            "cf",
+            "df",
+            F.round(F.col("cf") * 1.0 / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "token")
+        .limit(20)
+    )

@@ -978,3 +978,18 @@ def test_youden_distinct_score_domain(q):
     plan = plan_str(q("youden_optimal_threshold"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_price_index_year_pair_join_compressed(q):
+    """The year-pair self-join runs over the |years x brands| aggregate,
+    never raw lineitems; part broadcasts into the star."""
+    plan = plan_str(q("price_index_fisher_yearly"), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burstiness_vocab_aggregate(q):
+    plan = plan_str(q("token_burstiness_top"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

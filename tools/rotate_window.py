@@ -60,7 +60,7 @@ FAMILIES: dict[str, list[str]] = {
                    "ann_lsh_topk_lit", "ann_ivf_topk_lit",
                    "embedding_pca_project_lit", "pq_adc_topk_lit",
                    "pq_reconstruction_error", "embedding_norm_profile"],
-    "text": ["lang_id_confusion",
+    "text": ["lang_id_confusion", "token_burstiness_top",
              "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
              "vocab_oov_rate", "heaps_law_fit", "token_coverage_curve"],
@@ -108,7 +108,7 @@ FAMILIES: dict[str, list[str]] = {
                   "cohort_retention", "attribution_last_touch",
                   "rfm_segmentation", "multi_touch_attribution",
                   "cohort_ltv_matrix", "pareto_share_curve",
-                  "spend_band_migration"],
+                  "spend_band_migration", "price_index_fisher_yearly"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit",
                    "expectation_suite_audit", "order_total_reconciliation",
