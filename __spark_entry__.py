@@ -284,6 +284,8 @@ _POST_FREEZE = [
     "youden_optimal_threshold",
     "price_index_fisher_yearly",
     "token_burstiness_top",
+    "interarrival_profile",
+    "weekday_hour_heatmap",
 ]
 
 

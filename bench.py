@@ -269,6 +269,8 @@ HEADLINE = [
     "youden_optimal_threshold",
     "price_index_fisher_yearly",
     "token_burstiness_top",
+    "interarrival_profile",
+    "weekday_hour_heatmap",
 ]
 
 

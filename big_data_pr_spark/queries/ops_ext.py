@@ -673,3 +673,87 @@ def token_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), "token")
         .limit(20)
     )
+
+
+@register(
+    "interarrival_profile",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) / 1000000.0 AS gap
+      FROM events
+    ),
+    g AS (SELECT event_type, gap FROM seq WHERE gap IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap), 6) AS mean_gap_s,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6)
+             AS median_gap_s,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY gap), 6)
+             AS p95_gap_s,
+           round(stddev_samp(gap) / avg(gap), 6) AS cv
+    FROM g GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Per-type inter-arrival profile of user event streams: mean / "
+    "median / p95 gap seconds and the coefficient of variation — "
+    "CV near 1 is Poisson-like arrivals, CV >> 1 is bursty sessions "
+    "(the per-gap view behind burstiness_fano_per_user's count-based "
+    "Fano factor), and the p95 gap is the session-timeout input for "
+    "sessionize_events. One keyed lag window over the deterministic "
+    "(ts, event_id) order, then a |types|-group aggregate.",
+)
+def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timeutil import epoch_micros
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_micros(F.col("ts"))
+    seq = ev.select(
+        "event_type",
+        ((us - F.lag(us).over(w)) / 1000000.0).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("mean_gap_s"),
+            F.round(F.percentile("gap", 0.5), 6).alias("median_gap_s"),
+            F.round(F.percentile("gap", 0.95), 6).alias("p95_gap_s"),
+            F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("cv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "weekday_hour_heatmap",
+    """
+    SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY dow, hr
+    """,
+    doc="Weekday x hour traffic heatmap: event counts and value totals "
+    "over the 7x24 grid — the load-shape input for capacity planning "
+    "and the 2-D refinement of seasonal_hourly_factors. Weekday is "
+    "days-since-epoch mod 7 (engine-stable); one grouped aggregate, "
+    "168-row output.",
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7)
+            .cast("long")
+            .alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hr")
+    )

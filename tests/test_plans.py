@@ -993,3 +993,14 @@ def test_burstiness_vocab_aggregate(q):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interarrival_and_heatmap_shapes(q):
+    """Inter-arrival is one keyed lag window then a 5-group aggregate;
+    the heatmap is a single 168-cell grouped aggregate."""
+    plan = plan_str(q("interarrival_profile"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    plan = plan_str(q("weekday_hour_heatmap"), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

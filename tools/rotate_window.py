@@ -45,7 +45,8 @@ FAMILIES: dict[str, list[str]] = {
               "pettitt_changepoint", "stl_decompose_daily",
               "hurst_rs_daily", "ljung_box_hourly"],
     "window": ["sma_events", "window_first_last_nth", "gap_fill_forward",
-               "gap_fill_interpolate", "merged_active_intervals"],
+               "gap_fill_interpolate", "merged_active_intervals",
+               "interarrival_profile", "weekday_hour_heatmap"],
     "watermark": ["high_watermark", "incremental_new_rows"],
     "streaming-batch": ["sliding_window_stats", "session_window_native"],
     "tpch": ["q1_pricing", "q21_waiting_supplier_v", "returns_analysis",
