@@ -286,6 +286,7 @@ _POST_FREEZE = [
     "token_burstiness_top",
     "interarrival_profile",
     "weekday_hour_heatmap",
+    "weighted_reservoir_docs",
 ]
 
 

@@ -271,6 +271,7 @@ HEADLINE = [
     "token_burstiness_top",
     "interarrival_profile",
     "weekday_hour_heatmap",
+    "weighted_reservoir_docs",
 ]
 
 

@@ -332,3 +332,34 @@ def waterfill(avail: DataFrame, budget_col: str = "b") -> DataFrame:
         .alias("alloc"),
         (F.col("sat") == 1).alias("saturated"),
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "res1",
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each row draws key = u^(1/w) from its seeded
+    deterministic uniform and the k largest keys win — inclusion
+    probability proportional to weight, exactly k rows, no rejection
+    loop. Complements ``weighted_sample`` (independent Bernoulli,
+    variable size).
+
+    Scale: the key is a narrow map (no shuffle, no rand()); the top-k
+    is TakeOrderedAndProject — per-partition heaps of size k, never a
+    global sort. Deterministic md5 uniform (privacy.hash_uniform) means
+    the same reservoir on every engine, re-run, and partitioning — and
+    makes the sample SQL-oracle-able.
+    """
+    from .privacy import hash_uniform
+
+    u = hash_uniform(F.col(id_col).cast("string"), seed)
+    key = F.exp(F.log(u) / F.col(weight_col))
+    return (
+        df.withColumn("__rkey", key)
+        .orderBy(F.desc("__rkey"), F.asc(id_col))
+        .limit(k)
+    )

@@ -12,9 +12,10 @@ approx_distinct_certificate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.privacy import hash_uniform_sql
 from ..operators.sketch import mg_topk
 from ..tables import load
 from .registry import register
@@ -149,3 +150,43 @@ def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members long, n_nonmembers long, no_false_negatives boolean, "
         "fpr_within_bound boolean",
     )
+
+
+_RES_K = 50
+
+
+@register(
+    "weighted_reservoir_docs",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             exp(ln({hash_uniform_sql("CAST(doc_id AS VARCHAR)", "res1")})
+                 / n_chars) AS rkey
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY rkey DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT rank, doc_id, n_chars FROM top
+    WHERE rank <= {_RES_K} ORDER BY rank
+    """,
+    doc="Efraimidis-Spirakis weighted reservoir: exactly 50 documents "
+    "sampled without replacement with inclusion probability "
+    "proportional to length — the fixed-budget counterpart to the "
+    "Bernoulli weighted_sample for building a pinned-size training "
+    "subset. key = u^(1/w) over the seeded md5 uniform, top-k by key "
+    "(TakeOrderedAndProject heaps — no global sort, no rand()); the "
+    "oracle replays the identical key formula, so the exact sample "
+    "membership AND order are hash-gated. operators/sampling.py.",
+)
+def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_reservoir
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    res = weighted_reservoir(docs, "n_chars", _RES_K, id_col="doc_id")
+    w = Window.orderBy(F.desc("__rkey"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "n_chars"
+    ).orderBy("rank")

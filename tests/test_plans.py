@@ -1004,3 +1004,8 @@ def test_interarrival_and_heatmap_shapes(q):
     plan = plan_str(q("weekday_hour_heatmap"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_reservoir_uses_heap_not_global_sort(q):
+    plan = plan_str(q("weighted_reservoir_docs"))
+    assert "TakeOrderedAndProject" in plan

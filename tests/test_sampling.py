@@ -90,3 +90,25 @@ def test_pack_bins_whole_docs_invariants(spark):
     # deterministic across runs
     again = pack_bins_whole_docs(df, 512).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_reservoir_fixed_size_and_partition_invariant(spark, sf_dir):
+    from big_data_pr_spark.operators.sampling import weighted_reservoir
+    from big_data_pr_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = {r["doc_id"] for r in weighted_reservoir(docs, "n_chars", 20).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_reservoir(docs.repartition(16), "n_chars", 20).collect()
+    }
+    assert len(a) == 20
+    assert a == b  # deterministic under adversarial partitioning
+    # weight-proportional inclusion: the sample skews long across seeds
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    means = []
+    for seed in ("res1", "res2", "res3"):
+        s = weighted_reservoir(docs, "n_chars", 20, seed=seed)
+        means.append(s.agg(F.avg("n_chars")).collect()[0][0])
+    assert sum(means) / len(means) > corpus_mean

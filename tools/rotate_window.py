@@ -71,7 +71,7 @@ FAMILIES: dict[str, list[str]] = {
     "sampling": ["stratified_sample_exact", "stratified_sample_hash",
                  "weighted_sample_quality", "token_budget_select",
                  "pack_bins_ffd_global", "corpus_shuffle_shards",
-                 "token_budget_waterfill"],
+                 "token_budget_waterfill", "weighted_reservoir_docs"],
     "multimodal": ["multimodal_meta", "multimodal_frames",
                    "multimodal_ppm_decode", "multimodal_wav_decode",
                    "multimodal_video_frames"],
