@@ -287,6 +287,7 @@ _POST_FREEZE = [
     "interarrival_profile",
     "weekday_hour_heatmap",
     "weighted_reservoir_docs",
+    "lad_trend_profile",
 ]
 
 

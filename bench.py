@@ -272,6 +272,7 @@ HEADLINE = [
     "interarrival_profile",
     "weekday_hour_heatmap",
     "weighted_reservoir_docs",
+    "lad_trend_profile",
 ]
 
 

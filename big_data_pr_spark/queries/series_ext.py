@@ -728,3 +728,101 @@ def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (bp > 3.841).alias("heteroskedastic_5pct"),
     )
+
+
+@register(
+    "lad_trend_profile",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev FROM daily
+    ),
+    s AS (
+      SELECT t, rev,
+             (sum(t * rev) OVER () - sum(t * 1.0) OVER ()
+                * sum(rev) OVER () / count(*) OVER ())
+             / (sum(t * 1.0 * t) OVER () - sum(t * 1.0) OVER ()
+                * sum(t * 1.0) OVER () / count(*) OVER ()) AS b_ols
+      FROM idx
+    ),
+    fan AS (
+      SELECT g.i, s.t, s.rev, s.b_ols,
+             s.rev - s.b_ols * (g.i / 8.0) * s.t AS u
+      FROM s CROSS JOIN (SELECT unnest(range(0, 17)) AS i) g
+    ),
+    med AS (
+      SELECT i, percentile_cont(0.5) WITHIN GROUP (ORDER BY u) AS a
+      FROM fan GROUP BY i
+    ),
+    loss AS (
+      SELECT f.i,
+             max(f.b_ols) * (f.i / 8.0) AS slope,
+             avg(abs(f.u - m.a)) / 2.0 AS pinball
+      FROM fan f JOIN med m ON f.i = m.i
+      GROUP BY f.i
+    )
+    SELECT CAST(i AS BIGINT) AS grid_i,
+           round(slope, 6) AS slope,
+           round(pinball, 6) AS pinball_loss,
+           pinball = min(pinball) OVER () AS is_best
+    FROM loss ORDER BY grid_i
+    """,
+    doc="Median (LAD) trend regression by profile search: for 17 slope "
+    "candidates spanning 0-2x the OLS slope, the optimal intercept in "
+    "closed form is the median of the de-trended series, and the "
+    "tau=0.5 pinball loss reduces to half the mean absolute residual — "
+    "so the robust regression that normally needs iterative "
+    "reweighting becomes one grouped-percentile pass over a "
+    "|days| x 17 fanout (the OLS slope rides the daily table as "
+    "global-window sums; the grid is a literal broadcast). The "
+    "LAD answer to linreg_value_trend when outlier days drag OLS.",
+)
+def lad_trend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "rev"
+    )
+    wall = Window.partitionBy()
+    n = F.count("*").over(wall)
+    sx = F.sum(F.col("t") * 1.0).over(wall)
+    sy = F.sum("rev").over(wall)
+    sxx = F.sum(F.col("t") * 1.0 * F.col("t")).over(wall)
+    sxy = F.sum(F.col("t") * F.col("rev")).over(wall)
+    s = idx.select(
+        "t",
+        "rev",
+        ((sxy - sx * sy / n) / (sxx - sx * sx / n)).alias("b_ols"),
+    )
+    grid = spark.range(0, 17).select(F.col("id").alias("i"))
+    fan = s.crossJoin(F.broadcast(grid)).select(
+        "i",
+        "t",
+        "rev",
+        "b_ols",
+        (
+            F.col("rev") - F.col("b_ols") * (F.col("i") / 8.0) * F.col("t")
+        ).alias("u"),
+    )
+    fan = fan.cache()
+    med = fan.groupBy("i").agg(F.percentile("u", 0.5).alias("a"))
+    loss = (
+        fan.join(F.broadcast(med), "i")
+        .groupBy("i")
+        .agg(
+            (F.max("b_ols") * (F.col("i") / 8.0)).alias("slope"),
+            (F.avg(F.abs(F.col("u") - F.col("a"))) / 2.0).alias("pinball"),
+        )
+    )
+    return loss.select(
+        F.col("i").cast("long").alias("grid_i"),
+        F.round("slope", 6).alias("slope"),
+        F.round("pinball", 6).alias("pinball_loss"),
+        (F.col("pinball") == F.min("pinball").over(wall)).alias("is_best"),
+    ).orderBy("grid_i")

@@ -1009,3 +1009,12 @@ def test_interarrival_and_heatmap_shapes(q):
 def test_reservoir_uses_heap_not_global_sort(q):
     plan = plan_str(q("weighted_reservoir_docs"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lad_profile_cached_fanout(q):
+    """The |days| x 17 fanout is cached and consumed by both the
+    per-slope median and the loss aggregation; the slope grid
+    broadcasts."""
+    plan = plan_str(q("lad_trend_profile"), mode="simple")
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan

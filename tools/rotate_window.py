@@ -97,7 +97,7 @@ FAMILIES: dict[str, list[str]] = {
                  "regression_diagnostics_daily",
                  "engle_granger_cointegration",
                  "newey_west_trend_test", "breusch_pagan_daily",
-                 "youden_optimal_threshold"],
+                 "youden_optimal_threshold", "lad_trend_profile"],
     "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs",
               "degree_assortativity_suppliers"],
