@@ -288,6 +288,7 @@ _POST_FREEZE = [
     "weekday_hour_heatmap",
     "weighted_reservoir_docs",
     "lad_trend_profile",
+    "lexical_semantic_agreement",
 ]
 
 

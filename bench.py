@@ -273,6 +273,7 @@ HEADLINE = [
     "weekday_hour_heatmap",
     "weighted_reservoir_docs",
     "lad_trend_profile",
+    "lexical_semantic_agreement",
 ]
 
 

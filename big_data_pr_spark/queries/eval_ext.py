@@ -628,3 +628,133 @@ def youden_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tp").cast("long").alias("n_tp"),
         F.col("fp").cast("long").alias("n_fp"),
     )
+
+
+_COS_EMB = """
+    round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+      6)
+"""
+
+
+@register(
+    "lexical_semantic_agreement",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    idf AS (
+      SELECT token,
+             ln((SELECT count(*) FROM documents) * 1.0
+                / count(DISTINCT doc_id)) AS idf
+      FROM tok GROUP BY token
+    ),
+    vec AS (
+      SELECT tf.doc_id, tf.token, tf.c * idf.idf AS w
+      FROM tf JOIN idf USING (token)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM vec GROUP BY doc_id),
+    q AS (SELECT token, w FROM vec WHERE doc_id = 0),
+    dots AS (
+      SELECT v.doc_id, sum(v.w * q.w) AS dot
+      FROM vec v JOIN q USING (token) WHERE v.doc_id <> 0
+      GROUP BY v.doc_id
+    ),
+    lex AS (
+      SELECT d.doc_id,
+             row_number() OVER (
+               ORDER BY d.dot / (n.nrm
+                 * (SELECT nrm FROM nrm WHERE doc_id = 0)) DESC, d.doc_id
+             ) AS r
+      FROM dots d JOIN nrm n USING (doc_id)
+    ),
+    sem AS (
+      SELECT a.vec_id,
+             row_number() OVER (ORDER BY {_COS_EMB} DESC, a.vec_id) AS r
+      FROM embeddings a,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id <> 0
+    ),
+    ov AS (
+      SELECT CAST(count(*) AS BIGINT) AS overlap
+      FROM (SELECT doc_id FROM lex WHERE r <= 10) l
+      JOIN (SELECT vec_id FROM sem WHERE r <= 10) s ON l.doc_id = s.vec_id
+    )
+    SELECT CAST(10 AS BIGINT) AS k,
+           overlap,
+           round(overlap * 1.0 / (20 - overlap), 6) AS jaccard
+    FROM ov
+    """,
+    doc="Lexical-vs-semantic retrieval agreement for query document 0: "
+    "the top-10 neighbors under TF-IDF cosine (sparse lexical vectors "
+    "over the corpus vocabulary) against the top-10 under embedding "
+    "cosine, reported as overlap and Jaccard — the hybrid-search "
+    "diagnostic that says whether the two retrieval modalities are "
+    "redundant (high overlap) or complementary (low; fuse them, as "
+    "the RAG pipeline does). Lexical scoring: |docs x vocab| tf-idf "
+    "table, query vector broadcast back, grouped dot products; "
+    "semantic: the knn_cosine_bruteforce chain. Both top-10s use "
+    "deterministic score-desc/id tiebreaks.",
+)
+def lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok = tok.cache()
+    n_docs = docs.count()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    idf = tok.groupBy("token").agg(
+        F.log(
+            F.lit(float(n_docs)) / F.countDistinct("doc_id")
+        ).alias("idf")
+    )
+    vec = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("c") * F.col("idf")).alias("w")
+    )
+    vec = vec.cache()
+    nrm = vec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    q = vec.where(F.col("doc_id") == 0).select(
+        F.col("token"), F.col("w").alias("qw")
+    )
+    qnrm = float(
+        nrm.where(F.col("doc_id") == 0).collect()[0]["nrm"]
+    )  # driver-sized scalar (the query's own norm)
+    dots = (
+        vec.where(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    lex = (
+        dots.join(nrm, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("dot") / (F.col("nrm") * F.lit(qnrm))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id")
+    )
+    from ..operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select(F.col("vec_id").alias("doc_id"))
+    overlap = lex.join(sem, "doc_id").count()
+    return spark.createDataFrame(
+        [(10, overlap, round(overlap / (20 - overlap), 6))],
+        "k long, overlap long, jaccard double",
+    )
