@@ -289,6 +289,7 @@ _POST_FREEZE = [
     "weighted_reservoir_docs",
     "lad_trend_profile",
     "lexical_semantic_agreement",
+    "embedding_anisotropy_probe",
 ]
 
 

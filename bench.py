@@ -274,6 +274,7 @@ HEADLINE = [
     "weighted_reservoir_docs",
     "lad_trend_profile",
     "lexical_semantic_agreement",
+    "embedding_anisotropy_probe",
 ]
 
 

@@ -757,3 +757,68 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@register(
+    "embedding_anisotropy_probe",
+    """
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             embedding
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT u.i AS dim, sum(CAST(nrm.embedding[u.i] AS DOUBLE) / nrm.nrm)
+               AS s
+      FROM nrm, unnest(range(1, len(nrm.embedding) + 1)) AS u(i)
+      WHERE nrm.nrm > 0
+      GROUP BY u.i
+    ),
+    tot AS (
+      SELECT sum(s * s) AS s2,
+             (SELECT CAST(count(*) AS BIGINT) FROM nrm WHERE nrm > 0) AS n
+      FROM dims
+    )
+    SELECT n AS n_vectors,
+           round((s2 - n) / (n * 1.0 * (n - 1)), 6) AS mean_pairwise_cosine
+    FROM tot
+    """,
+    doc="Embedding-space anisotropy probe: the mean cosine over ALL "
+    "vector pairs via the sum-vector identity "
+    "(||sum of unit vectors||^2 - n) / (n(n-1)) — no pair join, one "
+    "per-dimension aggregate over the posexploded components. A mean "
+    "pairwise cosine far above 0 means the space collapses into a "
+    "narrow cone (anisotropy), which compresses cosine-score ranges "
+    "and degrades every retrieval operator in the ANN family — the "
+    "representation-health gate next to embedding_norm_profile's "
+    "magnitude checks. O(n d) work, d-sized shuffle.",
+)
+def embedding_anisotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = emb.select(
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    dims = (
+        nrm.select(
+            F.posexplode("embedding").alias("dim", "x"), F.col("nrm")
+        )
+        .groupBy("dim")
+        .agg(F.sum(F.col("x").cast("double") / F.col("nrm")).alias("s"))
+    )
+    n_vec = nrm.count()
+    tot = dims.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    return tot.select(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.round(
+            (F.col("s2") - n_vec) / (n_vec * 1.0 * (n_vec - 1)), 6
+        ).alias("mean_pairwise_cosine"),
+    )

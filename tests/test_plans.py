@@ -1018,3 +1018,11 @@ def test_lad_profile_cached_fanout(q):
     plan = plan_str(q("lad_trend_profile"), mode="simple")
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_anisotropy_no_pair_join(q):
+    """Mean pairwise cosine via the sum-vector identity: one scan, a
+    d-sized per-dimension aggregate, never an n^2 pair join."""
+    plan = plan_str(q("embedding_anisotropy_probe"), mode="simple")
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

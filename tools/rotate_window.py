@@ -61,7 +61,8 @@ FAMILIES: dict[str, list[str]] = {
                    "ann_lsh_topk_lit", "ann_ivf_topk_lit",
                    "embedding_pca_project_lit", "pq_adc_topk_lit",
                    "pq_reconstruction_error", "embedding_norm_profile",
-                   "lexical_semantic_agreement"],
+                   "lexical_semantic_agreement",
+                   "embedding_anisotropy_probe"],
     "text": ["lang_id_confusion", "token_burstiness_top",
              "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
