@@ -290,6 +290,12 @@ _POST_FREEZE = [
     "lad_trend_profile",
     "lexical_semantic_agreement",
     "embedding_anisotropy_probe",
+    # round-6d: series-mining family (queries/series_mining.py)
+    "yule_walker_ar2",
+    "spectral_entropy_daily",
+    "esd_anomalies_daily",
+    "sax_daily_motifs",
+    "top_motif_pair_daily",
 ]
 
 

@@ -1,0 +1,496 @@
+"""Time-series mining extensions — AR model fitting, spectral entropy,
+iterative outlier peeling, symbolic discretization, motif discovery.
+
+Reference capability these generalize: the reference's analytics stop at
+SMA overlays and an XGBoost forecaster (batch_processor.py steps 8-9,
+app.py:203-233); a training-data/analytics engine additionally needs
+*model-selection* primitives — how autocorrelated is the series (AR
+coefficients), is there exploitable structure at all (spectral
+entropy), which points would poison a fit (ESD peeling), and what
+repeated shapes exist (SAX motifs / matrix-profile-style motif pairs).
+
+Scale posture: every query first collapses the raw scan to the |days|
+table (one shuffle), then works on that compressed domain — window
+functions over ~thousands of rows, bounded fan-outs (29 periods, 5 ESD
+rounds, 7-day subsequences within one year). Nothing here joins back to
+raw rows, so the shapes are unchanged at 100 TB: the reduce dominates
+and is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+_DAILY_SQL = """
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+
+@register(
+    "yule_walker_ar2",
+    f"""
+    WITH {_DAILY_SQL},
+    c AS (
+      SELECT rev,
+             avg(rev) OVER () AS m,
+             count(*) OVER () AS n,
+             lag(rev, 1) OVER (ORDER BY day) AS l1,
+             lag(rev, 2) OVER (ORDER BY day) AS l2
+      FROM daily
+    ),
+    cov AS (
+      SELECT max(n) AS n,
+             sum((rev - m) * (rev - m)) / max(n) AS c0,
+             sum(CASE WHEN l1 IS NOT NULL THEN (rev - m) * (l1 - m) END)
+               / max(n) AS c1,
+             sum(CASE WHEN l2 IS NOT NULL THEN (rev - m) * (l2 - m) END)
+               / max(n) AS c2
+      FROM c
+    ),
+    acf AS (
+      SELECT n, c0, c1 / c0 AS r1, c2 / c0 AS r2 FROM cov
+    ),
+    fit AS (
+      SELECT n, c0, r1, r2,
+             r1 * (1 - r2) / (1 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS phi2
+      FROM acf
+    ),
+    resid AS (
+      SELECT sum(pow((rev - m) - f.phi1 * (l1 - m) - f.phi2 * (l2 - m), 2))
+               / count(*) AS mse
+      FROM c CROSS JOIN fit f
+      WHERE l2 IS NOT NULL
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_days,
+           round(f.r1, 6) AS r1,
+           round(f.r2, 6) AS r2,
+           round(f.phi1, 6) AS phi1,
+           round(f.phi2, 6) AS phi2,
+           round(1 - f.phi1 * f.r1 - f.phi2 * f.r2, 6) AS innovation_ratio,
+           round(sqrt(r.mse / f.c0), 6) AS rmse_std
+    FROM fit f CROSS JOIN resid r
+    """,
+    doc="Yule-Walker AR(2) fit on daily revenue: lag-1/lag-2 "
+    "autocovariances c_k = sum (x_t-m)(x_{t-k}-m)/n give r_k = c_k/c0, "
+    "then the closed-form phi1 = r1(1-r2)/(1-r1^2), "
+    "phi2 = (r2-r1^2)/(1-r1^2); innovation_ratio = 1 - phi1 r1 - "
+    "phi2 r2 is the fitted white-noise variance as a share of total "
+    "variance, and rmse_std the in-sample one-step error in SD units. "
+    "One orders scan -> |days| rows; two lag windows + one global agg. "
+    "The reference jumps straight to XGBoost (app.py:203) — this is the "
+    "classical identification step that says whether a linear "
+    "short-memory model already explains the series.",
+)
+def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    c = _daily(spark, sf_dir).select(
+        "rev",
+        F.avg("rev").over(wall).alias("m"),
+        F.count("*").over(wall).alias("n"),
+        F.lag("rev", 1).over(w).alias("l1"),
+        F.lag("rev", 2).over(w).alias("l2"),
+    )
+    cov = c.agg(
+        F.max("n").alias("n"),
+        (F.sum((F.col("rev") - F.col("m")) * (F.col("rev") - F.col("m"))) / F.max("n")).alias("c0"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l1").isNotNull(),
+                    (F.col("rev") - F.col("m")) * (F.col("l1") - F.col("m")),
+                )
+            )
+            / F.max("n")
+        ).alias("c1"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l2").isNotNull(),
+                    (F.col("rev") - F.col("m")) * (F.col("l2") - F.col("m")),
+                )
+            )
+            / F.max("n")
+        ).alias("c2"),
+    )
+    fit = cov.select(
+        "n",
+        "c0",
+        (F.col("c1") / F.col("c0")).alias("r1"),
+        (F.col("c2") / F.col("c0")).alias("r2"),
+    ).select(
+        "n",
+        "c0",
+        "r1",
+        "r2",
+        (F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1"))).alias("phi1"),
+        ((F.col("r2") - F.col("r1") * F.col("r1")) / (1 - F.col("r1") * F.col("r1"))).alias("phi2"),
+    )
+    resid = (
+        c.filter(F.col("l2").isNotNull())
+        .crossJoin(F.broadcast(fit).select("phi1", "phi2"))
+        .agg(
+            (
+                F.sum(
+                    F.pow(
+                        (F.col("rev") - F.col("m"))
+                        - F.col("phi1") * (F.col("l1") - F.col("m"))
+                        - F.col("phi2") * (F.col("l2") - F.col("m")),
+                        F.lit(2),
+                    )
+                )
+                / F.count("*")
+            ).alias("mse")
+        )
+    )
+    return fit.crossJoin(F.broadcast(resid)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("r1", 6).alias("r1"),
+        F.round("r2", 6).alias("r2"),
+        F.round("phi1", 6).alias("phi1"),
+        F.round("phi2", 6).alias("phi2"),
+        F.round(1 - F.col("phi1") * F.col("r1") - F.col("phi2") * F.col("r2"), 6).alias(
+            "innovation_ratio"
+        ),
+        F.round(F.sqrt(F.col("mse") / F.col("c0")), 6).alias("rmse_std"),
+    )
+
+
+@register(
+    "spectral_entropy_daily",
+    f"""
+    WITH {_DAILY_SQL},
+    std AS (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             (rev - avg(rev) OVER ()) / stddev_samp(rev) OVER () AS r
+      FROM daily
+    ),
+    fan AS (
+      SELECT p.p, s.t, s.r
+      FROM std s CROSS JOIN (SELECT unnest(range(2, 31)) AS p) p
+    ),
+    power AS (
+      SELECT p,
+             pow(sum(r * cos(2 * pi() * t / p)), 2)
+               + pow(sum(r * sin(2 * pi() * t / p)), 2) AS pw
+      FROM fan GROUP BY p
+    ),
+    q AS (
+      SELECT p, pw / sum(pw) OVER () AS q FROM power
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_periods,
+           round(-sum(q * ln(q)), 6) AS entropy,
+           round(-sum(q * ln(q)) / ln(count(*)), 6) AS entropy_norm,
+           CAST(max_by(p, q) AS BIGINT) AS top_period,
+           round(max(q), 6) AS top_share
+    FROM q
+    """,
+    doc="Spectral entropy of the daily-revenue periodogram over periods "
+    "2-30: normalize the spectral powers to a distribution q_p and "
+    "report H = -sum q ln q (and H/ln 29). Low entropy = concentrated "
+    "spectrum = forecastable seasonality; entropy_norm near 1 = white "
+    "noise. top_period/top_share name the dominant cycle (the weekly "
+    "p=7 peak). Same standardized-series periodogram as "
+    "periodogram_top_periods, collapsed to the model-selection scalar "
+    "used to decide if seasonal terms belong in the forecaster at all.",
+)
+def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wall = Window.partitionBy()
+    std = _daily(spark, sf_dir).select(
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        (
+            (F.col("rev") - F.avg("rev").over(wall))
+            / F.stddev_samp("rev").over(wall)
+        ).alias("r"),
+    )
+    periods = spark.range(2, 31).select(F.col("id").alias("p"))
+    two_pi_t_over_p = F.lit(2.0) * F.lit(3.141592653589793) * F.col("t") / F.col("p")
+    power = (
+        std.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            (
+                F.pow(F.sum(F.col("r") * F.cos(two_pi_t_over_p)), F.lit(2))
+                + F.pow(F.sum(F.col("r") * F.sin(two_pi_t_over_p)), F.lit(2))
+            ).alias("pw")
+        )
+    )
+    q = power.select("p", (F.col("pw") / F.sum("pw").over(wall)).alias("q"))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_periods"),
+        F.round(-F.sum(F.col("q") * F.log(F.col("q"))), 6).alias("entropy"),
+        F.round(
+            -F.sum(F.col("q") * F.log(F.col("q"))) / F.log(F.count("*")), 6
+        ).alias("entropy_norm"),
+        F.max_by("p", "q").cast("bigint").alias("top_period"),
+        F.round(F.max("q"), 6).alias("top_share"),
+    )
+
+
+_ESD_ROUNDS = 5
+
+
+def _esd_oracle() -> str:
+    # Unrolled peeling: round i computes mean/sd over the surviving set,
+    # removes the single max-|z| day (day ASC tie-break), and records it.
+    ctes = [f"WITH {_DAILY_SQL}", "s0 AS (SELECT day, rev FROM daily)"]
+    outs = []
+    for i in range(_ESD_ROUNDS):
+        ctes.append(
+            f"""
+    z{i} AS (
+      SELECT day, rev,
+             abs(rev - avg(rev) OVER ()) / stddev_samp(rev) OVER () AS z
+      FROM s{i}
+    ),
+    pick{i} AS (
+      SELECT day, rev, z FROM z{i} ORDER BY z DESC, day ASC LIMIT 1
+    ),
+    s{i + 1} AS (
+      SELECT s.day, s.rev FROM s{i} s
+      WHERE s.day <> (SELECT day FROM pick{i})
+    )"""
+        )
+        outs.append(
+            f"SELECT {i + 1} AS round, day, round(rev, 2) AS rev,"
+            f" round(z, 6) AS esd_stat FROM pick{i}"
+        )
+    return ",\n".join([ctes[0] + ",\n" + ",\n".join(ctes[1:])]) + "\n" + "\nUNION ALL\n".join(outs) + "\nORDER BY round"
+
+
+@register(
+    "esd_anomalies_daily",
+    _esd_oracle(),
+    doc="Generalized-ESD-style iterative outlier peeling on daily "
+    "revenue, 5 rounds: each round recomputes mean/SD over the "
+    "surviving days and removes the single most extreme day (|z| DESC, "
+    "day ASC tie-break), so masked outliers that a one-shot z-score "
+    "misses surface once their neighbors are peeled. Emits (round, "
+    "day, rev, esd_stat). The loop is bounded (5) and runs on the "
+    "post-aggregation |days| table, so each round is one window pass "
+    "over thousands of rows regardless of raw scale; the unrolled "
+    "DuckDB oracle replays the identical peeling order.",
+)
+def esd_anomalies_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wall = Window.partitionBy()
+    remaining = _daily(spark, sf_dir).localCheckpoint(eager=False)
+    picks = []
+    for i in range(_ESD_ROUNDS):
+        z = remaining.select(
+            "day",
+            "rev",
+            (
+                F.abs(F.col("rev") - F.avg("rev").over(wall))
+                / F.stddev_samp("rev").over(wall)
+            ).alias("z"),
+        )
+        pick = z.orderBy(F.desc("z"), F.asc("day")).limit(1)
+        picks.append(
+            pick.select(
+                F.lit(i + 1).alias("round"),
+                "day",
+                F.round("rev", 2).alias("rev"),
+                F.round("z", 6).alias("esd_stat"),
+            )
+        )
+        # anti-join keeps the peel distributed; the surviving set is the
+        # |days| table minus i rows, checkpointed so round i+1's plan
+        # doesn't re-derive rounds 0..i
+        remaining = remaining.join(
+            F.broadcast(pick.select("day")), on="day", how="left_anti"
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")
+
+
+@register(
+    "sax_daily_motifs",
+    f"""
+    WITH {_DAILY_SQL},
+    z AS (
+      SELECT day,
+             (rev - avg(rev) OVER ()) / stddev_samp(rev) OVER () AS z
+      FROM daily
+    ),
+    sym AS (
+      SELECT day,
+             CASE WHEN z < -0.6745 THEN 'a'
+                  WHEN z < 0 THEN 'b'
+                  WHEN z < 0.6745 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM z
+    ),
+    grams AS (
+      SELECT s
+             || lead(s, 1) OVER (ORDER BY day)
+             || lead(s, 2) OVER (ORDER BY day) AS motif
+      FROM sym
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS cnt
+    FROM grams WHERE motif IS NOT NULL
+    GROUP BY motif
+    HAVING count(*) >= 5
+    ORDER BY cnt DESC, motif
+    """,
+    doc="SAX symbolic discretization of daily revenue: z-normalize, cut "
+    "at the 4-symbol Gaussian breakpoints (-0.6745, 0, 0.6745) so each "
+    "symbol is equiprobable under N(0,1), then count 3-symbol motifs "
+    "(lead-window n-grams) occurring >= 5 times. Symbolic motifs are "
+    "the standard first pass for shape mining on long series because "
+    "the alphabet collapses the float domain to a countable one — the "
+    "count is a plain groupBy that scales linearly; only the "
+    "z-normalization needs the two global moments.",
+)
+def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wall = Window.partitionBy()
+    w = Window.orderBy("day")
+    z = _daily(spark, sf_dir).select(
+        "day",
+        (
+            (F.col("rev") - F.avg("rev").over(wall))
+            / F.stddev_samp("rev").over(wall)
+        ).alias("z"),
+    )
+    sym = z.select(
+        "day",
+        F.when(F.col("z") < -0.6745, "a")
+        .when(F.col("z") < 0, "b")
+        .when(F.col("z") < 0.6745, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    grams = sym.select(
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("motif")
+    )
+    return (
+        grams.filter(F.col("motif").isNotNull())
+        .groupBy("motif")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .orderBy(F.desc("cnt"), F.asc("motif"))
+    )
+
+
+_MOTIF_W = 7
+
+
+@register(
+    "top_motif_pair_daily",
+    f"""
+    WITH {_DAILY_SQL},
+    yr AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev
+      FROM daily WHERE day >= DATE '1996-01-01' AND day < DATE '1997-01-01'
+    ),
+    win AS (
+      SELECT t, rev,
+             avg(rev) OVER w AS m,
+             stddev_samp(rev) OVER w AS sd,
+             count(*) OVER w AS wn
+      FROM yr
+      WINDOW w AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND {_MOTIF_W - 1} FOLLOWING)
+    ),
+    starts AS (SELECT t, m, sd FROM win WHERE wn = {_MOTIF_W}),
+    el AS (
+      SELECT s.t, o.k, (y.rev - s.m) / s.sd AS zz
+      FROM starts s
+      CROSS JOIN (SELECT unnest(range(0, {_MOTIF_W})) AS k) o
+      JOIN yr y ON y.t = s.t + o.k
+    ),
+    pairs AS (
+      SELECT a.t AS i, b.t AS j,
+             sum(a.zz * b.zz) / {_MOTIF_W} AS corr
+      FROM el a JOIN el b ON a.k = b.k AND b.t >= a.t + {_MOTIF_W}
+      GROUP BY a.t, b.t
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round(sqrt(greatest(2.0 * {_MOTIF_W} * (1 - corr), 0)), 4) AS zdist
+    FROM pairs
+    ORDER BY zdist ASC, i ASC, j ASC
+    LIMIT 5
+    """,
+    doc="Matrix-profile-style motif discovery over 1996's daily revenue: "
+    "every 7-day subsequence is z-normalized by its own window "
+    "mean/SD, non-overlapping pairs (j >= i+7, the trivial-match "
+    "exclusion zone) are scored by z-normalized Euclidean distance "
+    "d^2 = 2w(1-corr), and the 5 closest pairs are the motifs. The "
+    "aligned-offset equi-join (on k) replaces the naive O(n^2 w) scan "
+    "with a shuffle join on the exploded (start, offset) table — the "
+    "year bound keeps pairs ~64k here, and at scale the same shape "
+    "partitions by series/segment before pairing.",
+)
+def top_motif_pair_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yr = (
+        _daily(spark, sf_dir)
+        .filter(
+            (F.col("day") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("day") < F.lit("1997-01-01").cast("date"))
+        )
+        .select(F.row_number().over(Window.orderBy("day")).alias("t"), "rev")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.currentRow, _MOTIF_W - 1)
+    win = yr.select(
+        "t",
+        "rev",
+        F.avg("rev").over(w).alias("m"),
+        F.stddev_samp("rev").over(w).alias("sd"),
+        F.count("*").over(w).alias("wn"),
+    )
+    starts = win.filter(F.col("wn") == _MOTIF_W).select("t", "m", "sd")
+    offsets = spark.range(0, _MOTIF_W).select(F.col("id").alias("k"))
+    el = (
+        starts.alias("s")
+        .crossJoin(F.broadcast(offsets))
+        .join(yr.alias("y"), F.col("y.t") == F.col("s.t") + F.col("k"))
+        .select(
+            F.col("s.t").alias("t"),
+            "k",
+            ((F.col("y.rev") - F.col("s.m")) / F.col("s.sd")).alias("zz"),
+        )
+    )
+    pairs = (
+        el.alias("a")
+        .join(
+            el.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("b.t") >= F.col("a.t") + _MOTIF_W),
+        )
+        .groupBy(F.col("a.t").alias("i"), F.col("b.t").alias("j"))
+        .agg((F.sum(F.col("a.zz") * F.col("b.zz")) / _MOTIF_W).alias("corr"))
+    )
+    return (
+        pairs.select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(2.0) * _MOTIF_W * (1 - F.col("corr")), F.lit(0.0)
+                    )
+                ),
+                4,
+            ).alias("zdist"),
+        )
+        .orderBy(F.asc("zdist"), F.asc("i"), F.asc("j"))
+        .limit(5)
+    )
