@@ -296,6 +296,8 @@ _POST_FREEZE = [
     "esd_anomalies_daily",
     "sax_daily_motifs",
     "top_motif_pair_daily",
+    "adamic_adar_suppliers",
+    "kcore_parts",
 ]
 
 
