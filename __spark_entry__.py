@@ -298,6 +298,8 @@ _POST_FREEZE = [
     "top_motif_pair_daily",
     "adamic_adar_suppliers",
     "kcore_parts",
+    "isotonic_calibration",
+    "potts_regime_segmentation",
 ]
 
 
