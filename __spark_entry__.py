@@ -300,6 +300,8 @@ _POST_FREEZE = [
     "kcore_parts",
     "isotonic_calibration",
     "potts_regime_segmentation",
+    "jl_projection_distortion",
+    "rrf_hybrid_search",
 ]
 
 

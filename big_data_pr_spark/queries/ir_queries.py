@@ -415,3 +415,184 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(idcg_expr, 6).alias("idcg_10"),
         F.round(F.col("dcg") / idcg_expr, 6).alias("ndcg_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of lexical (TF-IDF cosine) and semantic
+# (embedding cosine) retrieval for query document 0
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50
+
+_COS_EMB_RRF = """
+    round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+      6)
+"""
+
+
+@register(
+    "rrf_hybrid_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t.token FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    idf AS (
+      SELECT token,
+             ln((SELECT count(*) FROM documents) * 1.0
+                / count(DISTINCT doc_id)) AS idf
+      FROM tok GROUP BY token
+    ),
+    vec AS (
+      SELECT tf.doc_id, tf.token, tf.c * idf.idf AS w
+      FROM tf JOIN idf USING (token)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM vec GROUP BY doc_id),
+    q AS (SELECT token, w FROM vec WHERE doc_id = 0),
+    dots AS (
+      SELECT v.doc_id, sum(v.w * q.w) AS dot
+      FROM vec v JOIN q USING (token) WHERE v.doc_id <> 0
+      GROUP BY v.doc_id
+    ),
+    lex AS (
+      SELECT d.doc_id,
+             row_number() OVER (
+               ORDER BY round(d.dot / (n.nrm
+                 * (SELECT nrm FROM nrm WHERE doc_id = 0)), 6) DESC,
+               d.doc_id
+             ) AS r
+      FROM dots d JOIN nrm n USING (doc_id)
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_id,
+             row_number() OVER (ORDER BY {_COS_EMB_RRF} DESC, a.vec_id) AS r
+      FROM embeddings a,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id <> 0
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.r AS lex_rank, s.r AS sem_rank,
+             coalesce(1.0 / ({_RRF_K} + l.r), 0)
+               + coalesce(1.0 / ({_RRF_K} + s.r), 0) AS rrf
+      FROM (SELECT * FROM lex WHERE r <= {_RRF_POOL}) l
+      FULL OUTER JOIN (SELECT * FROM sem WHERE r <= {_RRF_POOL}) s
+        ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Reciprocal-rank fusion (k=60) of the two retrieval modalities "
+    "for query document 0: lexical rank from TF-IDF cosine over the "
+    "corpus vocabulary, semantic rank from embedding cosine, each "
+    "pooled to top-50, fused by sum of 1/(60+rank) — the standard "
+    "score-free hybrid-search combiner (ranks are integers, so fusion "
+    "is engine-exact; both rankings order by the ROUNDED score with "
+    "doc_id tie-break, pinning ranks across engines). Complements "
+    "lexical_semantic_agreement, which measures whether fusion is "
+    "worth doing; this query IS the fusion. Both rank chains are "
+    "broadcast-query + one grouped aggregate; the fusion join is over "
+    "two 50-row pools.",
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tok = tok.cache()
+    n_docs = docs.count()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    idf = tok.groupBy("token").agg(
+        F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")).alias("idf")
+    )
+    vec = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("c") * F.col("idf")).alias("w")
+    )
+    vec = vec.cache()
+    nrm = vec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    q = vec.where(F.col("doc_id") == 0).select(
+        F.col("token"), F.col("w").alias("qw")
+    )
+    qnrm = float(nrm.where(F.col("doc_id") == 0).collect()[0]["nrm"])
+    dots = (
+        vec.where(F.col("doc_id") != 0)
+        .join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    lex = dots.join(nrm, "doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc(F.round(F.col("dot") / (F.col("nrm") * F.lit(qnrm)), 6)),
+                F.asc("doc_id"),
+            )
+        )
+        .alias("r"),
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("__q")), 6).alias("cos"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .alias("r"),
+        )
+    )
+    lexp = lex.filter(F.col("r") <= _RRF_POOL).select(
+        F.col("doc_id").alias("ldoc"), F.col("r").alias("lex_rank")
+    )
+    semp = sem.filter(F.col("r") <= _RRF_POOL).select(
+        F.col("doc_id").alias("sdoc"), F.col("r").alias("sem_rank")
+    )
+    fused = lexp.join(
+        semp, lexp.ldoc == semp.sdoc, "full_outer"
+    ).select(
+        F.coalesce("ldoc", "sdoc").alias("doc_id"),
+        F.col("lex_rank").cast("bigint").alias("lex_rank"),
+        F.col("sem_rank").cast("bigint").alias("sem_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc(F.round("rrf", 6)), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
