@@ -302,6 +302,7 @@ _POST_FREEZE = [
     "potts_regime_segmentation",
     "jl_projection_distortion",
     "rrf_hybrid_search",
+    "holt_winters_additive",
 ]
 
 

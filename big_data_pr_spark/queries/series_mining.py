@@ -494,3 +494,155 @@ def top_motif_pair_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("zdist"), F.asc("i"), F.asc("j"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive smoothing (level + trend + weekly season),
+# exact engine-parallel recursion
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.2
+_HW_BETA = 0.05
+_HW_GAMMA = 0.1
+_HW_L = 7
+_HW_H = 14
+
+
+def _hw_oracle() -> str:
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    # init from the first 14 days in EXPLICIT left-associative order so
+    # the float adds match the Python loop bit-for-bit
+    xs = " + ".join(f"x{i}" for i in range(1, 8))
+    xs2 = " + ".join(f"x{i}" for i in range(8, 15))
+    x_cases = ",\n             ".join(
+        f"max(CASE WHEN t = {i} THEN x END) AS x{i}" for i in range(1, 15)
+    )
+    sa_init = ",\n             ".join(
+        f"x{j + 1} - l0 AS sa{j}" for j in range(_HW_L)
+    )
+    sa_cols = ", ".join(f"sa{j}" for j in range(_HW_L))
+    s_old = "CASE " + " ".join(
+        f"WHEN (nx.t - 1) % {_HW_L} = {j} THEN v.sa{j}" for j in range(_HW_L)
+    ) + " END"
+    sa_next = ", ".join(
+        f"CASE WHEN (nx.t - 1) % {_HW_L} = {j} "
+        f"THEN {g} * (nx.x - ({a} * (nx.x - ({s_old})) "
+        f"+ (1 - {a}) * (v.l + v.b))) + (1 - {g}) * v.sa{j} "
+        f"ELSE v.sa{j} END AS sa{j}"
+        for j in range(_HW_L)
+    )
+    fc = "\n      UNION ALL\n".join(
+        f"""      SELECT {h} AS h,
+             round(l + {h} * b + CASE """
+        + " ".join(
+            f"WHEN (n + {h} - 1) % {_HW_L} = {j} THEN sa{j}"
+            for j in range(_HW_L)
+        )
+        + f""" END, 2) AS forecast,
+             round(sqrt(sse / (n - {_HW_L * 2})), 2) AS rmse
+      FROM fin"""
+        for h in range(1, _HW_H + 1)
+    )
+    return f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    obs AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev AS x,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    init AS (
+      SELECT {x_cases}
+      FROM obs WHERE t <= 14
+    ),
+    init2 AS (
+      SELECT ({xs}) / {_HW_L} AS l0,
+             (({xs2}) / {_HW_L} - ({xs}) / {_HW_L}) / {_HW_L} AS b0
+      FROM init
+    ),
+    init3 AS (
+      SELECT l0, b0, {sa_init}
+      FROM init2 CROSS JOIN init
+    ),
+    v AS (
+      SELECT CAST(0 AS BIGINT) AS t, l0 AS l, b0 AS b, {sa_cols},
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM init3
+      UNION ALL
+      SELECT nx.t,
+             {a} * (nx.x - ({s_old})) + (1 - {a}) * (v.l + v.b) AS l,
+             {b} * (({a} * (nx.x - ({s_old})) + (1 - {a}) * (v.l + v.b))
+                    - v.l) + (1 - {b}) * v.b AS b,
+             {sa_next},
+             v.sse + pow(nx.x - (v.l + v.b + ({s_old})), 2) AS sse
+      FROM v JOIN obs nx ON nx.t = v.t + 1
+    ),
+    fin AS (
+      SELECT v.l, v.b, {sa_cols}, v.sse, o.n
+      FROM v JOIN (SELECT max(n) AS n FROM obs) o ON v.t = o.n
+    )
+{fc}
+    ORDER BY h
+    """
+
+
+@register(
+    "holt_winters_additive",
+    _hw_oracle(),
+    doc="Holt-Winters additive smoothing of daily revenue — level + "
+    f"trend + weekly ({_HW_L}-slot) seasonal state, alpha={_HW_ALPHA} "
+    f"beta={_HW_BETA} gamma={_HW_GAMMA} — with a {_HW_H}-day-ahead "
+    "forecast and the in-sample one-step RMSE. The recursion is run "
+    "bit-identically on both engines: initialization sums are written "
+    "in explicit left-associative order, every update uses the same "
+    "expression tree (alpha*(x-s) + (1-alpha)*(l+b) etc.), and IEEE "
+    "double arithmetic is deterministic, so the DuckDB recursive-CTE "
+    "replay matches the applyInPandas loop exactly; final rounding to "
+    "2 decimal places is belt-and-braces. Extends holt_linear_"
+    "forecast (level+trend closed form) with the seasonal component "
+    "the periodogram says dominates (p=7). The sequential pass runs "
+    "on the post-aggregation |days| series inside one applyInPandas "
+    "group — per-series parallel at scale, scan+reduce dominated.",
+)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = _daily(spark, sf_dir)
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = [float(v) for v in pdf["rev"]]
+        n = len(x)
+        L, a, b_, g = _HW_L, _HW_ALPHA, _HW_BETA, _HW_GAMMA
+        l0 = (x[0] + x[1] + x[2] + x[3] + x[4] + x[5] + x[6]) / L
+        m2 = (x[7] + x[8] + x[9] + x[10] + x[11] + x[12] + x[13]) / L
+        b0 = (m2 - l0) / L
+        sa = [x[j] - l0 for j in range(L)]
+        lv, tr, sse = l0, b0, 0.0
+        for t in range(1, n + 1):
+            xi = x[t - 1]
+            slot = (t - 1) % L
+            s_old = sa[slot]
+            fitted = lv + tr + s_old
+            l_new = a * (xi - s_old) + (1 - a) * (lv + tr)
+            tr = b_ * (l_new - lv) + (1 - b_) * tr
+            sa[slot] = g * (xi - l_new) + (1 - g) * s_old
+            sse = sse + (xi - fitted) ** 2
+            lv = l_new
+        rmse = (sse / (n - 2 * L)) ** 0.5
+        rows = []
+        for h in range(1, _HW_H + 1):
+            slot = (n + h - 1) % L
+            rows.append(
+                (h, round(lv + h * tr + sa[slot], 2), round(rmse, 2))
+            )
+        return pd.DataFrame(rows, columns=["h", "forecast", "rmse"])
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(hw, "h long, forecast double, rmse double")
+        .orderBy("h")
+    )
