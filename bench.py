@@ -275,6 +275,19 @@ HEADLINE = [
     "lad_trend_profile",
     "lexical_semantic_agreement",
     "embedding_anisotropy_probe",
+    # round-6d: series mining, graph, exact DP fits, projection, hybrid IR
+    "yule_walker_ar2",
+    "spectral_entropy_daily",
+    "esd_anomalies_daily",
+    "sax_daily_motifs",
+    "top_motif_pair_daily",
+    "adamic_adar_suppliers",
+    "kcore_parts",
+    "isotonic_calibration",
+    "potts_regime_segmentation",
+    "jl_projection_distortion",
+    "rrf_hybrid_search",
+    "holt_winters_additive",
 ]
 
 

@@ -178,33 +178,47 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = lo.alias("a"), lo.alias("b")
+    # the edge set is built ONCE and cached; each peel round only
+    # re-derives the |parts|-sized alive set (degree >= k in the
+    # subgraph induced by the previous alive set), so a round costs two
+    # broadcast semi-joins over the cached edges + one small-key
+    # groupBy — no per-round edge re-materialization
     edges = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .select(F.col("a.pk").alias("s1"), F.col("b.pk").alias("s2"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    prev_edges = edges
+
+    def induced_degrees(alive: DataFrame | None) -> DataFrame:
+        e = edges
+        if alive is not None:
+            e = e.join(
+                F.broadcast(alive.withColumnRenamed("sk", "s1")), "s1", "left_semi"
+            ).join(
+                F.broadcast(alive.withColumnRenamed("sk", "s2")), "s2", "left_semi"
+            )
+        return e.groupBy(F.col("s1").alias("sk")).agg(F.count("*").alias("d"))
+
+    alive: DataFrame | None = None
+    deg = None
+    prev_deg = None
     for _ in range(_KCORE_ROUNDS):
-        deg = (
-            edges.groupBy(F.col("s1").alias("sk"))
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
+        prev_deg = deg
+        deg = induced_degrees(alive)
+        alive = (
+            deg.filter(F.col("d") >= _KCORE_K)
             .select("sk")
-        )
-        prev_edges = edges
-        edges = (
-            edges.join(deg.withColumnRenamed("sk", "s1"), "s1", "left_semi")
-            .join(deg.withColumnRenamed("sk", "s2"), "s2", "left_semi")
-            .select("s1", "s2")
             .localCheckpoint(eager=False)
         )
-    core = edges.groupBy(F.col("s1").alias("partkey")).agg(
-        F.count("*").cast("bigint").alias("core_degree")
+    final_deg = induced_degrees(alive)
+    core = final_deg.select(
+        F.col("sk").alias("partkey"), F.col("d").cast("bigint").alias("core_degree")
     )
+    # |e_i| comparison via degree sums: sum(deg over e_i) == 2|e_i|
     conv = (
-        edges.agg(F.count("*").alias("n_last"))
-        .crossJoin(prev_edges.agg(F.count("*").alias("n_prev")))
+        final_deg.agg(F.sum("d").alias("n_last"))
+        .crossJoin(deg.agg(F.sum("d").alias("n_prev")))
         .select((F.col("n_last") == F.col("n_prev")).alias("converged"))
     )
     return (
