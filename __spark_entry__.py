@@ -303,6 +303,8 @@ _POST_FREEZE = [
     "jl_projection_distortion",
     "rrf_hybrid_search",
     "holt_winters_additive",
+    "permutation_test_value",
+    "ridge_trend_path",
 ]
 
 

@@ -288,6 +288,8 @@ HEADLINE = [
     "jl_projection_distortion",
     "rrf_hybrid_search",
     "holt_winters_additive",
+    "permutation_test_value",
+    "ridge_trend_path",
 ]
 
 
