@@ -305,6 +305,9 @@ _POST_FREEZE = [
     "holt_winters_additive",
     "permutation_test_value",
     "ridge_trend_path",
+    "seq_pattern_support",
+    "quantile_normalize_by_type",
+    "boxcox_lambda_scan",
 ]
 
 

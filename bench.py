@@ -290,6 +290,9 @@ HEADLINE = [
     "holt_winters_additive",
     "permutation_test_value",
     "ridge_trend_path",
+    "seq_pattern_support",
+    "quantile_normalize_by_type",
+    "boxcox_lambda_scan",
 ]
 
 

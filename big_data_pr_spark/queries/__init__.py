@@ -29,5 +29,6 @@ from . import graph_ext  # noqa: F401, E402
 from . import fitting_queries  # noqa: F401, E402
 from . import projection_queries  # noqa: F401, E402
 from . import inference_ext  # noqa: F401, E402
+from . import transform_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

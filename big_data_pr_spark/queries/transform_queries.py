@@ -1,0 +1,250 @@
+"""Distribution transforms and sequence-pattern mining — quantile
+normalization, Box-Cox selection, gapped sequential-pattern support.
+
+Reference capability these generalize: the reference feeds raw values
+straight into its XGBoost forecaster (app.py:203-233) and never asks
+whether a transform would help, and its event analysis is per-event —
+never "does A happen before B for the same user". These add the three
+standard preprocessing/mining answers: make distributions comparable
+across groups (quantile normalization — the microarray-standard rank
+mapping), pick a variance-stabilizing power transform (Box-Cox
+log-likelihood scan), and measure ordered co-occurrence (sequential
+pattern support with gaps — the length-2 PrefixSpan building block).
+
+Engine determinism: quantile normalization maps by INTEGER rank
+arithmetic (target index = ceil(rank * N_pool / n_group)) into the
+rank-indexed pooled distribution — no engine quantile function is
+trusted to agree; Box-Cox compares log-likelihoods rounded to 6 dp
+with a lambda tie-break; pattern support is pure integer counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+
+@register(
+    "seq_pattern_support",
+    """
+    WITH span AS (
+      SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ),
+    users AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+    sup AS (
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             CAST(count(*) AS BIGINT) AS support_users
+      FROM span a
+      JOIN span b ON a.user_id = b.user_id
+                 AND a.event_type <> b.event_type
+                 AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    )
+    SELECT s.first_type, s.then_type, s.support_users,
+           round(s.support_users * 1.0 / u.nu, 6) AS support_frac
+    FROM sup s CROSS JOIN users u
+    ORDER BY s.support_users DESC, s.first_type, s.then_type
+    """,
+    doc="Gapped sequential-pattern support for every ordered event-type "
+    "pair (A then B, any gap, same user): a user supports A->B iff "
+    "their earliest A precedes their latest B — the min/max-span "
+    "reduction that answers existential ordered co-occurrence WITHOUT "
+    "enumerating event pairs (the classic length-2 PrefixSpan "
+    "support, computed from a |users x types| table instead of the "
+    "raw event stream). One events scan -> per-(user,type) span "
+    "table, then a user-keyed self-join whose fan-out is bounded by "
+    "|types|^2 per user. funnel_strict_sequence is the contiguous/"
+    "windowed strict version; this is the unordered-gap support that "
+    "seeds which funnels are worth defining.",
+)
+def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    users = ev.agg(F.countDistinct("user_id").alias("nu"))
+    a, b = span.alias("a"), span.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_ts") < F.col("b.last_ts")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("first_type"),
+            F.col("b.event_type").alias("then_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support_users"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(users))
+        .select(
+            "first_type",
+            "then_type",
+            "support_users",
+            F.round(F.col("support_users") * 1.0 / F.col("nu"), 6).alias(
+                "support_frac"
+            ),
+        )
+        .orderBy(F.desc("support_users"), "first_type", "then_type")
+    )
+
+
+@register(
+    "quantile_normalize_by_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS ng
+      FROM events
+    ),
+    pool AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS prk,
+             count(*) OVER () AS np
+      FROM events
+    ),
+    mapped AS (
+      SELECT r.event_type, r.value, p.value AS qn_value
+      FROM ranked r
+      JOIN pool p
+        ON p.prk = CAST(ceil(r.rk * p.np * 1.0 / r.ng) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS mean_raw,
+           round(avg(qn_value), 4) AS mean_qn,
+           round(stddev_samp(value), 4) AS sd_raw,
+           round(stddev_samp(qn_value), 4) AS sd_qn
+    FROM mapped GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Quantile normalization of value across event types: each "
+    "group's rank-r observation is replaced by the pooled "
+    "distribution's value at the proportional rank (target index = "
+    "ceil(r * N_pool / n_group)) — after mapping, every group has "
+    "an (up to discretization) identical distribution, the standard "
+    "microarray/feature-store trick for making heterogeneous sources "
+    "comparable before training. The mapping is pure INTEGER rank "
+    "arithmetic joined against the rank-indexed pooled table, so "
+    "both engines produce identical assignments — no quantile-"
+    "function semantics trusted. Summarized per group as mean/sd "
+    "before and after (sd_qn converging across groups is the "
+    "certificate). Cost: two ranking windows + one equi-join on the "
+    "target index.",
+)
+def quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        )
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("ng"),
+    )
+    pool = ev.select(
+        F.col("value").alias("pvalue"),
+        F.row_number().over(Window.orderBy("value", "event_id")).alias("prk"),
+        F.count("*").over(Window.partitionBy()).alias("np"),
+    )
+    mapped = ranked.join(
+        pool,
+        F.col("prk")
+        == F.ceil(F.col("rk") * F.col("np") * F.lit(1.0) / F.col("ng")).cast(
+            "bigint"
+        ),
+    )
+    return (
+        mapped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("pvalue"), 4).alias("mean_qn"),
+            F.round(F.stddev_samp("value"), 4).alias("sd_raw"),
+            F.round(F.stddev_samp("pvalue"), 4).alias("sd_qn"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BC_LAMBDAS = [round(-1.0 + 0.25 * i, 2) for i in range(9)]  # -1.0 .. 1.0
+
+
+@register(
+    "boxcox_lambda_scan",
+    f"""
+    WITH lam AS (
+      SELECT CAST(unnest(ARRAY{_BC_LAMBDAS}) AS DOUBLE) AS lam
+    ),
+    tx AS (
+      SELECT l.lam,
+             CASE WHEN abs(l.lam) < 1e-12 THEN ln(e.value)
+                  ELSE (pow(e.value, l.lam) - 1) / l.lam END AS y,
+             ln(e.value) AS ly
+      FROM events e CROSS JOIN lam l
+      WHERE e.value > 0
+    ),
+    ll AS (
+      SELECT lam,
+             count(*) AS n,
+             -count(*) / 2.0
+               * ln(sum(y * y) / count(*)
+                    - pow(sum(y) / count(*), 2))
+               + (lam - 1) * sum(ly) AS loglik
+      FROM tx GROUP BY lam
+    )
+    SELECT lam AS lambda,
+           round(loglik / n, 6) AS loglik_per_row,
+           CASE WHEN round(loglik, 6) = max(round(loglik, 6)) OVER ()
+                THEN TRUE ELSE FALSE END AS is_best
+    FROM ll
+    ORDER BY lambda
+    """,
+    doc="Box-Cox power-transform selection for the value column: scan "
+    "lambda over [-1, 1] in 0.25 steps, scoring each by the profile "
+    "log-likelihood -n/2 ln Var(y^(lambda)) + (lambda-1) sum ln y "
+    "(y^(0) = ln y), and flag the maximizer — the variance-"
+    "stabilizing transform a forecaster should apply before fitting. "
+    "One events scan fanned by the 9-element literal lambda grid, "
+    "one grouped aggregate per lambda — no per-lambda rescan; "
+    "is_best compares 6-dp-rounded log-likelihoods so float "
+    "summation order cannot flip the argmax.",
+)
+def boxcox_lambda_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    lams = spark.createDataFrame([(l,) for l in _BC_LAMBDAS], "lam double")
+    y = F.when(
+        F.abs(F.col("lam")) < 1e-12, F.log(F.col("value"))
+    ).otherwise((F.pow(F.col("value"), F.col("lam")) - 1) / F.col("lam"))
+    tx = ev.crossJoin(F.broadcast(lams)).select(
+        "lam", y.alias("y"), F.log("value").alias("ly")
+    )
+    ll = tx.groupBy("lam").agg(
+        F.count("*").alias("n"),
+        (
+            -F.count("*") / F.lit(2.0)
+            * F.log(
+                F.sum(F.col("y") * F.col("y")) / F.count("*")
+                - F.pow(F.sum("y") / F.count("*"), F.lit(2))
+            )
+            + (F.col("lam") - 1) * F.sum("ly")
+        ).alias("loglik"),
+    )
+    wall = Window.partitionBy()
+    return ll.select(
+        F.col("lam").alias("lambda"),
+        F.round(F.col("loglik") / F.col("n"), 6).alias("loglik_per_row"),
+        (
+            F.round("loglik", 6) == F.max(F.round("loglik", 6)).over(wall)
+        ).alias("is_best"),
+    ).orderBy("lambda")
