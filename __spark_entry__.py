@@ -308,6 +308,14 @@ _POST_FREEZE = [
     "seq_pattern_support",
     "quantile_normalize_by_type",
     "boxcox_lambda_scan",
+    # round-6e: recommendation / representation family
+    # (queries/recsys_queries.py) + intermittent-demand forecasting
+    "als_rank1_factors",
+    "item_item_cosine",
+    "textrank_keywords",
+    "mrl_norm_fraction",
+    "theta_forecast_daily",
+    "croston_demand_rate",
 ]
 
 

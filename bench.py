@@ -293,6 +293,12 @@ HEADLINE = [
     "seq_pattern_support",
     "quantile_normalize_by_type",
     "boxcox_lambda_scan",
+    "als_rank1_factors",
+    "item_item_cosine",
+    "textrank_keywords",
+    "mrl_norm_fraction",
+    "theta_forecast_daily",
+    "croston_demand_rate",
 ]
 
 

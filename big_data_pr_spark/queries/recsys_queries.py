@@ -1,0 +1,377 @@
+"""Recommendation / representation-learning extensions — alternating
+least squares, item-item cosine, TextRank keyword extraction, and a
+Matryoshka (prefix-dim) embedding-quality probe.
+
+Reference capability these generalize: the reference serves per-symbol
+model scores (app.py:203-233) but has no collaborative signal across
+entities and no representation-quality tooling; a training-data engine
+needs both — "which items behave alike" for mixture design and
+"how much of an embedding's mass lives in a prefix" for truncation
+decisions at serving time.
+
+Scale posture:
+- ALS alternates groupBy(user) / groupBy(item) normal-equation solves —
+  exactly the shuffle pattern a full-rank distributed ALS has; the item
+  factor table is |items|-sized and broadcast back, so each sweep is
+  one shuffle on the ratings relation, never a cartesian.
+- item-item cosine uses the inverted-index self-join (join on user_id,
+  pair-group), never |items|² against raw rows; per-user fan-out is
+  bounded by the item vocabulary.
+- TextRank bounds the graph to a deterministic top-|vocab| token set
+  before building edges, then iterates a |vocab|-sized score vector
+  against edge aggregates — the walk never touches raw text again.
+- the Matryoshka probe is a zero-shuffle narrow map + one global agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .registry import register
+
+_LAMBDA = 0.1  # ALS ridge regularizer
+_RATINGS_SQL = """
+    r AS (
+      SELECT user_id AS u, event_type AS i, CAST(count(*) AS DOUBLE) AS rt
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("i"))
+        .agg(F.count("*").cast("double").alias("rt"))
+    )
+
+
+@register(
+    "als_rank1_factors",
+    f"""
+    WITH {_RATINGS_SQL},
+    -- init item factors v = 1.0; two full alternations, closed form:
+    -- each solve is the observed-entry ridge normal equation
+    --   f = sum(r * g) / (lambda + sum(g^2))
+    u1 AS (
+      SELECT u, sum(rt) / ({_LAMBDA} + count(*)) AS uf FROM r GROUP BY u
+    ),
+    v1 AS (
+      SELECT i, sum(r.rt * u1.uf) / ({_LAMBDA} + sum(u1.uf * u1.uf)) AS vf
+      FROM r JOIN u1 USING (u) GROUP BY i
+    ),
+    u2 AS (
+      SELECT u, sum(r.rt * v1.vf) / ({_LAMBDA} + sum(v1.vf * v1.vf)) AS uf
+      FROM r JOIN v1 USING (i) GROUP BY u
+    ),
+    v2 AS (
+      SELECT i, sum(r.rt * u2.uf) / ({_LAMBDA} + sum(u2.uf * u2.uf)) AS vf,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM r JOIN u2 USING (u) GROUP BY i
+    ),
+    pred AS (
+      SELECT r.rt, u2.uf * v2.vf AS p
+      FROM r JOIN u2 USING (u) JOIN v2 USING (i)
+    ),
+    err AS (SELECT sqrt(avg((rt - p) * (rt - p))) AS rmse FROM pred)
+    SELECT v2.i AS event_type,
+           round(v2.vf, 4) AS item_factor,
+           v2.n_users AS n_users,
+           round(err.rmse, 4) AS rmse
+    FROM v2 CROSS JOIN err
+    ORDER BY event_type
+    """,
+    doc="""Rank-1 implicit-feedback ALS on the user × event-type count
+    matrix: two alternating closed-form ridge solves (lambda=0.1, item
+    factors initialized to 1), reporting the converged item factors and
+    the observed-entry reconstruction RMSE. Alternating groupBy(u) /
+    groupBy(i) aggregations — the canonical distributed-ALS shuffle
+    shape; item factors are |items|-sized and broadcast.""",
+)
+def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ratings(spark, sf_dir)
+    lam = F.lit(_LAMBDA)
+    u1 = r.groupBy("u").agg(
+        (F.sum("rt") / (lam + F.count("*"))).alias("uf")
+    )
+    v1 = (
+        r.join(u1, "u")
+        .groupBy("i")
+        .agg(
+            (F.sum(F.col("rt") * F.col("uf")) / (lam + F.sum(F.col("uf") * F.col("uf")))).alias("vf")
+        )
+    )
+    u2 = (
+        r.join(F.broadcast(v1), "i")
+        .groupBy("u")
+        .agg(
+            (F.sum(F.col("rt") * F.col("vf")) / (lam + F.sum(F.col("vf") * F.col("vf")))).alias("uf")
+        )
+    )
+    v2 = (
+        r.join(u2, "u")
+        .groupBy("i")
+        .agg(
+            (F.sum(F.col("rt") * F.col("uf")) / (lam + F.sum(F.col("uf") * F.col("uf")))).alias("vf"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+    )
+    pred = r.join(u2, "u").join(F.broadcast(v2), "i").select(
+        "rt", (F.col("uf") * F.col("vf")).alias("p")
+    )
+    err = pred.agg(
+        F.sqrt(F.avg((F.col("rt") - F.col("p")) * (F.col("rt") - F.col("p")))).alias("rmse")
+    )
+    return (
+        v2.crossJoin(F.broadcast(err))
+        .select(
+            F.col("i").alias("event_type"),
+            F.round("vf", 4).alias("item_factor"),
+            "n_users",
+            F.round("rmse", 4).alias("rmse"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "item_item_cosine",
+    f"""
+    WITH {_RATINGS_SQL},
+    nrm AS (SELECT i, sqrt(sum(rt * rt)) AS n FROM r GROUP BY i),
+    dots AS (
+      SELECT a.i AS item_a, b.i AS item_b,
+             sum(a.rt * b.rt) AS dot,
+             CAST(count(*) AS BIGINT) AS n_common_users
+      FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT d.item_a, d.item_b, d.n_common_users,
+           round(d.dot / (na.n * nb.n), 4) AS cosine
+    FROM dots d
+    JOIN nrm na ON na.i = d.item_a
+    JOIN nrm nb ON nb.i = d.item_b
+    ORDER BY cosine DESC, item_a, item_b
+    """,
+    doc="""Item-item collaborative similarity: cosine between event-type
+    columns of the user × item count matrix, via the inverted-index
+    self-join on user_id (shuffle on user, pair-group) — never an
+    |items|² loop over raw rows. Norms are |items|-sized broadcasts.""",
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _ratings(spark, sf_dir)
+    nrm = r.groupBy("i").agg(F.sqrt(F.sum(F.col("rt") * F.col("rt"))).alias("n"))
+    a = r.select(F.col("u"), F.col("i").alias("item_a"), F.col("rt").alias("ra"))
+    b = r.select(F.col("u"), F.col("i").alias("item_b"), F.col("rt").alias("rb"))
+    dots = (
+        a.join(b, "u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count("*").cast("bigint").alias("n_common_users"),
+        )
+    )
+    na = F.broadcast(nrm.select(F.col("i").alias("item_a"), F.col("n").alias("na")))
+    nb = F.broadcast(nrm.select(F.col("i").alias("item_b"), F.col("n").alias("nb")))
+    return (
+        dots.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_common_users",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+    )
+
+
+_TR_VOCAB = 150  # deterministic token-graph bound
+_TR_DAMP = 0.85
+_TR_ITERS = 4
+_TR_MINLEN = 3
+
+# positional tokens + vocabulary bound + undirected co-occurrence edges
+# (gap 1-2), shared by the unrolled PageRank oracle below
+_TR_EDGES_SQL = f"""
+    tok AS (
+      SELECT doc_id, toks[i] AS tok, i AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents),
+           unnest(generate_series(1, len(toks))) AS s(i)
+      WHERE length(toks[i]) >= {_TR_MINLEN}
+    ),
+    vocab AS (
+      SELECT tok FROM tok GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT {_TR_VOCAB}
+    ),
+    vtok AS (SELECT t.* FROM tok t JOIN vocab USING (tok)),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS s, greatest(a.tok, b.tok) AS d,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM vtok a JOIN vtok b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+       AND a.tok <> b.tok
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT s, d, w FROM pairs
+      UNION ALL
+      SELECT d AS s, s AS d, w FROM pairs
+    ),
+    outw AS (SELECT s, sum(w) AS ow FROM edges GROUP BY s)
+"""
+
+
+def _tr_iter_sql(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""
+    s{k} AS (
+      SELECT e.d AS tok,
+             {1 - _TR_DAMP} + {_TR_DAMP} * sum(e.w / o.ow * p.score) AS score
+      FROM edges e
+      JOIN outw o ON o.s = e.s
+      JOIN {prev} p ON p.tok = e.s
+      GROUP BY e.d
+    )"""
+
+
+@register(
+    "textrank_keywords",
+    f"""
+    WITH {_TR_EDGES_SQL},
+    s0 AS (SELECT tok, 1.0 AS score FROM vocab),
+    {",".join(_tr_iter_sql(k) for k in range(1, _TR_ITERS + 1))}
+    SELECT tok AS token, round(score, 4) AS textrank
+    FROM s{_TR_ITERS}
+    ORDER BY textrank DESC, token LIMIT 15
+    """,
+    doc="""TextRank keyword extraction over the corpus: tokens (len>=3)
+    are bounded to a deterministic top-150 vocabulary, co-occurrence
+    edges (position gap 1-2) are weight-aggregated once, then 4
+    damped-PageRank iterations run over the |vocab|-sized score vector
+    (score joins are broadcasts; the walk never re-reads text). Top-15
+    tokens by stationary score.""",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
+        )
+        .where(F.length("tok") >= _TR_MINLEN)
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_TR_VOCAB)
+        .select("tok")
+    )
+    vtok = tok.join(F.broadcast(vocab), "tok")
+    a = vtok.select("doc_id", F.col("tok").alias("ta"), F.col("pos").alias("pa"))
+    b = vtok.select("doc_id", F.col("tok").alias("tb"), F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") - F.col("pa")).between(1, 2) & (F.col("ta") != F.col("tb"))
+        )
+        .groupBy(
+            F.least("ta", "tb").alias("s"), F.greatest("ta", "tb").alias("d")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = pairs.select("s", "d", "w").unionAll(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+    )
+    # the iterated state is |vocab|-sized: cache edges once, broadcast
+    # the score vector into each sweep
+    edges = edges.cache()
+    outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
+    contrib_base = edges.join(outw, "s")
+    scores = vocab.select("tok", F.lit(1.0).alias("score"))
+    for _ in range(_TR_ITERS):
+        scores = (
+            contrib_base.join(
+                F.broadcast(scores.withColumnRenamed("tok", "s")), "s"
+            )
+            .groupBy(F.col("d").alias("tok"))
+            .agg(
+                (
+                    F.lit(1 - _TR_DAMP)
+                    + F.lit(_TR_DAMP)
+                    * F.sum(F.col("w") / F.col("ow") * F.col("score"))
+                ).alias("score")
+            )
+        )
+    return (
+        scores.select(
+            F.col("tok").alias("token"), F.round("score", 4).alias("textrank")
+        )
+        .orderBy(F.desc("textrank"), "token")
+        .limit(15)
+    )
+
+
+_MRL_DIMS = [4, 8, 16, 32, 64]
+
+
+@register(
+    "mrl_norm_fraction",
+    f"""
+    WITH per_vec AS (
+      SELECT d.dim,
+             list_sum(list_transform(embedding[1:d.dim],
+                                     x -> CAST(x AS DOUBLE) * x))
+               / list_sum(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE) * x)) AS frac
+      FROM embeddings,
+           (VALUES {",".join(f"({d})" for d in _MRL_DIMS)}) AS d(dim)
+    )
+    SELECT CAST(dim AS INT) AS prefix_dim,
+           round(avg(frac), 4) AS avg_energy_fraction,
+           round(min(frac), 4) AS min_energy_fraction
+    FROM per_vec GROUP BY dim ORDER BY prefix_dim
+    """,
+    doc="""Matryoshka-representation probe: for each prefix length d in
+    {4,8,16,32,64}, the fraction of each embedding's squared L2 mass
+    captured by its first d coordinates, averaged (and min'd) over the
+    corpus — the decision input for truncating stored dims at serving
+    time. Zero-shuffle narrow map + one global aggregate.""",
+)
+def mrl_norm_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def _sq(col):  # sum of squares, float→double before multiply
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    per_vec = emb.select(
+        _sq(F.col("embedding")).alias("full"),
+        *[
+            _sq(F.slice(F.col("embedding"), 1, d)).alias(f"p{d}")
+            for d in _MRL_DIMS
+        ],
+    )
+    agg = per_vec.agg(
+        *[F.avg(F.col(f"p{d}") / F.col("full")).alias(f"avg{d}") for d in _MRL_DIMS],
+        *[F.min(F.col(f"p{d}") / F.col("full")).alias(f"min{d}") for d in _MRL_DIMS],
+    )
+    stack_expr = ", ".join(
+        f"int({d}), round(avg{d}, 4), round(min{d}, 4)" for d in _MRL_DIMS
+    )
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(_MRL_DIMS)}, {stack_expr}) AS "
+                "(prefix_dim, avg_energy_fraction, min_energy_fraction)"
+            )
+        )
+        .orderBy("prefix_dim")
+    )

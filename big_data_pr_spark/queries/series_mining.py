@@ -646,3 +646,225 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(hw, "h long, forecast double, rmse double")
         .orderBy("h")
     )
+
+
+_THETA_ALPHA = 0.3
+_THETA_H = 7
+
+
+@register(
+    "theta_forecast_daily",
+    f"""
+    WITH {_DAILY_SQL},
+    idx AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY day) AS j,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    fit AS (
+      SELECT
+        max(n) AS n,
+        (max(n) * sum(j * rev) - sum(j) * sum(rev))
+          / (max(n) * sum(j * j) - sum(j) * sum(j)) AS b,
+        coalesce(sum(CASE WHEN j >= 2
+                     THEN {_THETA_ALPHA} * pow({1 - _THETA_ALPHA}, n - j) * rev
+                     END), 0)
+          + sum(CASE WHEN j = 1
+                THEN pow({1 - _THETA_ALPHA}, n - 1) * rev ELSE 0 END) AS level
+      FROM idx
+    )
+    SELECT CAST(h.h AS INT) AS h,
+           round(fit.level + h.h * fit.b / 2, 2) AS forecast,
+           CAST(fit.n AS BIGINT) AS n_days,
+           round(fit.b / 2, 4) AS drift_per_step
+    FROM fit, unnest(generate_series(1, {_THETA_H})) AS h(h)
+    ORDER BY h
+    """,
+    doc="""Theta-method daily revenue forecast (Assimakopoulos &
+    Nikolopoulos 2000, via the Hyndman-Billah equivalence): simple
+    exponential smoothing (alpha=0.3, closed-form geometric-weight sum
+    — no recursion needed) plus half the OLS trend slope as drift,
+    h=1..7 ahead. Reduces the scan to the |days| domain in one shuffle;
+    the fit is a single global aggregate, so the shape is unchanged at
+    100 TB.""",
+)
+def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "rev",
+        F.row_number().over(w).alias("j"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    a = _THETA_ALPHA
+    fit = idx.agg(
+        F.max("n").alias("n"),
+        (
+            (F.max("n") * F.sum(F.col("j") * F.col("rev"))
+             - F.sum("j") * F.sum("rev"))
+            / (F.max("n") * F.sum(F.col("j") * F.col("j"))
+               - F.sum("j") * F.sum("j"))
+        ).alias("b"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("j") >= 2,
+                        F.lit(a)
+                        * F.pow(F.lit(1 - a), F.col("n") - F.col("j"))
+                        * F.col("rev"),
+                    )
+                ),
+                F.lit(0.0),
+            )
+            + F.sum(
+                F.when(
+                    F.col("j") == 1,
+                    F.pow(F.lit(1 - a), F.col("n") - 1) * F.col("rev"),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("level"),
+    )
+    horizons = spark.range(1, _THETA_H + 1).select(F.col("id").alias("h"))
+    return (
+        fit.crossJoin(F.broadcast(horizons))
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.round(F.col("level") + F.col("h") * F.col("b") / 2, 2).alias(
+                "forecast"
+            ),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.col("b") / 2, 4).alias("drift_per_step"),
+        )
+        .orderBy("h")
+    )
+
+
+_CROSTON_ALPHA = 0.3
+_CROSTON_MIN_VALUE = 250.0
+
+
+@register(
+    "croston_demand_rate",
+    f"""
+    WITH base AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS z
+      FROM events WHERE value > {_CROSTON_MIN_VALUE} GROUP BY 1, 2
+    ),
+    g AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+    arr AS (
+      SELECT event_type, z,
+             CAST(date_diff('day', g.d0, base.day) AS DOUBLE) + 1 AS d,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             count(*) OVER (PARTITION BY event_type) AS m,
+             lag(CAST(date_diff('day', g.d0, base.day) AS DOUBLE) + 1)
+               OVER (PARTITION BY event_type ORDER BY day) AS prev_d
+      FROM base CROSS JOIN g
+    ),
+    ses AS (
+      SELECT event_type,
+             CAST(max(m) AS BIGINT) AS n_arrivals,
+             coalesce(sum(CASE WHEN k >= 2
+                          THEN {_CROSTON_ALPHA}
+                               * pow({1 - _CROSTON_ALPHA}, m - k) * z END), 0)
+               + sum(CASE WHEN k = 1
+                     THEN pow({1 - _CROSTON_ALPHA}, m - 1) * z ELSE 0 END)
+               AS z_hat,
+             coalesce(sum(CASE WHEN k >= 2
+                          THEN {_CROSTON_ALPHA}
+                               * pow({1 - _CROSTON_ALPHA}, m - k)
+                               * (d - prev_d) END), 0)
+               + sum(CASE WHEN k = 1
+                     THEN pow({1 - _CROSTON_ALPHA}, m - 1) * d ELSE 0 END)
+               AS p_hat
+      FROM arr GROUP BY event_type
+    )
+    SELECT event_type, n_arrivals,
+           round(z_hat, 4) AS z_hat,
+           round(p_hat, 4) AS p_hat,
+           round(z_hat / p_hat, 4) AS demand_rate
+    FROM ses ORDER BY event_type
+    """,
+    doc="""Croston's method for intermittent demand: per event type,
+    daily counts of high-value events (value > 250) form a sparse
+    arrival series; SES (alpha=0.3, closed-form geometric weights) runs
+    separately over the nonzero demand SIZES and the inter-arrival
+    INTERVALS, and the demand rate is their ratio. The raw scan
+    collapses to |types|×|arrival days| rows in one shuffle; the SES
+    weights need only row_number/lag windows partitioned by type.""",
+)
+def croston_demand_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = (
+        ev.where(F.col("value") > _CROSTON_MIN_VALUE)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("z"))
+    )
+    d0 = ev.agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    arr = (
+        base.crossJoin(F.broadcast(d0))
+        .withColumn(
+            "d", F.datediff(F.col("day"), F.col("d0")).cast("double") + 1
+        )
+        .select(
+            "event_type",
+            "z",
+            "d",
+            F.row_number().over(w).alias("k"),
+            F.count("*").over(Window.partitionBy("event_type")).alias("m"),
+            F.lag("d").over(w).alias("prev_d"),
+        )
+    )
+    a = _CROSTON_ALPHA
+
+    def _ses(val):
+        return F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("k") >= 2,
+                    F.lit(a) * F.pow(F.lit(1 - a), F.col("m") - F.col("k")) * val,
+                )
+            ),
+            F.lit(0.0),
+        ) + F.sum(
+            F.when(
+                F.col("k") == 1,
+                F.pow(F.lit(1 - a), F.col("m") - 1) * val,
+            ).otherwise(F.lit(0.0))
+        )
+
+    # the k=1 interval term uses d itself (first arrival distance from
+    # the global first event day), matching the oracle's CASE split
+    ses = arr.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_arrivals"),
+        _ses(F.col("z")).alias("z_hat"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k") >= 2,
+                        F.lit(a)
+                        * F.pow(F.lit(1 - a), F.col("m") - F.col("k"))
+                        * (F.col("d") - F.col("prev_d")),
+                    )
+                ),
+                F.lit(0.0),
+            )
+            + F.sum(
+                F.when(
+                    F.col("k") == 1,
+                    F.pow(F.lit(1 - a), F.col("m") - 1) * F.col("d"),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("p_hat"),
+    )
+    return ses.select(
+        "event_type",
+        "n_arrivals",
+        F.round("z_hat", 4).alias("z_hat"),
+        F.round("p_hat", 4).alias("p_hat"),
+        F.round(F.col("z_hat") / F.col("p_hat"), 4).alias("demand_rate"),
+    ).orderBy("event_type")

@@ -1,0 +1,78 @@
+"""Behavioral invariants for the recommendation / representation family
+(queries/recsys_queries.py) and the intermittent-demand forecasters —
+properties the value-hash oracle can't express (monotonicity, baseline
+dominance)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_pr_spark.queries import REGISTRY
+from big_data_pr_spark.tables import load
+
+
+def test_mrl_energy_fraction_monotonic(spark, sf_dir):
+    rows = REGISTRY["mrl_norm_fraction"].fn(spark, sf_dir).collect()
+    dims = [r["prefix_dim"] for r in rows]
+    assert dims == sorted(dims)
+    fracs = [r["avg_energy_fraction"] for r in rows]
+    # energy captured can only grow with the prefix, and the full
+    # 64-dim prefix is the whole vector
+    assert all(a <= b + 1e-9 for a, b in zip(fracs, fracs[1:]))
+    assert math.isclose(fracs[-1], 1.0, abs_tol=1e-6)
+    assert all(0.0 < f <= 1.0 + 1e-9 for f in fracs)
+
+
+def test_als_beats_unit_factor_baseline(spark, sf_dir):
+    out = REGISTRY["als_rank1_factors"].fn(spark, sf_dir)
+    rmse = out.select("rmse").first()["rmse"]
+    # baseline: all user/item factors left at init (prediction == 1.0)
+    r = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("double").alias("rt"))
+    )
+    rmse0 = r.agg(
+        F.sqrt(F.avg((F.col("rt") - 1.0) * (F.col("rt") - 1.0)))
+    ).first()[0]
+    assert rmse < rmse0
+
+
+def test_item_item_cosine_bounds(spark, sf_dir):
+    rows = REGISTRY["item_item_cosine"].fn(spark, sf_dir).collect()
+    assert rows, "no item pairs"
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_textrank_scores_positive_sorted(spark, sf_dir):
+    rows = REGISTRY["textrank_keywords"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    scores = [r["textrank"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # damping floor: every stationary score >= (1 - d) = 0.15
+    assert all(s >= 0.15 - 1e-9 for s in scores)
+
+
+def test_theta_forecast_shape(spark, sf_dir):
+    rows = REGISTRY["theta_forecast_daily"].fn(spark, sf_dir).collect()
+    assert [r["h"] for r in rows] == list(range(1, 8))
+    drift = rows[0]["drift_per_step"]
+    # successive horizons differ by exactly the drift (rounding aside)
+    for a, b in zip(rows, rows[1:]):
+        assert math.isclose(b["forecast"] - a["forecast"], drift, abs_tol=0.02)
+
+
+def test_croston_rate_positive(spark, sf_dir):
+    rows = REGISTRY["croston_demand_rate"].fn(spark, sf_dir).collect()
+    assert rows, "no intermittent series found"
+    for r in rows:
+        assert r["z_hat"] > 0
+        assert r["p_hat"] >= 1.0 - 1e-9  # intervals are >= 1 day
+        assert math.isclose(
+            r["demand_rate"], r["z_hat"] / r["p_hat"], rel_tol=5e-3
+        )
