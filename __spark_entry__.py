@@ -316,6 +316,7 @@ _POST_FREEZE = [
     "mrl_norm_fraction",
     "theta_forecast_daily",
     "croston_demand_rate",
+    "label_propagation_communities",
 ]
 
 

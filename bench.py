@@ -299,6 +299,7 @@ HEADLINE = [
     "mrl_norm_fraction",
     "theta_forecast_daily",
     "croston_demand_rate",
+    "label_propagation_communities",
 ]
 
 

@@ -76,3 +76,28 @@ def test_croston_rate_positive(spark, sf_dir):
         assert math.isclose(
             r["demand_rate"], r["z_hat"] / r["p_hat"], rel_tol=5e-3
         )
+
+
+def test_label_propagation_partitions_nodes(spark, sf_dir):
+    from big_data_pr_spark.queries.graph_ext import _ps_edges, _LPA_MIN_SHARED
+
+    out = REGISTRY["label_propagation_communities"].fn(spark, sf_dir).collect()
+    assert out, "no communities"
+    # members sum to the number of graph nodes (every node labeled once)
+    ps = _ps_edges(spark, sf_dir)
+    a = ps.select("pk", F.col("sk").alias("u"))
+    b = ps.select("pk", F.col("sk").alias("v"))
+    n_nodes = (
+        a.join(b, "pk")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _LPA_MIN_SHARED)
+        .select(F.explode(F.array("u", "v")).alias("n"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["members"] for r in out) == n_nodes
+    # every community's representative belongs to it (label is a member
+    # id only at init; after voting min_member just has to be a node)
+    assert all(r["members"] >= 1 for r in out)
