@@ -1,0 +1,160 @@
+"""Streaming sessionization (streaming/session_sink.py): session-merge
+on late-but-in-horizon events, watermark-driven finalization, and
+replay-idempotent keyed output."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_pr_spark.streaming.session_sink import (
+    sessionize_stream,
+    start_session_stream,
+)
+
+T0 = 1_700_000_000_000  # fixed epoch-ms origin
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _msg(user: str, minute: int, value: float = 1.0) -> dict:
+    # JSON timestamp readable by TimestampType: ISO via epoch seconds
+    return {
+        "user_id": user,
+        "event_time": (T0 + minute * 60_000) // 1000,
+        "value": value,
+    }
+
+
+def _write_batch(input_dir, name: str, msgs: list[dict]) -> None:
+    rows = []
+    for m in msgs:
+        m = dict(m)
+        m["event_time"] = __import__("datetime").datetime.utcfromtimestamp(
+            m["event_time"]
+        ).strftime("%Y-%m-%dT%H:%M:%S")
+        rows.append(json.dumps(m))
+    (input_dir / name).write_text("\n".join(rows) + "\n")
+
+
+def _run(spark, input_dir, out, cp, gap="30 minutes", watermark="10 minutes"):
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(input_dir))
+    )
+    q = start_session_stream(
+        stream, str(out), str(cp), gap=gap, watermark=watermark
+    )
+    q.awaitTermination(120)
+
+
+def test_sessions_merge_and_finalize(spark, tmp_path):
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = tmp_path / "sessions", tmp_path / "cp"
+
+    # batch 1: user A at minutes 0 and 5; user B at minute 0
+    _write_batch(input_dir, "b1.json", [_msg("A", 0), _msg("A", 5), _msg("B", 0, 2.0)])
+    _run(spark, input_dir, out, cp)
+
+    # batch 2: A at minute 20 — within the 30-min gap of the open
+    # session, must MERGE (extends end to minute 50), not start a new one
+    _write_batch(input_dir, "b2.json", [_msg("A", 20, 3.0)])
+    _run(spark, input_dir, out, cp)
+
+    # batch 3: far-future event pushes the watermark past every open
+    # session end → A(0-50) and B(0-30) finalize
+    _write_batch(input_dir, "b3.json", [_msg("A", 240)])
+    _run(spark, input_dir, out, cp)
+    _write_batch(input_dir, "b4.json", [_msg("A", 480)])
+    _run(spark, input_dir, out, cp)
+
+    rows = {
+        (r["user_id"], r["session_start"].timestamp() * 1000): r
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    a = rows[("A", float(T0))]
+    assert a["n_events"] == 3  # 0, 5, 20 merged into one session
+    assert a["session_end"].timestamp() * 1000 == T0 + 50 * 60_000
+    assert a["duration_s"] == 50 * 60
+    assert a["total_value"] == 5.0
+    b = rows[("B", float(T0))]
+    assert b["n_events"] == 1
+    assert b["session_end"].timestamp() * 1000 == T0 + 30 * 60_000
+
+    # output is key-unique (upsert, not blind append)
+    df = spark.read.parquet(str(out))
+    assert df.count() == df.select("doc_id").distinct().count()
+
+
+def test_streaming_matches_batch_session_window(spark, tmp_path):
+    """Finalized streaming sessions == batch session_window over the
+    same (non-late) events."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    out, cp = tmp_path / "sessions", tmp_path / "cp"
+    msgs = [
+        _msg("A", 0), _msg("A", 10), _msg("A", 90),
+        _msg("B", 5), _msg("B", 50, 4.0),
+    ]
+    _write_batch(input_dir, "b1.json", msgs)
+    _run(spark, input_dir, out, cp)
+    _write_batch(input_dir, "b2.json", [_msg("C", 600)])  # flush watermark
+    _run(spark, input_dir, out, cp)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] in ("A", "B")
+    }
+    batch_df = spark.createDataFrame(
+        [
+            (
+                m["user_id"],
+                __import__("datetime").datetime.utcfromtimestamp(m["event_time"]),
+                m["value"],
+            )
+            for m in msgs
+        ],
+        _SCHEMA,
+    )
+    expect = {
+        (r["user_id"], r["session_window"]["start"], r["session_window"]["end"], r["n"])
+        for r in batch_df.groupBy(
+            F.session_window("event_time", "30 minutes"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_session_upsert_replay_idempotent(spark, tmp_path):
+    """Re-writing a finalized batch (crash replay) leaves the output
+    unchanged."""
+    from big_data_pr_spark.streaming.session_sink import _upsert_sessions
+
+    sessions = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1800, 2, 5.0,
+             "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+        ],
+        "user_id string, session_start string, session_end string, "
+        "duration_s long, n_events long, total_value double, "
+        "first_event string, last_event string",
+    ).withColumn("session_start", F.to_timestamp("session_start"))
+    path = str(tmp_path / "s")
+    _upsert_sessions(sessions, path, "user_id")
+    first = sorted(map(tuple, spark.read.parquet(path).collect()))
+    _upsert_sessions(sessions, path, "user_id")  # replay
+    second = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert first == second
