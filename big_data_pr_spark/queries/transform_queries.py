@@ -108,15 +108,15 @@ def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pool AS (
       SELECT value,
-             row_number() OVER (ORDER BY value, event_id) AS prk,
-             count(*) OVER () AS np
+             row_number() OVER (ORDER BY value, event_id) AS prk
       FROM events
     ),
+    np AS (SELECT count(*) AS np FROM events),
     mapped AS (
       SELECT r.event_type, r.value, p.value AS qn_value
-      FROM ranked r
+      FROM ranked r CROSS JOIN np
       JOIN pool p
-        ON p.prk = CAST(ceil(r.rk * p.np * 1.0 / r.ng) AS BIGINT)
+        ON p.prk = CAST(ceil(r.rk * np.np * 1.0 / r.ng) AS BIGINT)
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -155,15 +155,25 @@ def quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = ev.select(
         F.col("value").alias("pvalue"),
         F.row_number().over(Window.orderBy("value", "event_id")).alias("prk"),
-        F.count("*").over(Window.partitionBy()).alias("np"),
     )
-    mapped = ranked.join(
-        pool,
-        F.col("prk")
-        == F.ceil(F.col("rk") * F.col("np") * F.lit(1.0) / F.col("ng")).cast(
-            "bigint"
-        ),
+    # np must land on the RANKED side as a broadcast scalar: writing it
+    # as a pool-side window column makes the join predicate reference
+    # both sides (prk == f(rk, ng, np)) — not an equi-join, so Catalyst
+    # falls back to a nested loop (measured 107 s at sf0.1). With the
+    # target index precomputed per ranked row, this is a plain
+    # shuffle equi-join on (target == prk).
+    np_ = ev.agg(F.count("*").alias("np"))
+    target = (
+        ranked.crossJoin(F.broadcast(np_))
+        .withColumn(
+            "prk",
+            F.ceil(
+                F.col("rk") * F.col("np") * F.lit(1.0) / F.col("ng")
+            ).cast("bigint"),
+        )
+        .drop("np")
     )
+    mapped = target.join(pool, "prk")
     return (
         mapped.groupBy("event_type")
         .agg(

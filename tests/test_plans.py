@@ -1026,3 +1026,20 @@ def test_anisotropy_no_pair_join(q):
     plan = plan_str(q("embedding_anisotropy_probe"), mode="simple")
     assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_normalize_equi_join(q):
+    """The pooled-rank mapping must be a plain equi-join on the
+    precomputed target index (regression: writing np as a pool-side
+    window column put both sides' columns inside the join predicate,
+    which planned as a data-scale BroadcastNestedLoopJoin — 107 s at
+    sf0.1; the only BNLJ allowed is the 1-row np scalar cross join)."""
+    plan = plan_str(q("quantile_normalize_by_type"), mode="simple")
+    assert "CartesianProduct" not in plan
+    # one logical scalar BNLJ node prints twice (tree + header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
