@@ -296,9 +296,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").cast("double").alias("w"))
         .where(F.col("w") >= _LPA_MIN_SHARED)
     )
+    # |E|-bounded aggregate: a few partitions keep each LPA round at
+    # a handful of tasks (the vote tables only shrink from here)
     edges = und.select("u", "v", "w").unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).cache()
+    ).coalesce(4).cache()
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

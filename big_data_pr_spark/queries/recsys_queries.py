@@ -289,9 +289,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select("s", "d", "w").unionAll(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
     )
-    # the iterated state is |vocab|-sized: cache edges once, broadcast
-    # the score vector into each sweep
-    edges = edges.cache()
+    # the iterated state is |vocab|-sized (<= vocab^2 edge aggregates):
+    # collapse to a few partitions before caching so each of the 4
+    # sweeps schedules a handful of tasks, not 32 near-empty ones —
+    # the table stays vocab-bounded at any corpus size
+    edges = edges.coalesce(4).cache()
     outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
     contrib_base = edges.join(outw, "s")
     scores = vocab.select("tok", F.lit(1.0).alias("score"))
