@@ -131,8 +131,10 @@ _POST_FREEZE = [
     # Oracle-backed queries still awaiting a driver window slot after the
     # round-6 rotation (round-6 window spends 47 slots on never-verified
     # queries: all 14 CAST-fixed HUGEINT oracles + the round-5 marquee
-    # families). These 57 rotate into rounds 7-8; the guard test pins
-    # (never-driver-verified - window) == exactly this list.
+    # families). The round-6 build added ~90 more oracle-backed queries
+    # after the freeze (sections below), so this list now rotates into
+    # rounds 7-9 (50/round, via tools/rotate_window.py); the guard test
+    # pins (never-driver-verified - window) == exactly this list.
     "abc_analysis_parts",
     "acctbal_spend_corr",
     "acf_value_lags",
@@ -317,6 +319,8 @@ _POST_FREEZE = [
     "theta_forecast_daily",
     "croston_demand_rate",
     "label_propagation_communities",
+    "kmeans_silhouette",
+    "mmd_label_drift",
 ]
 
 

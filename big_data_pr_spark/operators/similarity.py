@@ -566,16 +566,17 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def kmeans_lloyd(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> tuple[DataFrame, dict[int, list[float]]]:
     """Deterministic Lloyd k-means over an embedding column; returns
-    ``(id, cluster, dist)`` — corpus clustering for mixture balancing /
-    semantic sharding of training data.
+    (assignment DataFrame incl. the vector column, final centroid dict)
+    — corpus clustering for mixture balancing / semantic sharding of
+    training data.
 
     Deterministic by construction (no RNG): init centroids are the k
     lowest-``id`` vectors; ties in the nearest-centroid argmin break to
@@ -630,6 +631,19 @@ def kmeans_lloyd(
             cid: [dims[p] for p in sorted(dims)] for cid, dims in by_cluster.items()
         }
         assigned = assign(cents)
+    return assigned, cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``kmeans_fit`` returning only the assignment (the registry's
+    oracle-checked surface)."""
+    assigned, _ = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     return assigned.drop(vec_col)
 
 

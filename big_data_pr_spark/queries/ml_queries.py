@@ -556,3 +556,96 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "kmeans_silhouette",
+    f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, i.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_KM_SQDIST.format(dim=_KM_DIM, cast="::DOUBLE")}, i.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster AS cid, list(v ORDER BY dim) AS c FROM (
+        SELECT a1.cluster, i.dim, avg(a1.embedding[i.dim]::DOUBLE) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) i
+        GROUP BY a1.cluster, i.dim)
+      GROUP BY cluster
+    ),
+    d AS (
+      SELECT e.vec_id, i.cid, sqrt({_KM_SQDIST.format(dim=_KM_DIM, cast="")}) AS dist,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_KM_SQDIST.format(dim=_KM_DIM, cast="")}, i.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c1 i
+    ),
+    ab AS (
+      SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+             max(CASE WHEN rn = 1 THEN dist END) AS a,
+             max(CASE WHEN rn = 2 THEN dist END) AS b
+      FROM d WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg((b - a) / greatest(a, b)), 4) AS silhouette,
+           round(avg(a), 4) AS avg_intra,
+           round(avg(b), 4) AS avg_nearest_other
+    FROM ab GROUP BY cluster ORDER BY cluster
+    """,
+    doc="Simplified (centroid-based) silhouette for the kmeans_assign "
+    "clustering: a = distance to the OWN (nearest) final centroid, b = "
+    "distance to the second-nearest, s = (b-a)/max(a,b), averaged per "
+    "cluster — the cluster-quality gate on the semantic shards "
+    "kmeans_assign produces (s near 0 = boundary-heavy cluster). Same "
+    "deterministic first-k/lowest-cid Lloyd as kmeans_assign, so the "
+    "full chain stays SQL-replayable. Scale: the a/b pass is the same "
+    "zero-shuffle narrow map against k x dim literal centroids as the "
+    "assign pass; the summary is one |k|-row aggregate.",
+)
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    _, cents = similarity.kmeans_fit(emb, k=_KM_K, iters=2)
+    pairs = F.array(
+        *[
+            F.struct(
+                similarity._sq_dist_to_literal(F.col("embedding"), cent).alias(
+                    "dist"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cent in sorted(cents.items())
+        ]
+    )
+    srt = F.array_sort(pairs)  # struct order: dist, then cid (tie-break)
+    per = emb.select(
+        srt[0]["cid"].alias("cluster"),
+        F.sqrt(srt[0]["dist"]).alias("a"),
+        F.sqrt(srt[1]["dist"]).alias("b"),
+    )
+    return (
+        per.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.avg(
+                    (F.col("b") - F.col("a")) / F.greatest("a", "b")
+                ),
+                4,
+            ).alias("silhouette"),
+            F.round(F.avg("a"), 4).alias("avg_intra"),
+            F.round(F.avg("b"), 4).alias("avg_nearest_other"),
+        )
+        .orderBy("cluster")
+    )

@@ -377,3 +377,110 @@ def mrl_norm_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_dim")
     )
+
+
+_MMD_N = 200  # deterministic per-group sample bound (lowest vec_ids)
+_MMD_GAMMA = 1.0 / 64  # RBF bandwidth = 1/dim
+
+_MMD_SQD = (
+    "list_sum(list_transform(generate_series(1, 64), d -> "
+    "(a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE) * "
+    "(a.embedding[d]::DOUBLE - b.embedding[d]::DOUBLE)))"
+)
+
+
+@register(
+    "mmd_label_drift",
+    f"""
+    WITH x AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label = 0
+      ORDER BY vec_id LIMIT {_MMD_N}
+    ),
+    y AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label = 1
+      ORDER BY vec_id LIMIT {_MMD_N}
+    ),
+    kxx AS (
+      SELECT avg(exp(-{_MMD_GAMMA} * {_MMD_SQD})) AS m
+      FROM x a JOIN x b ON a.vec_id < b.vec_id
+    ),
+    kyy AS (
+      SELECT avg(exp(-{_MMD_GAMMA} * {_MMD_SQD})) AS m
+      FROM y a JOIN y b ON a.vec_id < b.vec_id
+    ),
+    kxy AS (
+      SELECT avg(exp(-{_MMD_GAMMA} * {_MMD_SQD})) AS m
+      FROM x a CROSS JOIN y b
+    ),
+    ns AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_x,
+             (SELECT CAST(count(*) AS BIGINT) FROM y) AS n_y
+    )
+    SELECT ns.n_x, ns.n_y,
+           round(kxx.m, 6) AS kxx_mean,
+           round(kyy.m, 6) AS kyy_mean,
+           round(kxy.m, 6) AS kxy_mean,
+           round(kxx.m + kyy.m - 2 * kxy.m, 6) AS mmd2
+    FROM ns, kxx, kyy, kxy
+    """,
+    doc="""Maximum mean discrepancy (RBF kernel, gamma = 1/dim) between
+    the label-0 and label-1 embedding populations — the kernel
+    two-sample drift test for representation space (PSI/KS cover
+    scalars; MMD catches distribution shift no single projection
+    shows). Unbiased-style estimate from within-group (i<j) and
+    cross-group kernel means. The pairwise kernel runs on deterministic
+    lowest-id samples bounded at 200 per group, so cost is O(N^2 d)
+    CONSTANT in corpus size — the standard estimator regime; the full
+    population never pairs.""",
+)
+def mmd_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def grp(label: int, side: str) -> DataFrame:
+        return (
+            emb.where(F.col("label") == label)
+            .orderBy("vec_id")
+            .limit(_MMD_N)
+            .select(
+                F.col("vec_id").alias(f"id_{side}"),
+                F.col("embedding").alias(f"emb_{side}"),
+            )
+        )
+
+    def kmean(pairs: DataFrame) -> DataFrame:
+        sqd = F.aggregate(
+            F.zip_with(
+                F.col("emb_a"),
+                F.col("emb_b"),
+                lambda p, q: (p.cast("double") - q.cast("double"))
+                * (p.cast("double") - q.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return pairs.agg(F.avg(F.exp(-F.lit(_MMD_GAMMA) * sqd)).alias("m"))
+
+    x, y = grp(0, "a"), grp(1, "a")
+    xb = x.select(F.col("id_a").alias("id_b"), F.col("emb_a").alias("emb_b"))
+    yb = y.select(F.col("id_a").alias("id_b"), F.col("emb_a").alias("emb_b"))
+    kxx = kmean(x.join(xb, F.col("id_a") < F.col("id_b")))
+    kyy = kmean(y.join(yb, F.col("id_a") < F.col("id_b")))
+    kxy = kmean(x.crossJoin(yb))
+    ns = x.agg(F.count("*").cast("bigint").alias("n_x")).crossJoin(
+        y.agg(F.count("*").cast("bigint").alias("n_y"))
+    )
+    return (
+        ns.crossJoin(kxx.withColumnRenamed("m", "kxx"))
+        .crossJoin(kyy.withColumnRenamed("m", "kyy"))
+        .crossJoin(kxy.withColumnRenamed("m", "kxy"))
+        .select(
+            "n_x",
+            "n_y",
+            F.round("kxx", 6).alias("kxx_mean"),
+            F.round("kyy", 6).alias("kyy_mean"),
+            F.round("kxy", 6).alias("kxy_mean"),
+            F.round(
+                F.col("kxx") + F.col("kyy") - 2 * F.col("kxy"), 6
+            ).alias("mmd2"),
+        )
+    )

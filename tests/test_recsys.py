@@ -101,3 +101,22 @@ def test_label_propagation_partitions_nodes(spark, sf_dir):
     # every community's representative belongs to it (label is a member
     # id only at init; after voting min_member just has to be a node)
     assert all(r["members"] >= 1 for r in out)
+
+
+def test_kmeans_silhouette_bounds(spark, sf_dir):
+    rows = REGISTRY["kmeans_silhouette"].fn(spark, sf_dir).collect()
+    assert rows, "no clusters"
+    for r in rows:
+        # a = nearest centroid, b = second nearest => a <= b => s in [0, 1]
+        assert 0.0 <= r["silhouette"] <= 1.0
+        assert r["avg_intra"] <= r["avg_nearest_other"] + 1e-9
+        assert r["n"] >= 1
+
+
+def test_mmd_label_drift_kernel_bounds(spark, sf_dir):
+    r = REGISTRY["mmd_label_drift"].fn(spark, sf_dir).first()
+    assert r["n_x"] > 0 and r["n_y"] > 0
+    for c in ("kxx_mean", "kyy_mean", "kxy_mean"):
+        assert 0.0 < r[c] <= 1.0
+    # unbiased-style estimate may dip slightly below 0, never far
+    assert -0.05 <= r["mmd2"] <= 2.0
