@@ -321,6 +321,11 @@ _POST_FREEZE = [
     "label_propagation_communities",
     "kmeans_silhouette",
     "mmd_label_drift",
+    # round-6f: pretraining data-selection family
+    # (queries/selection_queries.py)
+    "dsir_importance_weights",
+    "dsir_bucket_kl",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -31,5 +31,6 @@ from . import projection_queries  # noqa: F401, E402
 from . import inference_ext  # noqa: F401, E402
 from . import transform_queries  # noqa: F401, E402
 from . import recsys_queries  # noqa: F401, E402
+from . import selection_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
