@@ -300,6 +300,12 @@ HEADLINE = [
     "theta_forecast_daily",
     "croston_demand_rate",
     "label_propagation_communities",
+    "kmeans_silhouette",
+    "mmd_label_drift",
+    # round-6f: data-selection family (queries/selection_queries.py)
+    "dsir_importance_weights",
+    "dsir_bucket_kl",
+    "ccnet_perplexity_buckets",
 ]
 
 
