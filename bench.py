@@ -306,6 +306,9 @@ HEADLINE = [
     "dsir_importance_weights",
     "dsir_bucket_kl",
     "ccnet_perplexity_buckets",
+    "gopher_quality_flags",
+    "doc_novelty_fraction",
+    "mixture_temperature_weights",
 ]
 
 

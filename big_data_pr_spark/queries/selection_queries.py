@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import text
+from ..operators import dedup, text
 from ..tables import load
 from .docs_queries import _BG_SQL
 from .registry import register
@@ -274,3 +274,231 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-6g: Gopher rule flags, first-occurrence novelty, temperature mixing
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "and", "of", "to", "in", "a", "is", "for")
+_STOPS_SQL = "['" + "', '".join(_GOPHER_STOPS) + "']"
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    ),
+    bg0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(nw - 1, 0) + 1),
+                            i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM t
+    ),
+    bgtop AS (
+      SELECT doc_id, max(c) AS top_bigram_n
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM bg0 GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT t.doc_id, CAST(t.nw AS BIGINT) AS n_words,
+             round(list_sum(list_transform(t.w, x -> len(x)))::DOUBLE / t.nw, 6)
+               AS mean_word_len,
+             round(len(list_filter(t.w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                   / t.nw, 6) AS alpha_word_frac,
+             len(list_intersect(list_distinct(t.w), {_STOPS_SQL})) AS n_stops,
+             round(coalesce(2.0 * bgtop.top_bigram_n / t.nw, 0.0), 6)
+               AS top_bigram_frac
+      FROM t LEFT JOIN bgtop USING (doc_id)
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, top_bigram_frac,
+           CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS flag_word_count,
+           CAST(mean_word_len BETWEEN 3 AND 10 AS INTEGER) AS flag_mean_word_len,
+           CAST(alpha_word_frac >= 0.8 AS INTEGER) AS flag_alpha_words,
+           CAST(n_stops >= 2 AS INTEGER) AS flag_stopwords,
+           CAST(top_bigram_frac <= 0.2 AS INTEGER) AS flag_top_bigram,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND alpha_word_frac >= 0.8
+                AND n_stops >= 2
+                AND top_bigram_frac <= 0.2 AS INTEGER) AS passed
+    FROM feats ORDER BY doc_id
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, Table A1), the "
+    "word-level subset applicable to single-line corpora: word count "
+    "in [50, 100k], mean word length in [3, 10], >=80% of words "
+    "containing an alphabetic character, >=2 distinct stopwords "
+    "(Gopher's 'stop word' rule), and top-bigram token coverage "
+    "<= 0.2 (the duplicate-text family; line/paragraph rules need "
+    "multi-line text and are inapplicable to this fixture). Each rule "
+    "surfaces as its own flag so downstream mixes can relax "
+    "individual gates. Narrow per-row maps except ONE per-doc bigram "
+    "mode aggregate (explode + two grouped aggs keyed by doc_id — "
+    "embarrassingly parallel, no cross-doc state).",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        text.tokens(F.col("text")).alias("w"),
+        F.size(text.tokens(F.col("text"))).alias("nw"),
+    )
+    # guard: Spark's sequence(1, 0) DESCENDS, so gate on nw >= 2
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("nw") >= 2,
+                F.expr(
+                    "transform(sequence(1, nw - 1), i -> concat(w[i-1], ' ', w[i]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bgtop = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    feats = (
+        t.join(bgtop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nw").cast("bigint").alias("n_words"),
+            F.round(
+                F.aggregate("w", F.lit(0), lambda a, x: a + F.length(x)).cast(
+                    "double"
+                )
+                / F.col("nw"),
+                6,
+            ).alias("mean_word_len"),
+            F.round(
+                F.size(F.filter("w", lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+                / F.col("nw"),
+                6,
+            ).alias("alpha_word_frac"),
+            F.size(F.array_intersect(F.array_distinct("w"), stops)).alias("n_stops"),
+            F.round(
+                F.coalesce(
+                    2.0 * F.col("top_bigram_n") / F.col("nw"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    f_wc = F.col("n_words").between(50, 100000)
+    f_mwl = F.col("mean_word_len").between(3, 10)
+    f_alpha = F.col("alpha_word_frac") >= 0.8
+    f_stops = F.col("n_stops") >= 2
+    f_bg = F.col("top_bigram_frac") <= 0.2
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "top_bigram_frac",
+        f_wc.cast("int").alias("flag_word_count"),
+        f_mwl.cast("int").alias("flag_mean_word_len"),
+        f_alpha.cast("int").alias("flag_alpha_words"),
+        f_stops.cast("int").alias("flag_stopwords"),
+        f_bg.cast("int").alias("flag_top_bigram"),
+        (f_wc & f_mwl & f_alpha & f_stops & f_bg).cast("int").alias("passed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_novelty_fraction",
+    """
+    WITH sh0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2]))) AS g
+      FROM documents
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh0 GROUP BY g)
+    SELECT sh0.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN firsts.first_doc = sh0.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN firsts.first_doc = sh0.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM sh0 JOIN firsts USING (g)
+    GROUP BY sh0.doc_id ORDER BY sh0.doc_id
+    """,
+    doc="First-occurrence novelty score: the fraction of a document's "
+    "distinct word-3-grams whose globally FIRST occurrence (by doc_id "
+    "ingest order) is this document — the streaming-order 'how much "
+    "new material does this doc add' signal used for curriculum "
+    "ordering and incremental-crawl triage (novelty ~0 = the corpus "
+    "already said all of this). One shuffle keyed on the shingle "
+    "(min-agg is map-side combinable) + one per-doc aggregate; no "
+    "doc-pair term ever materializes.",
+)
+def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingle_array("text", 3)).alias("g")
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mixture_temperature_weights",
+    """
+    WITH n AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_tokens,
+           round(pow(n_tokens, 0.3) / sum(pow(n_tokens, 0.3)) OVER (), 6) AS w_a30,
+           round(pow(n_tokens, 0.5) / sum(pow(n_tokens, 0.5)) OVER (), 6) AS w_a50,
+           round(pow(n_tokens, 0.7) / sum(pow(n_tokens, 0.7)) OVER (), 6) AS w_a70,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS w_a100
+    FROM n ORDER BY source
+    """,
+    doc="Temperature-based mixture sampling weights (the multilingual "
+    "/ multi-source standard from mBERT/XLM-R and data-mixing papers): "
+    "per-source sampling probability proportional to n_tokens^alpha at "
+    "alpha in {0.3, 0.5, 0.7, 1.0} — low alpha flattens the mix toward "
+    "small sources, alpha=1 is proportional sampling. One token-count "
+    "aggregate (map-side combinable sums over string lengths) to a "
+    "|sources|-row table; the normalizing windows are over that tiny "
+    "relation, so cost is the token count scan and nothing else.",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = Window.partitionBy()
+
+    def w(alpha: float, name: str):
+        p = F.pow(F.col("n_tokens"), alpha)
+        return F.round(p / F.sum(p).over(tot), 6).alias(name)
+
+    return n.select(
+        "source",
+        "n_tokens",
+        w(0.3, "w_a30"),
+        w(0.5, "w_a50"),
+        w(0.7, "w_a70"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias("w_a100"),
+    ).orderBy("source")

@@ -55,3 +55,47 @@ def test_ccnet_terciles_balanced_per_lang(spark, sf_dir):
         # head is the LOW-perplexity (high-quality) end
         if "head" in buckets and "tail" in buckets:
             assert max(buckets["head"]) <= min(buckets["tail"]) + 1e-9
+
+
+def test_gopher_flags_consistent(spark, sf_dir):
+    rows = REGISTRY["gopher_quality_flags"].fn(spark, sf_dir).collect()
+    assert rows
+    flag_cols = [
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_alpha_words",
+        "flag_stopwords",
+        "flag_top_bigram",
+    ]
+    for r in rows:
+        for c in flag_cols + ["passed"]:
+            assert r[c] in (0, 1)
+        # passed is exactly the conjunction of the individual flags
+        assert r["passed"] == min(r[c] for c in flag_cols)
+        assert 0.0 <= r["alpha_word_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0 + 1e-9
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = REGISTRY["doc_novelty_fraction"].fn(spark, sf_dir).collect()
+    assert rows
+    # the lowest doc_id sees every one of its shingles first
+    first = min(rows, key=lambda r: r["doc_id"])
+    assert first["novelty"] == 1.0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_temperature_weights_flatten_the_mix(spark, sf_dir):
+    rows = REGISTRY["mixture_temperature_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for col in ("w_a30", "w_a50", "w_a70", "w_a100"):
+        s = sum(r[col] for r in rows)
+        assert abs(s - 1.0) < 1e-3
+    # lower temperature alpha => flatter mix: the largest source's
+    # share shrinks monotonically as alpha drops
+    big = max(rows, key=lambda r: r["n_tokens"])
+    assert big["w_a30"] <= big["w_a50"] <= big["w_a70"] <= big["w_a100"]
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert small["w_a30"] >= small["w_a50"] >= small["w_a70"] >= small["w_a100"]
