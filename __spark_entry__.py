@@ -329,6 +329,9 @@ _POST_FREEZE = [
     "gopher_quality_flags",
     "doc_novelty_fraction",
     "mixture_temperature_weights",
+    # round-6h: attribution deepening (queries/marketing.py)
+    "markov_attribution_removal",
+    "shapley_attribution_sets",
 ]
 
 

@@ -309,6 +309,9 @@ HEADLINE = [
     "gopher_quality_flags",
     "doc_novelty_fraction",
     "mixture_temperature_weights",
+    # round-6h: attribution deepening (queries/marketing.py)
+    "markov_attribution_removal",
+    "shapley_attribution_sets",
 ]
 
 
@@ -497,6 +500,16 @@ def main() -> None:
     # warm the JVM + parquet footer caches once so per-query numbers
     # measure the plan, not session startup
     REGISTRY["q1_pricing"].fn(spark, sf_dir).count()
+    # ... and the Python worker pool (first Arrow/Python-DataSource use
+    # pays ~5 s of daemon fork + import cost; steady-state is what the
+    # per-query numbers should measure, same rationale as the JVM warmup)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    if "rest_source_candles" in REGISTRY:
+        # the Python DataSource runner is a third worker path with its
+        # own import cost — touch one partition of it
+        REGISTRY["rest_source_candles"].fn(spark, sf_dir).limit(1).count()
     # min + median of REPEATS runs per query: single-JVM timings on a
     # shared host swing ~3x with contention (observed across rounds);
     # the MIN is the closest to the plan's true cost, the median shows

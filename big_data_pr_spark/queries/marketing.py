@@ -465,3 +465,362 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6h: Markov removal-effect and exact Shapley attribution
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 20
+_MK_CHANNELS = ("click", "error", "signup", "view")  # sorted
+
+# Shared journey framing (same epoching as multi_touch_attribution, but
+# over ALL four touch channels): an epoch is the run of touches between
+# purchases; it converts iff it contains the purchase.
+_JOURNEY_SQL = """
+    ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events
+    ),
+    ep AS (
+      SELECT *, coalesce(sum(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS epoch
+      FROM ev
+    ),
+    j AS (
+      SELECT user_id, epoch, max(is_p) AS conv FROM ep GROUP BY user_id, epoch
+    )
+"""
+
+_MK_TRANS_SQL = f"""
+    {_JOURNEY_SQL},
+    touches AS (
+      SELECT user_id, epoch, ts, event_id, event_type FROM ep WHERE is_p = 0
+    ),
+    seq AS (
+      SELECT user_id, epoch, event_type,
+             lead(event_type) OVER (PARTITION BY user_id, epoch
+                                    ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id, epoch
+                                ORDER BY ts, event_id) AS pos
+      FROM touches
+    ),
+    tr AS (
+      SELECT 'START' AS src, event_type AS dst FROM seq WHERE pos = 1
+      UNION ALL
+      SELECT event_type, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT seq.event_type,
+             CASE WHEN j.conv = 1 THEN 'CONV' ELSE 'NULL' END
+      FROM seq JOIN j USING (user_id, epoch) WHERE seq.nxt IS NULL
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM j LEFT JOIN (SELECT DISTINCT user_id, epoch FROM touches) t
+             USING (user_id, epoch)
+      WHERE t.user_id IS NULL AND j.conv = 1
+    ),
+    counts AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY src, dst),
+    probs AS (
+      SELECT src, dst,
+             c * 1.0 / sum(c) OVER (PARTITION BY src) AS p
+      FROM counts
+    )
+"""
+
+
+@register(
+    "markov_attribution_removal",
+    f"""
+    WITH RECURSIVE
+    {_MK_TRANS_SQL},
+    variants AS (
+      SELECT * FROM (VALUES ('none'), ('click'), ('error'), ('signup'), ('view'))
+        v(removed)
+    ),
+    states AS (
+      SELECT v.removed, s.state
+      FROM variants v CROSS JOIN
+           (VALUES ('START'), ('click'), ('error'), ('signup'), ('view')) s(state)
+      WHERE s.state != v.removed
+    ),
+    e AS (
+      SELECT v.removed, p.src, p.dst, p.p
+      FROM variants v JOIN probs p
+        ON p.src != v.removed AND p.dst != v.removed
+      WHERE p.dst NOT IN ('CONV', 'NULL')
+    ),
+    pconv AS (
+      SELECT v.removed, p.src, p.p AS pconv
+      FROM variants v JOIN probs p ON p.src != v.removed
+      WHERE p.dst = 'CONV'
+    ),
+    it AS (
+      SELECT removed, state, 0 AS t, CAST(0 AS DOUBLE) AS x FROM states
+      UNION ALL
+      SELECT st.removed, st.state, it0.t + 1 AS t,
+             coalesce(max(pc.pconv), 0)
+             + sum(coalesce(e.p, 0) * it0.x) AS x
+      FROM it it0
+      JOIN states st ON st.removed = it0.removed
+      LEFT JOIN e ON e.removed = st.removed AND e.src = st.state
+                  AND e.dst = it0.state
+      LEFT JOIN pconv pc ON pc.removed = st.removed AND pc.src = st.state
+      WHERE it0.t < {_MK_ITERS}
+      GROUP BY st.removed, st.state, it0.t
+    ),
+    conv AS (
+      SELECT removed, x FROM it WHERE t = {_MK_ITERS} AND state = 'START'
+    ),
+    re AS (
+      SELECT c.removed AS channel,
+             greatest(1 - c.x / b.x, 0) AS removal_effect, b.x AS px
+      FROM conv c CROSS JOIN (SELECT x FROM conv WHERE removed = 'none') b
+      WHERE c.removed != 'none'
+    )
+    SELECT channel, round(removal_effect, 6) AS removal_effect,
+           round(removal_effect / sum(removal_effect) OVER (), 6)
+             AS attribution_share,
+           round(px, 6) AS p_conv_full
+    FROM re ORDER BY channel
+    """,
+    doc="First-order Markov-chain attribution with removal effects "
+    "(Anderl et al. 2016): user journeys (purchase-delimited epochs) "
+    "become START -> touch -> ... -> CONV/NULL transition counts; a "
+    "channel's credit is how much the chain's absorption probability "
+    "into CONV drops when every path through that channel is cut "
+    "(transition probabilities keep their original denominators — the "
+    "redirected mass is lost, the standard removal-effect convention), "
+    "normalized across channels. Absorption solved by 20 bounded "
+    "value-iteration steps. Scale: the DATA-sized work is the "
+    "transition count (two windows + one grouped count, identical "
+    "shape to a bigram count); the chain solve runs on the <=6x7 "
+    "INTEGER count matrix — collected driver-side in Spark (exact "
+    "integers, no float nondeterminism crosses the boundary) and "
+    "replayed as a recursive CTE in the oracle.",
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ep = ev.withColumn("epoch", F.coalesce(F.sum("is_p").over(wprev), F.lit(0)))
+    j = ep.groupBy("user_id", "epoch").agg(F.max("is_p").alias("conv"))
+    touches = ep.where(F.col("is_p") == 0)
+    wseq = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    seq = touches.select(
+        "user_id",
+        "epoch",
+        "event_type",
+        F.lead("event_type").over(wseq).alias("nxt"),
+        F.row_number().over(wseq).alias("pos"),
+    )
+    first = seq.where(F.col("pos") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    mids = seq.where(F.col("nxt").isNotNull()).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    )
+    lasts = (
+        seq.where(F.col("nxt").isNull())
+        .join(j, ["user_id", "epoch"])
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("conv") == 1, "CONV").otherwise("NULL").alias("dst"),
+        )
+    )
+    direct = (
+        j.where(F.col("conv") == 1)
+        .join(
+            touches.select("user_id", "epoch").distinct(),
+            ["user_id", "epoch"],
+            "left_anti",
+        )
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    counts = (
+        first.unionAll(mids)
+        .unionAll(lasts)
+        .unionAll(direct)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    # the chain solve: <= 6x7 integer matrix — driver-sized by
+    # construction (state space is the channel taxonomy, not the data)
+    rows = counts.collect()
+    c: dict[tuple[str, str], int] = {(r["src"], r["dst"]): r["c"] for r in rows}
+    srcs = sorted({s for s, _ in c})
+    out_tot = {s: sum(v for (s2, _), v in c.items() if s2 == s) for s in srcs}
+
+    def absorb(removed: str | None) -> float:
+        states = ["START"] + [ch for ch in _MK_CHANNELS if ch != removed]
+        x = {s: 0.0 for s in states}
+        for _ in range(_MK_ITERS):
+            nx = {}
+            for s in states:
+                tot = out_tot.get(s, 0)
+                if tot == 0:
+                    nx[s] = 0.0
+                    continue
+                acc = c.get((s, "CONV"), 0) / tot
+                for ch in states:
+                    if ch != "START" and (s, ch) in c:
+                        acc += c[(s, ch)] / tot * x[ch]
+                nx[s] = acc
+            x = nx
+        return x["START"]
+
+    base = absorb(None)
+    effects = {
+        ch: max(1 - absorb(ch) / base, 0.0) if base > 0 else 0.0
+        for ch in _MK_CHANNELS
+    }
+    tot_eff = sum(effects.values())
+    data = [
+        (
+            ch,
+            round(effects[ch], 6),
+            round(effects[ch] / tot_eff, 6) if tot_eff > 0 else None,
+            round(base, 6),
+        )
+        for ch in _MK_CHANNELS
+    ]
+    return spark.createDataFrame(
+        data,
+        "channel string, removal_effect double, attribution_share double, "
+        "p_conv_full double",
+    ).orderBy("channel")
+
+
+@register(
+    "shapley_attribution_sets",
+    f"""
+    WITH {_JOURNEY_SQL},
+    jm AS (
+      SELECT user_id, epoch, max(is_p) AS conv,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS mask
+      FROM ep GROUP BY user_id, epoch
+    ),
+    v AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             avg(CAST(conv AS DOUBLE)) AS v
+      FROM jm GROUP BY mask
+    ),
+    vfull AS (
+      SELECT s.s, coalesce(v.v, 0) AS v, coalesce(v.n, 0) AS n
+      FROM (SELECT unnest(range(0, 16)) AS s) s
+      LEFT JOIN v ON v.mask = s.s
+    ),
+    channels AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4),
+                            ('error', 8)) c(channel, bit)
+    ),
+    terms AS (
+      SELECT c.channel, c.bit,
+             (CASE bit_count(vf.s) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12
+                                   WHEN 2 THEN 1.0/12 ELSE 0.25 END)
+             * (vw.v - vf.v) AS term
+      FROM channels c
+      JOIN vfull vf ON (vf.s & c.bit) = 0
+      JOIN vfull vw ON vw.s = vf.s + c.bit
+    )
+    SELECT t.channel, round(sum(t.term), 6) AS shapley_value,
+           CAST(nj.n_journeys AS BIGINT) AS n_journeys
+    FROM terms t
+    JOIN (SELECT c.channel, sum(vf.n) AS n_journeys
+          FROM channels c JOIN vfull vf ON (vf.s & c.bit) != 0
+          GROUP BY c.channel) nj ON nj.channel = t.channel
+    GROUP BY t.channel, nj.n_journeys
+    ORDER BY t.channel
+    """,
+    doc="Exact Shapley-value attribution over channel coalitions "
+    "(Shapley 1953 applied to journeys as in Zhao et al. 2018): each "
+    "purchase-delimited journey reduces to its SET of touched channels "
+    "(4-bit mask); the coalition value v(S) is the empirical "
+    "conversion rate of journeys with exactly that set (unobserved "
+    "subsets contribute 0), and each channel's credit is the exact "
+    "Shapley sum over the 16-subset lattice with closed-form "
+    "|S|!(k-|S|-1)!/k! weights. Scale: the DATA-sized work is one "
+    "grouped aggregate to a 16-row table (mask build is two windows + "
+    "one groupBy, same scan as the Markov chain); the lattice math is "
+    "a 4x8-row literal join — CONSTANT, no driver loop, no Python.",
+)
+def shapley_attribution_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ep = ev.withColumn("epoch", F.coalesce(F.sum("is_p").over(wprev), F.lit(0)))
+
+    def bit(t: str, b: int):
+        return b * F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    jm = ep.groupBy("user_id", "epoch").agg(
+        F.max("is_p").alias("conv"),
+        (bit("view", 1) + bit("click", 2) + bit("signup", 4) + bit("error", 8))
+        .alias("mask"),
+    )
+    v = jm.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg(F.col("conv").cast("double")).alias("v"),
+    )
+    vfull = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("s"))
+        .join(F.broadcast(v), F.col("s") == F.col("mask"), "left")
+        .select(
+            "s",
+            F.coalesce(F.col("v"), F.lit(0.0)).alias("v"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit int",
+    )
+    vf, vw = vfull.alias("vf"), vfull.alias("vw")
+    weight = (
+        F.when(F.bit_count(F.col("vf.s")) == 0, F.lit(0.25))
+        .when(F.bit_count(F.col("vf.s")) == 1, F.lit(1.0) / 12)
+        .when(F.bit_count(F.col("vf.s")) == 2, F.lit(1.0) / 12)
+        .otherwise(F.lit(0.25))
+    )
+    terms = (
+        channels.join(F.broadcast(vf), F.col("vf.s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(vw), F.col("vw.s") == F.col("vf.s") + F.col("bit"))
+        .select(
+            "channel",
+            "bit",
+            (weight * (F.col("vw.v") - F.col("vf.v"))).alias("term"),
+        )
+    )
+    nj = (
+        channels.join(F.broadcast(vfull), F.col("s").bitwiseAND(F.col("bit")) != 0)
+        .groupBy("channel")
+        .agg(F.sum("n").cast("bigint").alias("n_journeys"))
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(F.round(F.sum("term"), 6).alias("shapley_value"))
+        .join(nj, "channel")
+        .orderBy("channel")
+    )
