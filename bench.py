@@ -312,6 +312,11 @@ HEADLINE = [
     # round-6h: attribution deepening (queries/marketing.py)
     "markov_attribution_removal",
     "shapley_attribution_sets",
+    # round-6i: Kalman, HITS, Kneser-Ney LM, AMS sketch
+    "kalman_local_level_daily",
+    "hits_event_transitions",
+    "kneser_ney_bigram_top",
+    "ams_f2_certificate",
 ]
 
 

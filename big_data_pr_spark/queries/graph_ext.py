@@ -324,3 +324,99 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("members"), "community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6i: HITS hubs/authorities on the event-transition graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 10
+
+
+@register(
+    "hits_event_transitions",
+    f"""
+    WITH RECURSIVE edges AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events)
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT event_type AS node FROM events
+    ),
+    it AS (
+      SELECT 0 AS t, node, CAST(1.0 AS DOUBLE) AS h, CAST(1.0 AS DOUBLE) AS a
+      FROM nodes
+      UNION ALL
+      SELECT t, node,
+             hr / sqrt(sum(hr * hr) OVER ()) AS h,
+             ar / sqrt(sum(ar * ar) OVER ()) AS a
+      FROM (
+        SELECT it0.t + 1 AS t, n.node,
+               coalesce(sum(eo.w * it0.a)
+                 FILTER (WHERE eo.src = n.node AND eo.dst = it0.node), 0) AS hr,
+               coalesce(sum(ei.w * it0.h)
+                 FILTER (WHERE ei.dst = n.node AND ei.src = it0.node), 0) AS ar
+        FROM it it0
+        CROSS JOIN nodes n
+        LEFT JOIN edges eo ON eo.src = n.node AND eo.dst = it0.node
+        LEFT JOIN edges ei ON ei.dst = n.node AND ei.src = it0.node
+        WHERE it0.t < {_HITS_ITERS}
+        GROUP BY it0.t, n.node
+      )
+    )
+    SELECT node, round(h, 6) AS hub, round(a, 6) AS authority
+    FROM it WHERE t = {_HITS_ITERS} ORDER BY node
+    """,
+    doc="HITS hubs/authorities (Kleinberg 1999) on the weighted "
+    "event-type transition graph — the companion eigenvector pair to "
+    "pagerank_event_transitions: hub = types that LEAD INTO important "
+    f"types, authority = types led into. {_HITS_ITERS} power-iteration "
+    "rounds with L2 normalization each round. Scale: the DATA-sized "
+    "work is the transition count (one window + one grouped count); "
+    "the iteration runs on the |types|^2-bounded integer count matrix "
+    "— collected driver-side in Spark (exact integers cross the "
+    "boundary, float math replayed identically) and as a recursive "
+    "CTE in the oracle.",
+)
+def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    nodes = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    cmat = {(r["src"], r["dst"]): r["c"] for r in edges.collect()}
+    h = {n: 1.0 for n in nodes}
+    a = {n: 1.0 for n in nodes}
+    for _ in range(_HITS_ITERS):
+        hr = {
+            n: sum(cmat.get((n, m), 0) * a[m] for m in nodes if (n, m) in cmat)
+            for n in nodes
+        }
+        ar = {
+            n: sum(cmat.get((m, n), 0) * h[m] for m in nodes if (m, n) in cmat)
+            for n in nodes
+        }
+        hn = sum(v * v for v in hr.values()) ** 0.5
+        an = sum(v * v for v in ar.values()) ** 0.5
+        h = {n: hr[n] / hn for n in nodes}
+        a = {n: ar[n] / an for n in nodes}
+    return spark.createDataFrame(
+        [(n, round(h[n], 6), round(a[n], 6)) for n in nodes],
+        "node string, hub double, authority double",
+    ).orderBy("node")

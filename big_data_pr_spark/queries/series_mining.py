@@ -868,3 +868,84 @@ def croston_demand_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_hat", 4).alias("p_hat"),
         F.round(F.col("z_hat") / F.col("p_hat"), 4).alias("demand_rate"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6i: Kalman local-level filter over daily revenue
+# ---------------------------------------------------------------------------
+
+_KF_Q = 0.01  # process noise variance (z-scored scale)
+_KF_R = 1.0  # observation noise variance
+
+
+@register(
+    "kalman_local_level_daily",
+    f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    stats AS (
+      SELECT avg(rev) AS mu, sqrt(avg(rev * rev) - avg(rev) * avg(rev)) AS sd
+      FROM daily
+    ),
+    obs AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY day) AS t,
+             (rev - stats.mu) / stats.sd AS x
+      FROM daily CROSS JOIN stats
+    ),
+    v AS (
+      SELECT CAST(1 AS BIGINT) AS t, x, x AS l, CAST(1.0 AS DOUBLE) AS pp,
+             CAST(1.0 AS DOUBLE) AS k
+      FROM obs WHERE t = 1
+      UNION ALL
+      SELECT nx.t, nx.x,
+             v.l + ((v.pp + {_KF_Q}) / (v.pp + {_KF_Q} + {_KF_R}))
+                   * (nx.x - v.l) AS l,
+             (1 - (v.pp + {_KF_Q}) / (v.pp + {_KF_Q} + {_KF_R}))
+               * (v.pp + {_KF_Q}) AS pp,
+             (v.pp + {_KF_Q}) / (v.pp + {_KF_Q} + {_KF_R}) AS k
+      FROM v JOIN obs nx ON nx.t = v.t + 1
+    )
+    SELECT t, round(x, 6) AS x, round(l, 6) AS level, round(k, 6) AS gain
+    FROM v ORDER BY t
+    """,
+    doc="Kalman filter, local-level (random-walk + noise) model, over "
+    f"z-scored daily revenue: q={_KF_Q}, r={_KF_R}; per day the "
+    "filtered level, the innovation gain (which converges to the "
+    "steady-state Riccati fixpoint within ~10 steps — the online "
+    "smoothing weight streaming monitors would use), and the z-scored "
+    "observation. Same bit-identical-recursion contract as "
+    "holt_winters_additive: both engines run the identical expression "
+    "tree per step (predict P+q, gain, correct), so the DuckDB "
+    "recursive CTE replays the applyInPandas loop exactly; outputs "
+    "rounded 6 dp. Scale: recursion runs on the post-aggregation "
+    "|days| series in ONE Arrow batch; per-series parallel via the "
+    "same groupBy when filtering many keys.",
+)
+def kalman_local_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    daily = _daily(spark, sf_dir)
+
+    def kf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        rev = [float(v) for v in pdf["rev"]]
+        n = len(rev)
+        mu = sum(rev) / n
+        sd = (sum(v * v for v in rev) / n - mu * mu) ** 0.5
+        xs = [(v - mu) / sd for v in rev]
+        rows = [(1, round(xs[0], 6), round(xs[0], 6), round(1.0, 6))]
+        l, pp = xs[0], 1.0
+        for t in range(2, n + 1):
+            x = xs[t - 1]
+            ppred = pp + _KF_Q
+            k = ppred / (ppred + _KF_R)
+            l = l + k * (x - l)
+            pp = (1 - k) * ppred
+            rows.append((t, round(x, 6), round(l, 6), round(k, 6)))
+        return pd.DataFrame(rows, columns=["t", "x", "level", "gain"])
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(kf, "t long, x double, level double, gain double")
+        .orderBy("t")
+    )

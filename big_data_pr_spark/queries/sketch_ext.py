@@ -190,3 +190,81 @@ def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.row_number().over(w).alias("rank"), "doc_id", "n_chars"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Round-6i: AMS (tug-of-war) F2 sketch with exact certificate
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16  # number of independent sign sketches
+
+
+@register(
+    "ams_f2_certificate",
+    f"""
+    WITH tok0 AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sk AS (SELECT unnest(range(0, {_AMS_K})) AS j),
+    z AS (
+      SELECT sk.j,
+             sum(CASE WHEN substr(md5(tok0.w || '#' || sk.j), 1, 1) < '8'
+                      THEN 1.0 ELSE -1.0 END) AS zj
+      FROM tok0 CROSS JOIN sk GROUP BY sk.j
+    ),
+    est AS (SELECT avg(zj * zj) AS f2_est FROM z),
+    ex AS (
+      SELECT sum(c * c) AS f2_exact FROM
+        (SELECT count(*) AS c FROM tok0 GROUP BY w)
+    )
+    SELECT CAST(ex.f2_exact AS BIGINT) AS f2_exact,
+           round(est.f2_est, 2) AS f2_est,
+           round(abs(est.f2_est - ex.f2_exact) / ex.f2_exact, 6) AS rel_err,
+           CAST(abs(est.f2_est - ex.f2_exact)
+                <= 4 * ex.f2_exact * sqrt(2.0 / {_AMS_K}) AS INTEGER)
+             AS within_4sigma
+    FROM est CROSS JOIN ex
+    """,
+    doc="AMS 'tug-of-war' second-moment sketch (Alon-Matias-Szegedy "
+    f"1996) with an exact certificate: {_AMS_K} independent +-1 sign "
+    "sketches (sign = md5(token#j) first hex char — engine-neutral, "
+    "replayable anywhere), each accumulating Z_j = sum_w s_j(w) f_w; "
+    "E[Z^2] = F2 = sum f^2, Var <= 2 F2^2 / k, so the mean-of-squares "
+    "estimate is certified against the exact self-join size F2 within "
+    "4 sigma. F2 IS the join/skew cost oracle (self-join output size "
+    "on that key), which is why engines sketch it. Scale: each Z_j is "
+    "ONE map-side-combinable sum over the token stream — k x corpus "
+    "narrow work, 16-row state, no vocabulary materialized; the exact "
+    "side (one vocab-bounded groupBy) exists only to certify.",
+)
+def ams_f2_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    sk = spark.range(_AMS_K).select(F.col("id").alias("j"))
+    sign = F.when(
+        F.substring(F.md5(F.concat_ws("#", "w", "j")), 1, 1) < "8", F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    z = (
+        tok.crossJoin(F.broadcast(sk))
+        .groupBy("j")
+        .agg(F.sum(sign).alias("zj"))
+    )
+    est = z.agg(F.avg(F.col("zj") * F.col("zj")).alias("f2_est"))
+    ex = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    )
+    return est.crossJoin(ex).select(
+        F.col("f2_exact").cast("bigint").alias("f2_exact"),
+        F.round("f2_est", 2).alias("f2_est"),
+        F.round(
+            F.abs(F.col("f2_est") - F.col("f2_exact")) / F.col("f2_exact"), 6
+        ).alias("rel_err"),
+        (
+            F.abs(F.col("f2_est") - F.col("f2_exact"))
+            <= 4 * F.col("f2_exact") * F.lit((2.0 / _AMS_K) ** 0.5)
+        )
+        .cast("int")
+        .alias("within_4sigma"),
+    )

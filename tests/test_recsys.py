@@ -120,3 +120,12 @@ def test_mmd_label_drift_kernel_bounds(spark, sf_dir):
         assert 0.0 < r[c] <= 1.0
     # unbiased-style estimate may dip slightly below 0, never far
     assert -0.05 <= r["mmd2"] <= 2.0
+
+
+def test_hits_scores_normalized_and_positive(spark, sf_dir):
+    rows = REGISTRY["hits_event_transitions"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    h2 = sum(r["hub"] ** 2 for r in rows)
+    a2 = sum(r["authority"] ** 2 for r in rows)
+    assert abs(h2 - 1.0) < 1e-3 and abs(a2 - 1.0) < 1e-3
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in rows)
