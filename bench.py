@@ -317,6 +317,10 @@ HEADLINE = [
     "hits_event_transitions",
     "kneser_ney_bigram_top",
     "ams_f2_certificate",
+    # round-6j: distribution distance, survival test, media-mix
+    "wasserstein_value_shift",
+    "logrank_ship_priority",
+    "adstock_mmm_fit",
 ]
 
 

@@ -824,3 +824,152 @@ def shapley_attribution_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nj, "channel")
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6j: geometric-adstock media-mix regression
+# ---------------------------------------------------------------------------
+
+_AD_LAM = 0.6  # geometric carryover decay
+_AD_K = 13  # adstock memory (lags 0..13)
+
+
+def _adstock_terms_sql(col: str) -> str:
+    # weights written as repr() doubles and cast explicitly — DuckDB
+    # otherwise parses the literals as DECIMAL and the covariance
+    # products overflow DECIMAL(38)
+    return " + ".join(
+        f"CAST({_AD_LAM ** k!r} AS DOUBLE)"
+        f" * coalesce(lag({col}, {k}) OVER (ORDER BY day), 0)"
+        for k in range(_AD_K + 1)
+    )
+
+
+@register(
+    "adstock_mmm_fit",
+    f"""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    raw AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT spine.day, coalesce(raw.v, 0) AS v, coalesce(raw.c, 0) AS c,
+             coalesce(raw.y, 0) AS y
+      FROM spine LEFT JOIN raw USING (day)
+    ),
+    ads AS (
+      SELECT day, y,
+             {_adstock_terms_sql('v')} AS av,
+             {_adstock_terms_sql('c')} AS ac
+      FROM daily
+    ),
+    m AS (
+      SELECT count(*) AS n, avg(av) AS m1, avg(ac) AS m2, avg(y) AS my,
+             avg(av * av) - avg(av) * avg(av) AS s11,
+             avg(av * ac) - avg(av) * avg(ac) AS s12,
+             avg(ac * ac) - avg(ac) * avg(ac) AS s22,
+             avg(av * y) - avg(av) * avg(y) AS s1y,
+             avg(ac * y) - avg(ac) * avg(y) AS s2y,
+             avg(y * y) - avg(y) * avg(y) AS syy
+      FROM ads
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6)
+             AS beta_view_adstock,
+           round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6)
+             AS beta_click_adstock,
+           round(my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * m1
+                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * m2, 4)
+             AS intercept,
+           round(((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+                + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y)
+                / syy, 6) AS r2
+    FROM m
+    """,
+    doc="Media-mix regression with geometric adstock (the Broadbent "
+    f"carryover model, lambda={_AD_LAM}, {_AD_K + 1}-day memory): "
+    "daily view and click volumes transform into adstocked exposure "
+    "series (explicit finite lag-weighted sums over a gap-free day "
+    "spine, so missing days decay correctly), and daily purchase "
+    "revenue regresses on the two exposures via the closed-form "
+    "two-variable OLS normal equations — the causal-flavored "
+    "complement to attribution: attribution splits observed "
+    "conversions, MMM estimates marginal response per exposure unit. "
+    "Scale: one grouped aggregate to the |days| table, 28 lag windows "
+    "over it (all the same sort), one covariance aggregate — nothing "
+    "data-sized after the first groupBy.",
+)
+def adstock_mmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0
+            )
+        ).alias("y"),
+    )
+    spine = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    daily = spine.join(raw, "day", "left").select(
+        "day",
+        F.coalesce("v", F.lit(0)).alias("v"),
+        F.coalesce("c", F.lit(0)).alias("c"),
+        F.coalesce("y", F.lit(0.0)).alias("y"),
+    )
+    w = Window.orderBy("day")
+
+    def adstock(col: str):
+        acc = F.lit(0.0)
+        for k in range(_AD_K + 1):
+            acc = acc + (_AD_LAM**k) * F.coalesce(
+                F.lag(col, k).over(w), F.lit(0)
+            )
+        return acc
+
+    ads = daily.select("y", adstock("v").alias("av"), adstock("c").alias("ac"))
+
+    def cov(a: str, b: str):
+        return F.avg(F.col(a) * F.col(b)) - F.avg(a) * F.avg(b)
+
+    m = ads.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("av").alias("m1"),
+        F.avg("ac").alias("m2"),
+        F.avg("y").alias("my"),
+        cov("av", "av").alias("s11"),
+        cov("av", "ac").alias("s12"),
+        cov("ac", "ac").alias("s22"),
+        cov("av", "y").alias("s1y"),
+        cov("ac", "y").alias("s2y"),
+        cov("y", "y").alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(b1, 6).alias("beta_view_adstock"),
+        F.round(b2, 6).alias("beta_click_adstock"),
+        F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 4).alias(
+            "intercept"
+        ),
+        F.round((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy"), 6).alias(
+            "r2"
+        ),
+    )

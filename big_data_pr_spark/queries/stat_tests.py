@@ -2132,3 +2132,193 @@ def dunn_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_bound"),
         (F.abs(zstat) > 2.241403).alias("significant"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Round-6j: Wasserstein-1 distance and the log-rank survival test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_value_shift",
+    """
+    WITH ab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a, value
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT value, sum(is_a) AS ca, sum(1 - is_a) AS cb FROM ab GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS nb
+      FROM ab
+    ),
+    cum AS (
+      SELECT value,
+             sum(ca) OVER (ORDER BY value) AS cca,
+             sum(cb) OVER (ORDER BY value) AS ccb,
+             lead(value) OVER (ORDER BY value) AS v_next
+      FROM per
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           round(sum(abs(cca * 1.0 / na - ccb * 1.0 / nb)
+                     * (v_next - value)), 6) AS w1
+    FROM cum CROSS JOIN tot
+    WHERE v_next IS NOT NULL
+    GROUP BY tot.na, tot.nb
+    """,
+    doc="Wasserstein-1 (earth mover's) distance between the purchase "
+    "and view value distributions, computed EXACTLY as the area "
+    "between the two empirical CDFs (integral of |F_a - F_b| over the "
+    "merged support) — the magnitude-aware companion to "
+    "ks_test_purchase_vs_view's sup-norm: KS sees the worst gap, W1 "
+    "sees how much value has to MOVE, which is the quantity cost/ "
+    "uplift models care about. All counts exact integers through the "
+    "cumulative windows; one |distinct-values| sort, no pairing.",
+)
+def wasserstein_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ab = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        "value",
+    )
+    per = ab.groupBy("value").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = ab.agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        (F.count("*") - F.sum("is_a")).cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("value")
+    cum = per.select(
+        "value",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        F.lead("value").over(w).alias("v_next"),
+    )
+    return (
+        cum.where(F.col("v_next").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("cca") * 1.0 / F.col("na")
+                        - F.col("ccb") * 1.0 / F.col("nb")
+                    )
+                    * (F.col("v_next") - F.col("value"))
+                ),
+                6,
+            ).alias("w1")
+        )
+        .select(
+            F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "w1"
+        )
+    )
+
+
+@register(
+    "logrank_ship_priority",
+    """
+    WITH lat AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS t,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_t AS (
+      SELECT t, sum(g1) AS d1, count(*) AS d FROM lat GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d,
+             sum(d1) OVER (ORDER BY t DESC) AS n1,
+             sum(d) OVER (ORDER BY t DESC) AS n
+      FROM per_t
+    ),
+    terms AS (
+      SELECT d1, d * n1 * 1.0 / n AS e1,
+             CASE WHEN n > 1 THEN
+               d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1)
+             ELSE 0 END AS v
+      FROM risk
+    ),
+    s AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(e1) AS e1, sum(v) AS v
+      FROM terms
+    )
+    SELECT (SELECT CAST(sum(g1) AS BIGINT) FROM lat) AS n_urgent,
+           (SELECT CAST(count(*) - sum(g1) AS BIGINT) FROM lat) AS n_low,
+           o1, round(e1, 6) AS e1,
+           round((o1 - e1) / sqrt(v), 6) AS z,
+           round(pow(o1 - e1, 2) / v, 6) AS chi2
+    FROM s
+    """,
+    doc="Log-rank (Mantel-Cox) test comparing URGENT vs LOW order-to-"
+    "ship latency 'survival': at every distinct latency t, observed "
+    "urgent-line shipments d1 vs the hypergeometric expectation d*n1/n over "
+    "the at-risk sets, summed into the standard z / chi-square(1) "
+    "statistic — the hypothesis-test companion to kaplan_meier_ship_"
+    "latency (KM draws the curves; log-rank says whether they differ). "
+    "No censoring in this fixture so every row is an event. At-risk "
+    "counts are ONE descending cumulative window over the |distinct "
+    "latencies| table; everything upstream is a grouped integer count.",
+)
+def logrank_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g1"),
+    )
+    per_t = lat.groupBy("t").agg(
+        F.sum("g1").alias("d1"), F.count("*").alias("d")
+    )
+    wdesc = Window.orderBy(F.desc("t"))
+    risk = per_t.select(
+        "d1",
+        "d",
+        F.sum("d1").over(wdesc).alias("n1"),
+        F.sum("d").over(wdesc).alias("n"),
+    )
+    frac = F.col("n1") * 1.0 / F.col("n")
+    terms = risk.select(
+        "d1",
+        (F.col("d") * frac).alias("e1"),
+        F.when(
+            F.col("n") > 1,
+            F.col("d") * frac * (1 - frac) * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    s = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1").alias("e1"),
+        F.sum("v").alias("v"),
+    )
+    sizes = lat.agg(
+        F.sum("g1").cast("bigint").alias("n_urgent"),
+        (F.count("*") - F.sum("g1")).cast("bigint").alias("n_low"),
+    )
+    return sizes.crossJoin(s).select(
+        "n_urgent",
+        "n_low",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round((F.col("o1") - F.col("e1")) / F.sqrt("v"), 6).alias("z"),
+        F.round(F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v"), 6).alias(
+            "chi2"
+        ),
+    )

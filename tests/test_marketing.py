@@ -25,3 +25,10 @@ def test_shapley_efficiency_and_symmetric_inputs(spark, sf_dir):
         assert r["n_journeys"] > 0
         # |phi| can't exceed the max possible marginal contribution (a rate)
         assert abs(r["shapley_value"]) <= 1.0
+
+
+def test_adstock_mmm_r2_bounds(spark, sf_dir):
+    r = REGISTRY["adstock_mmm_fit"].fn(spark, sf_dir).first()
+    assert r["n_days"] > 20
+    # R^2 of an OLS fit with intercept is in [0, 1]
+    assert -1e-9 <= r["r2"] <= 1.0 + 1e-9
