@@ -321,6 +321,9 @@ HEADLINE = [
     "wasserstein_value_shift",
     "logrank_ship_priority",
     "adstock_mmm_fit",
+    # round-6k: MMR diversity re-rank, content-defined chunking
+    "mmr_rerank_lit",
+    "cdc_chunk_stats",
 ]
 
 

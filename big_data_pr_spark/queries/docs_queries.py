@@ -17,7 +17,7 @@ Oracle construction notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import bpe as bpe_ops
@@ -2736,4 +2736,236 @@ def blocklist_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(rate), 6).alias("mean_hit_rate"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6k: MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAM = 0.7
+_MMR_CAND = 20
+_MMR_K = 10
+
+
+@register(
+    "mmr_rerank_lit",
+    f"""
+    WITH RECURSIVE cand AS MATERIALIZED (
+      SELECT a.vec_id, a.embedding, {_COS_EXPR} AS rel
+      FROM embeddings a,
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0) b
+      WHERE a.vec_id <> b.vec_id
+      ORDER BY rel DESC, a.vec_id LIMIT {_MMR_CAND}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_EXPR} AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    it AS (
+      SELECT 0 AS t, CAST(NULL AS BIGINT) AS vec_id,
+             CAST(NULL AS DOUBLE) AS score, CAST([] AS BIGINT[]) AS sel
+      UNION ALL
+      SELECT t + 1, vec_id, score, list_append(sel, vec_id)
+      FROM (
+        SELECT q.t, q.sel, q.vec_id, q.score,
+               row_number() OVER (PARTITION BY q.t
+                                  ORDER BY q.score DESC, q.vec_id) AS rn
+        FROM (
+          SELECT it.t, it.sel, c.vec_id,
+                 {_MMR_LAM} * c.rel - {1 - _MMR_LAM} * coalesce(
+                   max(CASE WHEN list_contains(it.sel, s.id_b)
+                            THEN s.sim END), 0) AS score
+          FROM it
+          JOIN cand c ON NOT list_contains(it.sel, c.vec_id)
+          LEFT JOIN sims s ON s.id_a = c.vec_id
+          WHERE it.t < {_MMR_K}
+          GROUP BY it.t, it.sel, c.vec_id, c.rel
+        ) q
+      ) WHERE rn = 1
+    )
+    SELECT t AS rank, vec_id, round(score, 6) AS mmr_score
+    FROM it WHERE t >= 1 ORDER BY rank
+    """,
+    doc="Maximal marginal relevance re-ranking (Carbonell & Goldstein "
+    f"1998), the RAG/retrieval diversity standard: from the exact "
+    f"cosine top-{_MMR_CAND} for query vec_id=0, greedily pick "
+    f"{_MMR_K} results maximizing lambda*rel - (1-lambda)*max-"
+    f"similarity-to-already-picked (lambda={_MMR_LAM}) — relevance "
+    "with redundancy suppressed, the post-retrieval step between ANN "
+    "top-k and the context window. Scale: the DATA-sized work is the "
+    "broadcast cosine scan + TakeOrdered heap (identical plan to "
+    "knn_cosine_bruteforce); the greedy loop runs on the CONSTANT "
+    "candidate set (20 rows + 380 pairwise sims, exact rounded values "
+    "cross the boundary) driver-side in Spark and as a recursive CTE "
+    "in the oracle — both pick via the identical (score, vec_id) "
+    "total order.",
+)
+def mmr_rerank_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    cand = similarity.cosine_topk(emb, q, k=_MMR_CAND).select("vec_id", "cos_sim")
+    cand_emb = emb.join(cand, "vec_id").select("vec_id", "embedding", "cos_sim")
+    rows = cand_emb.collect()  # CONSTANT-sized: _MMR_CAND rows
+    rel = {r["vec_id"]: float(r["cos_sim"]) for r in rows}
+    vecs = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+
+    def cos(u: list[float], v: list[float]) -> float:
+        num = den_u = den_v = 0.0
+        for a, b in zip(u, v):
+            num += a * b
+            den_u += a * a
+            den_v += b * b
+        return round(num / (den_u**0.5 * den_v**0.5), 6)
+
+    ids = sorted(vecs)
+    sim = {
+        (i, j): cos(vecs[i], vecs[j]) for i in ids for j in ids if i != j
+    }
+    sel: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for c in ids:
+            if c in sel:
+                continue
+            red = max((sim[(c, s)] for s in sel), default=0.0)
+            score = _MMR_LAM * rel[c] - (1 - _MMR_LAM) * red
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        sel.append(best[1])
+        out.append((rank, best[1], round(best[2], 6)))
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, mmr_score double"
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Round-6k: content-defined chunking (Rabin-style, md5-gated boundaries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_chunk_stats",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos0 AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM t
+    ),
+    pos AS (
+      SELECT doc_id, i, w[i] AS word,
+             CASE WHEN i >= 3 AND substr(md5(
+                    w[i-2] || ' ' || w[i-1] || ' ' || w[i]), 1, 1) = '0'
+                  THEN 1 ELSE 0 END AS bnd
+      FROM pos0
+    ),
+    ck AS (
+      SELECT doc_id, i, word,
+             coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY i)) AS h
+      FROM ck GROUP BY doc_id, chunk
+    ),
+    flagged AS (
+      SELECT doc_id, n_words,
+             CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END
+               AS dup
+      FROM chunks
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(n_words), 6) AS avg_chunk_words,
+           CAST(sum(dup) AS BIGINT) AS n_dup_chunks
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Content-defined chunking (the Rabin/LBFS storage-dedup "
+    "technique, word-granular): a chunk boundary falls after word i "
+    "whenever md5 of the trailing 3-word window starts with hex '0' "
+    "(p=1/16 => ~16-word expected chunks), so boundaries RESYNC after "
+    "edits — an insertion changes O(1) chunks, where chunk_documents' "
+    "fixed-width grid shifts every subsequent chunk. Per doc: chunk "
+    "count, mean width, and how many of its chunks are byte-identical "
+    "to a chunk elsewhere (the dedupable fraction a content-addressed "
+    "store would collapse). One narrow position explode + per-doc "
+    "windows + one |chunks| grouped hash; the cross-corpus dup check "
+    "is a single count window keyed on the 16-byte chunk hash.",
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", text.tokens(F.col("text")).alias("w"))
+    pos = (
+        t.select(
+            "doc_id",
+            F.explode(F.expr("transform(w, (x, j) -> struct(j + 1 AS i, x AS word))")).alias("p"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.col("p.i").alias("i"),
+            F.col("p.word").alias("word"),
+            F.when(
+                (F.col("p.i") >= 3)
+                & (
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at("w", F.col("p.i") - 2),
+                                F.element_at("w", F.col("p.i") - 1),
+                                F.element_at("w", F.col("p.i")),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                    == "0"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("bnd"),
+        )
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ck = pos.select(
+        "doc_id",
+        "i",
+        "word",
+        F.coalesce(F.sum("bnd").over(wc), F.lit(0)).alias("chunk"),
+    )
+    chunks = ck.groupBy("doc_id", "chunk").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("h"),
+    )
+    flagged = chunks.select(
+        "doc_id",
+        "n_words",
+        F.when(F.count("*").over(Window.partitionBy("h")) > 1, 1)
+        .otherwise(0)
+        .alias("dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.round(F.avg("n_words"), 6).alias("avg_chunk_words"),
+            F.sum("dup").cast("bigint").alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
     )

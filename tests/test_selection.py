@@ -99,3 +99,31 @@ def test_temperature_weights_flatten_the_mix(spark, sf_dir):
     assert big["w_a30"] <= big["w_a50"] <= big["w_a70"] <= big["w_a100"]
     small = min(rows, key=lambda r: r["n_tokens"])
     assert small["w_a30"] >= small["w_a50"] >= small["w_a70"] >= small["w_a100"]
+
+
+def test_mmr_prefix_is_relevance_topk_then_diversifies(spark, sf_dir):
+    out = REGISTRY["mmr_rerank_lit"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert [r["rank"] for r in out] == list(range(1, 11))
+    assert len({r["vec_id"] for r in out}) == 10  # no repeats
+    # scores are non-increasing only for the FIRST pick vs pure
+    # relevance; the invariant that always holds: every score is
+    # bounded by lambda * max relevance
+    assert all(r["mmr_score"] <= 0.7 * 1.0 + 1e-9 for r in out)
+
+
+def test_cdc_chunks_partition_docs(spark, sf_dir):
+    from big_data_pr_spark.tables import load as _load
+
+    rows = REGISTRY["cdc_chunk_stats"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_words"]
+        for r in _load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n_words")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        # chunks tile the doc exactly: n_chunks * avg == total words
+        assert abs(r["n_chunks"] * r["avg_chunk_words"] - docs[r["doc_id"]]) < 1e-3
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
