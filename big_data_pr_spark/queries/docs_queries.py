@@ -17,6 +17,8 @@ Oracle construction notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2784,7 +2786,7 @@ _MMR_K = 10
         ) q
       ) WHERE rn = 1
     )
-    SELECT t AS rank, vec_id, round(score, 6) AS mmr_score
+    SELECT t AS rank, vec_id, floor(score * 1e6 + 0.5) / 1e6 AS mmr_score
     FROM it WHERE t >= 1 ORDER BY rank
     """,
     doc="Maximal marginal relevance re-ranking (Carbonell & Goldstein "
@@ -2835,7 +2837,9 @@ def mmr_rerank_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
             if best is None or key < best[0]:
                 best = (key, c, score)
         sel.append(best[1])
-        out.append((rank, best[1], round(best[2], 6)))
+        # floor-quantization instead of round(): banker's-vs-half-away
+        # disagreement at 1-ulp boundaries (see registry docstring)
+        out.append((rank, best[1], math.floor(best[2] * 1e6 + 0.5) / 1e6))
     return spark.createDataFrame(
         out, "rank long, vec_id long, mmr_score double"
     ).orderBy("rank")
