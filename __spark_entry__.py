@@ -344,6 +344,9 @@ _POST_FREEZE = [
     # round-6k: MMR diversity re-rank, content-defined chunking
     "mmr_rerank_lit",
     "cdc_chunk_stats",
+    # round-6l: interval-overlap join, Simpson audit
+    "session_overlap_pairs",
+    "simpson_paradox_audit",
 ]
 
 

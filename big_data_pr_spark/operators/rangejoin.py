@@ -75,3 +75,56 @@ def point_in_interval_join(
         & (pt[point_col] < iv[end_col])
     )
     return iv.join(pt, cond, how).drop(iv["__bkt"]).drop(pt["__bkt"])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "sess_start",
+    end_col: str = "sess_end",
+    width_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval overlap join (closed intervals: overlap iff
+    ``l.start <= r.end AND r.start <= l.end``) without a nested loop:
+    both sides explode to the fixed-width buckets they cover, the join
+    runs as an equi-join on the bucket key with the true overlap
+    predicate riding in the condition, and the bucket-induced
+    duplicates (a pair overlapping across k shared buckets appears k
+    times) collapse with one ``dropDuplicates`` over the joined key
+    columns. Cost is |rows| x avg-buckets-per-interval through one hash
+    shuffle — never |left| x |right| — the distributed form of the
+    overlap joins interval trees serve locally. Columns on each side
+    must be pre-aliased to be disjoint; every left+right column is
+    treated as the pair identity for the dedup.
+    """
+    lw = left.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_micros(F.col(start_col)) / (width_seconds * 1_000_000)),
+                F.floor(epoch_micros(F.col(end_col)) / (width_seconds * 1_000_000)),
+            )
+        ),
+    )
+    rcols = [f"__r_{c}" for c in right.columns]
+    rr = right.toDF(*rcols)
+    rw = rr.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    epoch_micros(F.col(f"__r_{start_col}")) / (width_seconds * 1_000_000)
+                ),
+                F.floor(
+                    epoch_micros(F.col(f"__r_{end_col}")) / (width_seconds * 1_000_000)
+                ),
+            )
+        ),
+    )
+    cond = (
+        (lw["__bkt"] == rw["__bkt"])
+        & (lw[start_col] <= rw[f"__r_{end_col}"])
+        & (rw[f"__r_{start_col}"] <= lw[end_col])
+    )
+    out = lw.join(rw, cond).drop("__bkt")
+    return out.dropDuplicates(left.columns + rcols)

@@ -1517,3 +1517,231 @@ def capm_beta_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ra") - beta * F.avg("rm"), 6).alias("alpha"),
         F.round(F.corr("ra", "rm"), 6).alias("r_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6l: interval-interval overlap join (session co-presence) and a
+# Simpson's-paradox audit
+# ---------------------------------------------------------------------------
+
+_SESS_CTE = """
+    g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sess_no, min(ts) AS sess_start, max(ts) AS sess_end
+      FROM s GROUP BY user_id, sess_no
+    )
+"""
+
+
+@register(
+    "session_overlap_pairs",
+    f"""
+    WITH {_SESS_CTE},
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             date_diff('second', greatest(a.sess_start, b.sess_start),
+                       least(a.sess_end, b.sess_end)) AS ov
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id
+       AND a.sess_start <= b.sess_end AND b.sess_start <= a.sess_end
+    )
+    SELECT u1, u2, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ov) AS BIGINT) AS overlap_secs
+    FROM pairs GROUP BY u1, u2
+    ORDER BY overlap_secs DESC, u1, u2 LIMIT 50
+    """,
+    doc="Session co-presence: top-50 user pairs by total overlapping "
+    "session time (gap-30-min sessions, closed-interval overlap) — "
+    "the interval x interval join that co-browsing/fraud-ring/"
+    "collusion detection runs. Spark side goes through operators/"
+    "rangejoin.py::interval_overlap_join: both session sets explode "
+    "onto hour buckets, the overlap predicate rides in a bucket "
+    "EQUI-join, and bucket-induced duplicates collapse by key — "
+    "|sessions| x avg-hours work through one hash shuffle, never the "
+    "|sessions|^2 nested loop the oracle uses to certify it.",
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+    from ..timeutil import epoch_seconds
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap flag via epoch seconds (ts may be TIMESTAMP_NTZ — timeutil)
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.lag("ts").over(w))
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > 1800), 1
+            )
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("sess_no"),
+        )
+        .groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end")
+        )
+    )
+    left = sess.select(
+        F.col("user_id").alias("u1"),
+        F.col("sess_start"),
+        F.col("sess_end"),
+    )
+    right = sess.select(
+        F.col("user_id").alias("u2"),
+        F.col("sess_start"),
+        F.col("sess_end"),
+    )
+    joined = interval_overlap_join(
+        left, right, "sess_start", "sess_end", width_seconds=3600
+    ).where(F.col("u1") < F.col("__r_u2"))
+    ov = epoch_seconds(
+        F.least("sess_end", "__r_sess_end")
+    ) - epoch_seconds(F.greatest("sess_start", "__r_sess_start"))
+    return (
+        joined.select("u1", F.col("__r_u2").alias("u2"), ov.alias("ov"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum("ov").cast("bigint").alias("overlap_secs"),
+        )
+        .orderBy(F.desc("overlap_secs"), "u1", "u2")
+        .limit(50)
+    )
+
+
+@register(
+    "simpson_paradox_audit",
+    """
+    WITH ue AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    coh AS (
+      SELECT user_id,
+             CASE WHEN ntile(2) OVER (ORDER BY n DESC, user_id) = 1
+                  THEN 1 ELSE 0 END AS heavy
+      FROM ue
+    ),
+    ev AS (
+      SELECT CASE WHEN isodow(CAST(e.ts AS DATE)) >= 6
+                  THEN 'weekend' ELSE 'weekday' END AS stratum,
+             coh.heavy,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events e JOIN coh USING (user_id)
+    ),
+    strat AS (
+      SELECT stratum,
+             sum(CASE WHEN heavy = 1 THEN is_p END) * 1.0
+               / sum(CASE WHEN heavy = 1 THEN 1 END) AS rate_heavy,
+             sum(CASE WHEN heavy = 0 THEN is_p END) * 1.0
+               / sum(CASE WHEN heavy = 0 THEN 1 END) AS rate_light
+      FROM ev GROUP BY stratum
+      UNION ALL
+      SELECT 'OVERALL',
+             sum(CASE WHEN heavy = 1 THEN is_p END) * 1.0
+               / sum(CASE WHEN heavy = 1 THEN 1 END),
+             sum(CASE WHEN heavy = 0 THEN is_p END) * 1.0
+               / sum(CASE WHEN heavy = 0 THEN 1 END)
+      FROM ev
+    )
+    SELECT stratum, round(rate_heavy, 6) AS rate_heavy,
+           round(rate_light, 6) AS rate_light,
+           round(rate_heavy - rate_light, 6) AS rate_diff,
+           CAST(sign(rate_heavy - rate_light) <> sign(
+                  max(CASE WHEN stratum = 'OVERALL'
+                      THEN rate_heavy - rate_light END) OVER ())
+                AS INTEGER) AS reversed_vs_overall
+    FROM strat ORDER BY stratum
+    """,
+    doc="Simpson's-paradox audit on purchase rates: heavy vs light "
+    "user cohorts (top/bottom activity halves, ordinal ntile so both "
+    "engines agree), compared OVERALL and within weekday/weekend "
+    "strata; a stratum whose rate gap flips sign against the overall "
+    "gap is the aggregation-reversal warning every metrics platform "
+    "should raise before anyone acts on the marginal table. Two "
+    "grouped aggregates + a 3-row union; the cohort split is one "
+    "|users|-sized window.",
+)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    coh = ue.select(
+        "user_id",
+        (F.ntile(2).over(Window.orderBy(F.desc("n"), "user_id")) == 1)
+        .cast("int")
+        .alias("heavy"),
+    )
+    evc = ev.join(coh, "user_id").select(
+        F.when(F.weekday("ts") >= 5, "weekend")
+        .otherwise("weekday")
+        .alias("stratum"),
+        "heavy",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+
+    per = evc.groupBy("stratum").agg(
+        (
+            F.sum(F.when(F.col("heavy") == 1, F.col("is_p")))
+            * 1.0
+            / F.sum(F.when(F.col("heavy") == 1, 1))
+        ).alias("rate_heavy"),
+        (
+            F.sum(F.when(F.col("heavy") == 0, F.col("is_p")))
+            * 1.0
+            / F.sum(F.when(F.col("heavy") == 0, 1))
+        ).alias("rate_light"),
+    )
+    overall = evc.agg(
+        (
+            F.sum(F.when(F.col("heavy") == 1, F.col("is_p")))
+            * 1.0
+            / F.sum(F.when(F.col("heavy") == 1, 1))
+        ).alias("rate_heavy"),
+        (
+            F.sum(F.when(F.col("heavy") == 0, F.col("is_p")))
+            * 1.0
+            / F.sum(F.when(F.col("heavy") == 0, 1))
+        ).alias("rate_light"),
+    ).select(F.lit("OVERALL").alias("stratum"), "rate_heavy", "rate_light")
+    strat = per.unionByName(overall)
+    ov_diff = F.max(
+        F.when(
+            F.col("stratum") == "OVERALL",
+            F.col("rate_heavy") - F.col("rate_light"),
+        )
+    ).over(Window.partitionBy())
+    return strat.select(
+        "stratum",
+        F.round("rate_heavy", 6).alias("rate_heavy"),
+        F.round("rate_light", 6).alias("rate_light"),
+        F.round(F.col("rate_heavy") - F.col("rate_light"), 6).alias("rate_diff"),
+        (
+            F.signum(F.col("rate_heavy") - F.col("rate_light"))
+            != F.signum(ov_diff)
+        )
+        .cast("int")
+        .alias("reversed_vs_overall"),
+    ).orderBy("stratum")

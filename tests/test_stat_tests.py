@@ -24,3 +24,25 @@ def test_logrank_matches_group_sizes(spark, sf_dir):
     assert r["chi2"] >= 0.0
     # z^2 == chi2 up to rounding
     assert abs(r["z"] ** 2 - r["chi2"]) < 1e-3
+
+
+def test_session_overlap_symmetric_sane(spark, sf_dir):
+    rows = REGISTRY["session_overlap_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["u1"] < r["u2"]
+        assert r["n_overlaps"] >= 1
+        assert r["overlap_secs"] >= 0
+    secs = [r["overlap_secs"] for r in rows]
+    assert secs == sorted(secs, reverse=True)
+
+
+def test_simpson_audit_shape(spark, sf_dir):
+    rows = REGISTRY["simpson_paradox_audit"].fn(spark, sf_dir).collect()
+    strata = {r["stratum"] for r in rows}
+    assert strata == {"OVERALL", "weekday", "weekend"}
+    for r in rows:
+        assert 0.0 <= r["rate_heavy"] <= 1.0
+        assert 0.0 <= r["rate_light"] <= 1.0
+        if r["stratum"] == "OVERALL":
+            assert r["reversed_vs_overall"] == 0
