@@ -347,6 +347,9 @@ _POST_FREEZE = [
     # round-6l: interval-overlap join, Simpson audit
     "session_overlap_pairs",
     "simpson_paradox_audit",
+    # round-6m: source distribution distances
+    "js_divergence_sources",
+    "burrows_delta_sources",
 ]
 
 

@@ -327,6 +327,9 @@ HEADLINE = [
     # round-6l: interval-overlap join, Simpson audit
     "session_overlap_pairs",
     "simpson_paradox_audit",
+    # round-6m: source distribution distances
+    "js_divergence_sources",
+    "burrows_delta_sources",
 ]
 
 

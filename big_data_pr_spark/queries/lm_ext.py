@@ -103,3 +103,200 @@ def kneser_ney_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6m: per-source distribution distances (mixture diagnostics)
+# ---------------------------------------------------------------------------
+
+_JS_V = 100  # vocabulary: top-100 global tokens
+_JS_A = 0.5  # add-alpha smoothing
+_BD_V = 30  # Burrows' Delta marker-word count
+
+
+@register(
+    "js_divergence_sources",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+      ORDER BY c DESC, w LIMIT {_JS_V}
+    ),
+    sc AS (
+      SELECT tok.source, tok.w, count(*) AS c
+      FROM tok JOIN vocab USING (w) GROUP BY tok.source, tok.w
+    ),
+    stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+    grid AS (
+      SELECT s.source, v.w, coalesce(sc.c, 0) AS c, s.n
+      FROM stot s CROSS JOIN vocab v
+      LEFT JOIN sc ON sc.source = s.source AND sc.w = v.w
+    ),
+    p AS (
+      SELECT source, w, (c + {_JS_A}) / (n + {_JS_A} * {_JS_V}) AS p
+      FROM grid
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             0.5 * sum(a.p * ln(a.p / ((a.p + b.p) / 2)))
+             + 0.5 * sum(b.p * ln(b.p / ((a.p + b.p) / 2))) AS jsd
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, round(jsd, 6) AS jsd
+    FROM pairs ORDER BY src_a, src_b
+    """,
+    doc="Jensen-Shannon divergence between every source pair's "
+    f"smoothed top-{_JS_V}-token unigram distributions — the "
+    "symmetric, bounded [0, ln 2] mixture diagnostic answering 'which "
+    "scrapes say the same things' before weights are assigned "
+    "(complements dsir_bucket_kl, which compares ONE target against "
+    "the pool in hash space; JSD here is pairwise in token space). "
+    "Scale: one vocabulary-capped token count, a |sources| x "
+    f"{_JS_V} smoothed grid, and a pair join keyed on the token — "
+    "work bounded by |sources|^2 x vocab, independent of corpus size "
+    "after the first aggregate.",
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_JS_V)
+        .select("w")
+    )
+    sc = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            ((F.coalesce(F.col("c"), F.lit(0)) + _JS_A) / (F.col("n") + _JS_A * _JS_V)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), F.col("w").alias("w"), F.col("p").alias("pa")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), F.col("w").alias("w"), F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    return (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.col("pa") * F.log(F.col("pa") / m))
+                + 0.5 * F.sum(F.col("pb") * F.log(F.col("pb") / m)),
+                6,
+            ).alias("jsd")
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "burrows_delta_sources",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+      ORDER BY c DESC, w LIMIT {_BD_V}
+    ),
+    stot AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+    sc AS (
+      SELECT tok.source, tok.w, count(*) AS c
+      FROM tok JOIN vocab USING (w) GROUP BY tok.source, tok.w
+    ),
+    freq AS (
+      SELECT s.source, v.w, coalesce(sc.c, 0) * 1.0 / s.n AS f
+      FROM stot s CROSS JOIN vocab v
+      LEFT JOIN sc ON sc.source = s.source AND sc.w = v.w
+    ),
+    z AS (
+      SELECT source, w,
+             (f - avg(f) OVER (PARTITION BY w))
+               / sqrt(avg(f * f) OVER (PARTITION BY w)
+                      - avg(f) OVER (PARTITION BY w) * avg(f) OVER (PARTITION BY w))
+               AS z
+      FROM freq
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY delta, src_a, src_b LIMIT 50
+    """,
+    doc="Burrows' Delta (the stylometry/authorship standard): relative "
+    f"frequencies of the top-{_BD_V} corpus words, z-scored per word "
+    "across sources (population sd), pairwise mean |z-gap| — the 50 "
+    "most stylistically-similar source pairs, i.e. scrapes that look "
+    "like the same underlying generator/pipeline even when content "
+    "differs (JSD sees topic; Delta sees FUNCTION-WORD style). Same "
+    "vocabulary-capped shape as js_divergence_sources: nothing after "
+    "the first token count scales with the corpus.",
+)
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_BD_V)
+        .select("w")
+    )
+    stot = tok.groupBy("source").agg(F.count("*").alias("n"))
+    sc = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    freq = (
+        stot.crossJoin(F.broadcast(vocab))
+        .join(sc, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce(F.col("c"), F.lit(0)) * 1.0 / F.col("n")).alias("f"),
+        )
+    )
+    wv = Window.partitionBy("w")
+    z = freq.select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.avg("f").over(wv))
+            / F.sqrt(
+                F.avg(F.col("f") * F.col("f")).over(wv)
+                - F.avg("f").over(wv) * F.avg("f").over(wv)
+            )
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("src_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+        .orderBy("delta", "src_a", "src_b")
+        .limit(50)
+    )

@@ -127,3 +127,21 @@ def test_cdc_chunks_partition_docs(spark, sf_dir):
         # chunks tile the doc exactly: n_chunks * avg == total words
         assert abs(r["n_chunks"] * r["avg_chunk_words"] - docs[r["doc_id"]]) < 1e-3
         assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+
+
+def test_jsd_bounded_and_symmetric_pairs(spark, sf_dir):
+    import math as _m
+
+    rows = REGISTRY["js_divergence_sources"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert -1e-9 <= r["jsd"] <= _m.log(2) + 1e-9
+
+
+def test_burrows_delta_nonnegative(spark, sf_dir):
+    rows = REGISTRY["burrows_delta_sources"].fn(spark, sf_dir).collect()
+    assert rows
+    deltas = [r["delta"] for r in rows]
+    assert all(d >= 0 for d in deltas)
+    assert deltas == sorted(deltas)
