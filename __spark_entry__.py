@@ -350,6 +350,7 @@ _POST_FREEZE = [
     # round-6m: source distribution distances
     "js_divergence_sources",
     "burrows_delta_sources",
+    "unigram_lm_viterbi",
 ]
 
 

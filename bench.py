@@ -330,6 +330,7 @@ HEADLINE = [
     # round-6m: source distribution distances
     "js_divergence_sources",
     "burrows_delta_sources",
+    "unigram_lm_viterbi",
 ]
 
 

@@ -300,3 +300,197 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("delta", "src_a", "src_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6m: unigram-LM (SentencePiece-style) tokenizer — one Viterbi
+# E-step over a frequency-initialized candidate vocabulary
+# ---------------------------------------------------------------------------
+
+_UL_MAXP = 3  # max piece length (chars)
+_UL_TOP = 60  # candidate vocabulary budget beyond single chars
+_NEG = -1e18
+
+
+def _unigram_lm_oracle() -> str:
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    words AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS c, len(w) AS l FROM tok GROUP BY w
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(words.w, s.s, q.q) AS piece, sum(words.c) AS freq
+      FROM words
+      CROSS JOIN (SELECT unnest(range(1, 64)) AS s) s
+      CROSS JOIN (SELECT unnest(range(1, {_UL_MAXP} + 1)) AS q) q
+      WHERE s.s + q.q - 1 <= words.l
+      GROUP BY 1
+    ),
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        (SELECT piece FROM subs ORDER BY freq DESC, piece LIMIT {_UL_TOP})
+        UNION ALL
+        SELECT piece FROM subs WHERE len(piece) = 1
+      )
+    ),
+    sc AS MATERIALIZED (
+      SELECT subs.piece,
+             ln(subs.freq * 1.0 /
+                (SELECT sum(s2.freq) FROM subs s2 JOIN vocab v2 USING (piece)))
+               AS s
+      FROM subs JOIN vocab USING (piece)
+    ),
+    maxl AS (SELECT max(l) AS m FROM words),
+    it AS (
+      SELECT w, l, 0 AS t,
+             CAST(0.0 AS DOUBLE) AS dp0, CAST(NULL AS DOUBLE) AS dp1,
+             CAST(NULL AS DOUBLE) AS dp2,
+             CAST([] AS VARCHAR[]) AS seg, CAST(NULL AS VARCHAR[]) AS seg1,
+             CAST(NULL AS VARCHAR[]) AS seg2
+      FROM words
+      UNION ALL
+      SELECT w, l, t + 1,
+             CASE WHEN t >= l THEN dp0
+                  WHEN v3 >= v2 AND v3 >= v1 THEN v3
+                  WHEN v2 >= v1 THEN v2 ELSE v1 END,
+             CASE WHEN t >= l THEN dp1 ELSE dp0 END,
+             CASE WHEN t >= l THEN dp2 ELSE dp1 END,
+             CASE WHEN t >= l THEN seg
+                  WHEN v3 >= v2 AND v3 >= v1 THEN list_append(seg2, p3)
+                  WHEN v2 >= v1 THEN list_append(seg1, p2)
+                  ELSE list_append(seg, p1) END,
+             CASE WHEN t >= l THEN seg1 ELSE seg END,
+             CASE WHEN t >= l THEN seg2 ELSE seg1 END
+      FROM (
+        SELECT it.*,
+               substr(it.w, it.t + 1, 1) AS p1,
+               substr(it.w, it.t, 2) AS p2,
+               substr(it.w, it.t - 1, 3) AS p3,
+               coalesce(it.dp0 + s1.s, {_NEG}) AS v1,
+               CASE WHEN it.t >= 1
+                    THEN coalesce(it.dp1 + s2.s, {_NEG}) ELSE {_NEG} END AS v2,
+               CASE WHEN it.t >= 2
+                    THEN coalesce(it.dp2 + s3.s, {_NEG}) ELSE {_NEG} END AS v3
+        FROM it
+        LEFT JOIN sc s1 ON s1.piece = substr(it.w, it.t + 1, 1)
+        LEFT JOIN sc s2 ON s2.piece = substr(it.w, it.t, 2)
+        LEFT JOIN sc s3 ON s3.piece = substr(it.w, it.t - 1, 3)
+        WHERE it.t < (SELECT m FROM maxl)
+      )
+    ),
+    fin AS (
+      SELECT it.w, it.seg FROM it CROSS JOIN maxl WHERE it.t = maxl.m
+    ),
+    use AS (
+      SELECT u.piece, sum(words.c) AS usage
+      FROM fin JOIN words USING (w), unnest(fin.seg) AS u(piece)
+      GROUP BY u.piece
+    )
+    SELECT piece, CAST(usage AS BIGINT) AS usage,
+           round(usage * 1.0 / (SELECT sum(usage) FROM use), 6) AS prob
+    FROM use ORDER BY usage DESC, piece LIMIT 50
+    """
+
+
+@register(
+    "unigram_lm_viterbi",
+    _unigram_lm_oracle(),
+    doc="Unigram-LM tokenizer (the SentencePiece/Kudo 2018 model): "
+    f"candidate vocabulary = top-{_UL_TOP} substrings (length <= "
+    f"{_UL_MAXP}) by corpus frequency plus all single characters; "
+    "piece scores = log relative frequency; every distinct word is "
+    "segmented by VITERBI dynamic programming (ties break to the "
+    "LONGEST piece — pinned identically on both engines), and the "
+    "M-step usage counts + renormalized piece probabilities come back "
+    "corpus-weighted — one full EM iteration's E-step, the "
+    "complementary tokenizer-training algorithm to bpe_merge_rules "
+    "(BPE grows greedily bottom-up; unigram prunes top-down via "
+    "exactly this segmentation). Scale: the DP state is the "
+    "DISTINCT-WORD table (same posture as BPE: corpus scanned once "
+    "into (word, count) state); Viterbi is per-word-parallel via "
+    "mapInPandas with the <=124-piece score table broadcast, and the "
+    "oracle replays the identical DP as a recursive CTE carrying a "
+    "3-deep dp/segmentation window.",
+)
+def unigram_lm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(text.tokens(F.col("text"))).alias("w"))
+    words = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    subs = (
+        words.select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(w)), s ->
+                        transform(sequence(1, least({_UL_MAXP},
+                                                    length(w) - s + 1)),
+                                  q -> substring(w, s, q))))"""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").alias("freq"))
+    )
+    top = subs.orderBy(F.desc("freq"), "piece").limit(_UL_TOP).select("piece")
+    chars = subs.where(F.length("piece") == 1).select("piece")
+    vocab = top.union(chars).distinct()
+    scored = subs.join(vocab, "piece")
+    tot = scored.agg(F.sum("freq").alias("t"))
+    sc = (
+        scored.crossJoin(F.broadcast(tot))
+        .select("piece", F.log(F.col("freq") * 1.0 / F.col("t")).alias("s"))
+    )
+    scores = {r["piece"]: float(r["s"]) for r in sc.collect()}  # <=124 rows
+
+    def seg_batch(it):
+        for pdf in it:
+            out = []
+            for w in pdf["w"]:
+                L = len(w)
+                dp = [0.0] + [None] * L
+                back: list[tuple[int, str]] = [(0, "")] * (L + 1)
+                for j in range(1, L + 1):
+                    best_v, best = None, None
+                    # scan l descending: ties keep the LONGEST piece
+                    for l in range(min(_UL_MAXP, j), 0, -1):
+                        piece = w[j - l : j]
+                        s = scores.get(piece)
+                        if s is None or dp[j - l] is None:
+                            continue
+                        v = dp[j - l] + s
+                        if best_v is None or v > best_v:
+                            best_v, best = v, (j - l, piece)
+                    dp[j] = best_v
+                    back[j] = best
+                pieces = []
+                j = L
+                while j > 0:
+                    i, piece = back[j]
+                    pieces.append(piece)
+                    j = i
+                pieces.reverse()
+                for p in pieces:
+                    out.append((w, p))
+            yield pd.DataFrame(out, columns=["w", "piece"])
+
+    segs = words.select("w").mapInPandas(seg_batch, "w string, piece string")
+    use = (
+        segs.join(words, "w")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("usage"))
+    )
+    tot_u = use.agg(F.sum("usage").alias("tu"))
+    return (
+        use.crossJoin(F.broadcast(tot_u))
+        .select(
+            "piece",
+            F.col("usage").cast("bigint").alias("usage"),
+            F.round(F.col("usage") * 1.0 / F.col("tu"), 6).alias("prob"),
+        )
+        .orderBy(F.desc("usage"), "piece")
+        .limit(50)
+    )

@@ -145,3 +145,14 @@ def test_burrows_delta_nonnegative(spark, sf_dir):
     deltas = [r["delta"] for r in rows]
     assert all(d >= 0 for d in deltas)
     assert deltas == sorted(deltas)
+
+
+def test_unigram_lm_viterbi_is_a_distribution_over_pieces(spark, sf_dir):
+    rows = REGISTRY["unigram_lm_viterbi"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["usage"] >= 1 for r in rows)
+    assert all(0.0 < r["prob"] <= 1.0 for r in rows)
+    usages = [r["usage"] for r in rows]
+    assert usages == sorted(usages, reverse=True)
+    # pieces respect the max length bound
+    assert all(1 <= len(r["piece"]) <= 3 for r in rows)
