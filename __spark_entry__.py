@@ -351,6 +351,9 @@ _POST_FREEZE = [
     "js_divergence_sources",
     "burrows_delta_sources",
     "unigram_lm_viterbi",
+    # round-6n: robust fitting + dispersion
+    "huber_trend_daily",
+    "overdispersion_user_events",
 ]
 
 

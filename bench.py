@@ -331,6 +331,9 @@ HEADLINE = [
     "js_divergence_sources",
     "burrows_delta_sources",
     "unigram_lm_viterbi",
+    # round-6n: robust fitting + dispersion
+    "huber_trend_daily",
+    "overdispersion_user_events",
 ]
 
 

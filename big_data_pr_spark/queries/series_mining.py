@@ -949,3 +949,173 @@ def kalman_local_level_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kf, "t long, x double, level double, gain double")
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6n: Huber-robust trend (IRLS, unrolled) and overdispersion
+# ---------------------------------------------------------------------------
+
+_HU_K = 1.345  # Huber tuning constant (x mean |residual| as scale)
+_HU_ITERS = 2
+
+
+def _huber_oracle() -> str:
+    # one weighted-OLS pass given weights CTE named win -> fit_i
+    def wols(win: str, fit: str) -> str:
+        return f""",
+    {fit} AS (
+      SELECT sum(w * t) / sum(w) AS mt, sum(w * x) / sum(w) AS mx,
+             sum(w * t * x) / sum(w) AS mtx, sum(w * t * t) / sum(w) AS mtt
+      FROM {win}
+    ),
+    {fit}b AS (
+      SELECT (mtx - mt * mx) / (mtt - mt * mt) AS b,
+             mx - (mtx - mt * mx) / (mtt - mt * mt) * mt AS a
+      FROM {fit}
+    )"""
+
+    steps = []
+    prev = "obs1"
+    for i in range(_HU_ITERS):
+        steps.append(
+            f""",
+    res{i} AS (
+      SELECT obs.t, obs.x, abs(obs.x - (f.a + f.b * obs.t)) AS r
+      FROM obs CROSS JOIN fit{i}b f
+    ),
+    sc{i} AS (SELECT avg(r) AS s FROM res{i}),
+    w{i} AS (
+      SELECT t, x,
+             CASE WHEN r <= {_HU_K} * sc{i}.s THEN 1.0
+                  ELSE {_HU_K} * sc{i}.s / r END AS w
+      FROM res{i} CROSS JOIN sc{i}
+    ){wols(f'w{i}', f'fit{i + 1}')}"""
+        )
+        prev = f"w{i}"
+    return f"""
+    WITH {_DAILY_SQL},
+    obs AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, rev AS x FROM daily
+    ),
+    obs1 AS (SELECT t, x, 1.0 AS w FROM obs){wols('obs1', 'fit0')}
+    {''.join(steps)}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_days,
+           round(f0.b, 6) AS slope_ols,
+           round(ff.b, 6) AS slope_huber,
+           round(ff.a, 4) AS intercept_huber,
+           round((SELECT s FROM sc{_HU_ITERS - 1}), 4) AS scale
+    FROM fit0b f0 CROSS JOIN fit{_HU_ITERS}b ff
+    """
+
+
+@register(
+    "huber_trend_daily",
+    _huber_oracle(),
+    doc="Huber-robust linear trend of daily revenue via IRLS "
+    f"(k={_HU_K} x mean |residual| as the scale, {_HU_ITERS} unrolled "
+    "reweighting rounds from the OLS start): weights 1 inside the "
+    "Huber band, k*s/|r| outside, each round one weighted-covariance "
+    "aggregate — completing the fitting family's robustness ladder "
+    "(OLS linreg_value_trend, L1 lad_trend_profile, rank-based "
+    "theil_sen_trend; Huber is the statistically-efficient middle). "
+    "Unrolled static plan, identical expression trees on both "
+    "engines; every pass is one scan of the |days| aggregate.",
+)
+def huber_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    obs = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+        F.col("rev").cast("double").alias("x"),
+    )
+
+    def wols(df: DataFrame) -> DataFrame:
+        m = df.agg(
+            (F.sum(F.col("w") * F.col("t")) / F.sum("w")).alias("mt"),
+            (F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("mx"),
+            (F.sum(F.col("w") * F.col("t") * F.col("x")) / F.sum("w")).alias(
+                "mtx"
+            ),
+            (F.sum(F.col("w") * F.col("t") * F.col("t")) / F.sum("w")).alias(
+                "mtt"
+            ),
+        )
+        b = (F.col("mtx") - F.col("mt") * F.col("mx")) / (
+            F.col("mtt") - F.col("mt") * F.col("mt")
+        )
+        return m.select(b.alias("b"), (F.col("mx") - b * F.col("mt")).alias("a"))
+
+    fit0 = wols(obs.withColumn("w", F.lit(1.0)))
+    fit = fit0
+    scale = None
+    for _ in range(_HU_ITERS):
+        res = obs.crossJoin(F.broadcast(fit)).select(
+            "t",
+            "x",
+            F.abs(F.col("x") - (F.col("a") + F.col("b") * F.col("t"))).alias("r"),
+        )
+        sc = res.agg(F.avg("r").alias("s"))
+        wdf = res.crossJoin(F.broadcast(sc)).select(
+            "t",
+            "x",
+            F.when(F.col("r") <= _HU_K * F.col("s"), F.lit(1.0))
+            .otherwise(_HU_K * F.col("s") / F.col("r"))
+            .alias("w"),
+        )
+        fit = wols(wdf)
+        scale = sc
+    n = obs.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        n.crossJoin(fit0.select(F.col("b").alias("b0")))
+        .crossJoin(fit)
+        .crossJoin(scale)
+        .select(
+            "n_days",
+            F.round("b0", 6).alias("slope_ols"),
+            F.round("b", 6).alias("slope_huber"),
+            F.round("a", 4).alias("intercept_huber"),
+            F.round("s", 4).alias("scale"),
+        )
+    )
+
+
+@register(
+    "overdispersion_user_events",
+    """
+    WITH ue AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             avg(n) AS mu,
+             avg(n * n) - avg(n) * avg(n) AS var
+      FROM ue
+    )
+    SELECT n_users, round(mu, 6) AS mean_events,
+           round(var, 6) AS var_events,
+           round(var / mu, 6) AS dispersion_index,
+           round(CASE WHEN var > mu THEN mu * mu / (var - mu) END, 6)
+             AS nb_r_moments
+    FROM m
+    """,
+    doc="Overdispersion panel for per-user event counts: variance-to-"
+    "mean dispersion index (1 under Poisson) and the method-of-moments "
+    "negative-binomial size r = mu^2/(var-mu) when overdispersed "
+    "(NULL otherwise) — the check that decides whether Poisson-based "
+    "anomaly thresholds (zscore/esd families) are even valid on this "
+    "traffic, and the r that parameterizes the NB replacement. One "
+    "grouped count + one moment aggregate.",
+)
+def overdispersion_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ue = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    mu = F.avg("n")
+    var = F.avg(F.col("n") * F.col("n")) - mu * mu
+    return ue.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(mu, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(var / mu, 6).alias("dispersion_index"),
+        F.round(
+            F.when(var > mu, mu * mu / (var - mu)), 6
+        ).alias("nb_r_moments"),
+    )

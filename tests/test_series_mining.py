@@ -22,3 +22,22 @@ def test_kalman_gain_converges_to_riccati_fixpoint(spark, sf_dir):
     xs = [r["x"] for r in rows]
     assert min(xs) - 1e-9 <= min(r["level"] for r in rows)
     assert max(r["level"] for r in rows) <= max(xs) + 1e-9
+
+
+def test_huber_slope_between_bounds(spark, sf_dir):
+    r = REGISTRY["huber_trend_daily"].fn(spark, sf_dir).first()
+    assert r["n_days"] > 20
+    assert r["scale"] > 0
+    # robust slope stays the same order of magnitude as OLS on this
+    # well-behaved fixture (no adversarial outliers)
+    assert abs(r["slope_huber"]) <= 10 * abs(r["slope_ols"]) + 1e-6
+
+
+def test_overdispersion_index_consistent(spark, sf_dir):
+    r = REGISTRY["overdispersion_user_events"].fn(spark, sf_dir).first()
+    assert r["n_users"] > 0
+    assert r["mean_events"] > 0
+    assert r["dispersion_index"] > 0
+    if r["nb_r_moments"] is not None:
+        assert r["var_events"] > r["mean_events"]
+        assert r["nb_r_moments"] > 0
