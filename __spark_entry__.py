@@ -354,6 +354,12 @@ _POST_FREEZE = [
     # round-6n: robust fitting + dispersion
     "huber_trend_daily",
     "overdispersion_user_events",
+    # round-6o: data valuation + coreset + release audit
+    "t_closeness_audit",
+    "knn_shapley_valuation",
+    "good_turing_smoothing",
+    "hill_tail_index",
+    "kcenter_coreset_greedy",
 ]
 
 
