@@ -340,6 +340,10 @@ HEADLINE = [
     "good_turing_smoothing",
     "hill_tail_index",
     "kcenter_coreset_greedy",
+    # round-6p: probabilistic record linkage
+    "fs_linkage_patterns",
+    "em_linkage_step",
+    "sorted_neighborhood_stats",
 ]
 
 

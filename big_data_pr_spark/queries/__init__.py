@@ -34,5 +34,6 @@ from . import recsys_queries  # noqa: F401, E402
 from . import selection_queries  # noqa: F401, E402
 from . import lm_ext  # noqa: F401, E402
 from . import valuation_queries  # noqa: F401, E402
+from . import linkage_queries  # noqa: F401, E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
