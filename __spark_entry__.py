@@ -34,107 +34,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies only the FIRST 50 queries()
-# entries in dict order (observed r2-r5). _FRONT is therefore a
-# per-round ROTATION of the verified window: DRIVER_LEDGER.json records
-# every query that has ever received a driver-green row (r2-r5: 121 of
-# 238), and the round-6 window spends its 50 slots on (a) the flagship,
-# (b) the 14 HUGEINT-CAST-fixed oracles (2 driver-red in r5 + 12 latent,
-# all re-certified this round), (c) 33 more never-driver-verified
-# oracle-backed queries — the round-5 marquee families first (custom
-# DataSource, SCD2/matview, Spark-4 SQL, real codecs, BPE) — and (d) 2
-# already-green representatives so every operator family keeps a row in
-# the current round's CORRECTNESS file (guard: tests/test_queries_oracle
-# .py::test_driver_window_family_coverage, which also pins len == 50).
-# Queries outside the window remain covered by the local oracle suite.
+# entries in dict order (observed r2-r6). _FRONT is the per-round
+# ROTATION of the verified window: DRIVER_LEDGER.json records every
+# query that has ever received a driver-green row (through r6: 168 of
+# 393), and the round-7 window spends 44 slots on never-driver-verified
+# oracle-backed queries — the round-6 marquee families first per the
+# r6 verdict (data selection, valuation, attribution, LM, linkage, PQ),
+# then one never-verified representative per operator family, then
+# _POST_FREEZE declaration order — plus the flagship and 5 already-green
+# family-insurance representatives (guard:
+# tests/test_queries_oracle.py::test_driver_window_family_coverage,
+# which also pins len == 50). Queries outside the window remain covered
+# by the local oracle suite (tests/test_queries_oracle.py at sf0.001).
 _FRONT = [
-    # flagship (ohlcv family; driver-green r2-r5, re-verified every round)
+    # flagship (driver-green r2-r6, re-verified every round)
     "ohlcv_candles_sma",
-    # --- the 2 round-5 hash failures, re-verified after the HUGEINT
-    # oracle CAST fix (VERDICT r5 "What's wrong" #1) ---
-    "mixture_weights",
-    "doc_length_histogram",
-    # --- the 12 latent HUGEINT oracles, CAST-fixed this round —
-    # driver-verify them now so the fix is certified, not assumed ---
-    "auc_value_predicts_purchase",
-    "blocklist_hit_rate",
-    "csv_roundtrip_stats",
-    "jsonl_corrupt_quarantine",
-    "jsonl_roundtrip_stats",
-    "mad_anomalies",
-    "new_vs_returning_daily",
-    "returns_analysis",
-    "survival_user_retention",
-    "token_budget_select",
-    "variant_props_stats",
-    "watermark_greenlist_zscore",
-    # --- round-5 marquee families, never driver-verified ---
-    # custom Python DataSource (batch face, hash-certified)
-    "rest_source_candles",
-    # warehouse: SCD2 + point-in-time join, matview incremental refresh,
-    # gaps-and-islands, metadata-only schema evolution
-    "scd2_build_customer_priority",
-    "scd2_point_in_time_revenue",
-    "matview_incremental_refresh",
-    "merged_active_intervals",
-    "schema_evolution_roundtrip",
-    # modern Spark-4 SQL surface
-    "lateral_latest_order",
-    "recursive_reachability_signup",
-    "udtf_top_tokens",
-    # real multimodal codecs (PPM image, PCM WAV, animated-PPM video)
-    "multimodal_ppm_decode",
-    "multimodal_ppm_resize",
-    "multimodal_wav_decode",
-    "multimodal_wav_decimate",
-    "multimodal_video_frames",
-    # BPE tokenizer training + round-trip
-    "bpe_merge_rules",
-    "bpe_encode_tokens",
-    # --- remaining never-verified, one per family first ---
-    # joins at scale: salting + bloom prefilter
-    "salted_join_segment_revenue",
-    "bloom_prefilter_urgent_revenue",
-    # dedup certified twins
-    "dedup_minhash_md5",
-    "dedup_simhash_md5",
-    # hygiene: transitive contamination closure
-    "contamination_transitive",
-    # sampling / packing
-    "pack_bins_ffd_global",
-    "corpus_shuffle_shards",
-    # similarity: ANN literal twins + distributed PCA
-    "ann_lsh_topk_lit",
-    "ann_ivf_topk_lit",
-    "embedding_covariance_probe",
-    "embedding_pca_project_lit",
-    # ML scoring + clustering
-    "gbt_score_events",
-    "logreg_score_events",
-    "kmeans_assign",
-    # text analysis
-    "char_entropy_hist",
-    "zipf_token_slope",
-    # robust stats
-    "winsorized_stats",
-    # --- already-green family representatives (coverage insurance) ---
-    "high_watermark",  # watermark/incremental
-    "session_window_native",  # streaming-batch
-]
-
-# Oracle-backed queries added AFTER this round's 50-slot window was
-# frozen and locally 50/50-verified: they cannot displace the rotation
-# targets mid-round, so they wait for the next rotation.
-# tests/test_queries_oracle.py::test_driver_ledger_consistent pins
-# (never-driver-verified − window) == exactly this list, so the
-# exemption can never silently absorb forgotten queries.
-_POST_FREEZE = [
-    # Oracle-backed queries still awaiting a driver window slot after the
-    # round-6 rotation (round-6 window spends 47 slots on never-verified
-    # queries: all 14 CAST-fixed HUGEINT oracles + the round-5 marquee
-    # families). The round-6 build added ~90 more oracle-backed queries
-    # after the freeze (sections below), so this list now rotates into
-    # rounds 7-9 (50/round, via tools/rotate_window.py); the guard test
-    # pins (never-driver-verified - window) == exactly this list.
+    # --- r6 marquee families, never driver-verified (r6 verdict #1) ---
+    # data selection: DSIR, CCNet perplexity, Gopher flags, novelty,
+    # temperature mixture
+    "dsir_importance_weights",
+    "dsir_bucket_kl",
+    "ccnet_perplexity_buckets",
+    "gopher_quality_flags",
+    "doc_novelty_fraction",
+    "mixture_temperature_weights",
+    # data valuation: KNN-Shapley, k-center coreset, t-closeness,
+    # Good-Turing, Hill tail
+    "knn_shapley_valuation",
+    "kcenter_coreset_greedy",
+    "t_closeness_audit",
+    "good_turing_smoothing",
+    "hill_tail_index",
+    # attribution: Markov removal-effect, Shapley sets
+    "markov_attribution_removal",
+    "shapley_attribution_sets",
+    # LM: Kneser-Ney bigrams, unigram-LM Viterbi
+    "kneser_ney_bigram_top",
+    "unigram_lm_viterbi",
+    # record linkage: Fellegi-Sunter, EM step, sorted neighborhood
+    "fs_linkage_patterns",
+    "em_linkage_step",
+    "sorted_neighborhood_stats",
+    # product quantization: ADC top-k, reconstruction error
+    "pq_adc_topk_lit",
+    "pq_reconstruction_error",
+    # --- one never-verified representative per operator family ---
+    "gap_fill_interpolate",
+    "customer_ltv_deciles",
+    "dedup_survivorship",
+    "vocab_oov_rate",
+    "token_budget_waterfill",
+    "cdc_merge_apply",
+    "chisq_type_weekday",
+    "pagerank_event_transitions",
+    "holt_linear_forecast",
+    "sequence_gap_audit",
+    "benford_first_digit",
+    # --- remaining never-verified, _POST_FREEZE declaration order ---
     "abc_analysis_parts",
     "acctbal_spend_corr",
     "acf_value_lags",
@@ -142,16 +98,32 @@ _POST_FREEZE = [
     "approx_quantile_certificate",
     "arch_effect_lags",
     "atr_14",
-    "benford_first_digit",
     "bm25_ndcg_eval",
     "bm25_search_lit",
     "burstiness_fano_per_user",
     "capm_beta_alpha",
-    "chisq_type_weekday",
     "cms_error_certificate",
+    "multimodal_decode",
+    # --- already-green family insurance (hygiene, agg-ext, join,
+    # streaming-batch, watermark) ---
+    "contamination_ngram",
+    "grouping_sets_pricing",
+    "join_semi_discounted",
+    "sliding_window_stats",
+    "high_watermark",
+]
+
+# Oracle-backed queries awaiting a driver window slot after the
+# round-7 rotation (44 slots went to never-verified queries: the r6
+# marquee families + one per family + declaration order). The guard
+# test tests/test_queries_oracle.py::test_driver_ledger_consistent pins
+# (never-driver-verified − window) == exactly this list, so the
+# exemption can never silently absorb forgotten queries. At 50
+# slots/round this list clears in ~4 more rounds; COVERAGE.md records
+# which already-green twins certify the same operator decision.
+_POST_FREEZE = [
     "containment_pairs",
     "cross_region_trade_matrix",
-    "customer_ltv_deciles",
     "decay_weighted_user_value",
     "discount_band_analysis",
     "dn_retention",
@@ -159,21 +131,17 @@ _POST_FREEZE = [
     "event_trigrams_top",
     "fim_transform",
     "funnel_strict_sequence",
-    "gap_fill_interpolate",
     "gini_user_value",
     "herfindahl_by_type",
-    "holt_linear_forecast",
     "linreg_value_trend",
     "market_basket_pairs",
     "max_drawdown",
     "minhash_eval_metrics",
-    "multimodal_decode",
     "multimodal_features",
     "multimodal_resize",
     "naive_bayes_confusion",
     "obv_running",
     "orc_roundtrip_stats",
-    "pagerank_event_transitions",
     "pmi_collocations",
     "price_realization_by_brand",
     "priority_mix_over_time",
@@ -192,27 +160,17 @@ _POST_FREEZE = [
     "user_event_entropy",
     "welch_ttest_purchase_vs_view",
     "wow_growth_by_type",
-    # --- round-6 additions (queries/pipeline_ext.py), registered after
-    # this round's window froze; verified locally at sf0.001 + sf0.01,
-    # rotate into round 7's window ---
     "zorder_layout_stats",
     "dp_noisy_counts",
     "dp_noisy_revenue",
     "k_anonymity_audit",
     "attribution_last_touch",
-    "vocab_oov_rate",
     "skew_key_deciles",
     "target_encode_kfold",
     "woe_value_deciles",
     "late_arrival_profile",
-    "sequence_gap_audit",
-    "dedup_survivorship",
     "hll_set_op_certificate",
-    "token_budget_waterfill",
-    "pq_reconstruction_error",
-    "pq_adc_topk_lit",
     "pseudonymize_users",
-    # round-6b: nonparametric tests, changepoints, graph, CDC, STL
     "ks_test_purchase_vs_view",
     "mannwhitney_value_shift",
     "kruskal_wallis_value_by_type",
@@ -224,7 +182,6 @@ _POST_FREEZE = [
     "triangle_count_suppliers",
     "jaccard_supplier_pairs",
     "ewma_volatility",
-    "cdc_merge_apply",
     "stl_decompose_daily",
     "mann_kendall_trend",
     "bootstrap_mean_ci",
@@ -292,7 +249,6 @@ _POST_FREEZE = [
     "lad_trend_profile",
     "lexical_semantic_agreement",
     "embedding_anisotropy_probe",
-    # round-6d: series-mining family (queries/series_mining.py)
     "yule_walker_ar2",
     "spectral_entropy_daily",
     "esd_anomalies_daily",
@@ -310,8 +266,6 @@ _POST_FREEZE = [
     "seq_pattern_support",
     "quantile_normalize_by_type",
     "boxcox_lambda_scan",
-    # round-6e: recommendation / representation family
-    # (queries/recsys_queries.py) + intermittent-demand forecasting
     "als_rank1_factors",
     "item_item_cosine",
     "textrank_keywords",
@@ -321,49 +275,20 @@ _POST_FREEZE = [
     "label_propagation_communities",
     "kmeans_silhouette",
     "mmd_label_drift",
-    # round-6f: pretraining data-selection family
-    # (queries/selection_queries.py)
-    "dsir_importance_weights",
-    "dsir_bucket_kl",
-    "ccnet_perplexity_buckets",
-    "gopher_quality_flags",
-    "doc_novelty_fraction",
-    "mixture_temperature_weights",
-    # round-6h: attribution deepening (queries/marketing.py)
-    "markov_attribution_removal",
-    "shapley_attribution_sets",
-    # round-6i: Kalman, HITS, Kneser-Ney LM, AMS sketch
     "kalman_local_level_daily",
     "hits_event_transitions",
-    "kneser_ney_bigram_top",
     "ams_f2_certificate",
-    # round-6j: distribution distance, survival test, media-mix
     "wasserstein_value_shift",
     "logrank_ship_priority",
     "adstock_mmm_fit",
-    # round-6k: MMR diversity re-rank, content-defined chunking
     "mmr_rerank_lit",
     "cdc_chunk_stats",
-    # round-6l: interval-overlap join, Simpson audit
     "session_overlap_pairs",
     "simpson_paradox_audit",
-    # round-6m: source distribution distances
     "js_divergence_sources",
     "burrows_delta_sources",
-    "unigram_lm_viterbi",
-    # round-6n: robust fitting + dispersion
     "huber_trend_daily",
     "overdispersion_user_events",
-    # round-6o: data valuation + coreset + release audit
-    "t_closeness_audit",
-    "knn_shapley_valuation",
-    "good_turing_smoothing",
-    "hill_tail_index",
-    "kcenter_coreset_greedy",
-    # round-6p: probabilistic record linkage
-    "fs_linkage_patterns",
-    "em_linkage_step",
-    "sorted_neighborhood_stats",
 ]
 
 

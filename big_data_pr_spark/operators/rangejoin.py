@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 from ..timeutil import epoch_micros
 
 
+def _bucket_seq(first: Column, last: Column) -> Column:
+    """``sequence(first, last)`` hardened against malformed intervals.
+
+    ``F.sequence(a, b)`` with ``b < a`` defaults to step -1 and yields a
+    DESCENDING array instead of an empty one — a degenerate or inverted
+    interval (``end <= start``) would fan out into spurious bucket rows
+    (unboundedly many for badly inverted data, e.g. an epoch-0 end
+    generates ~470k bucket rows per interval at 1 h buckets). Clamp such
+    rows to their single start bucket: they still survive ``left``/
+    ``outer`` joins as one row, and the real range predicate in the join
+    condition guarantees they match nothing spurious.
+    """
+    return F.when(last >= first, F.sequence(first, last)).otherwise(
+        F.array(first)
+    )
+
+
 def point_in_interval_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -57,7 +74,7 @@ def point_in_interval_join(
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
-            F.sequence(
+            _bucket_seq(
                 F.floor(start_us / width_us),
                 F.floor((end_us - 1) / width_us),
             )
@@ -100,7 +117,7 @@ def interval_overlap_join(
     lw = left.withColumn(
         "__bkt",
         F.explode(
-            F.sequence(
+            _bucket_seq(
                 F.floor(epoch_micros(F.col(start_col)) / (width_seconds * 1_000_000)),
                 F.floor(epoch_micros(F.col(end_col)) / (width_seconds * 1_000_000)),
             )
@@ -111,7 +128,7 @@ def interval_overlap_join(
     rw = rr.withColumn(
         "__bkt",
         F.explode(
-            F.sequence(
+            _bucket_seq(
                 F.floor(
                     epoch_micros(F.col(f"__r_{start_col}")) / (width_seconds * 1_000_000)
                 ),

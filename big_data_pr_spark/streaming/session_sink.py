@@ -25,6 +25,8 @@ length; emitted sessions leave the store.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -68,6 +70,15 @@ def sessionize_stream(
     )
 
 
+def _parquet_exists(path: str) -> bool:
+    """True when a prior write landed at ``path``. Local-FS check,
+    mirroring ohlcv/batch.py:153; on a real cluster this becomes a
+    Hadoop-FS existence probe (or a Delta table, which makes the whole
+    upsert transactional) — the point is that ONLY path-absence may
+    select the first-write branch, never a read failure."""
+    return os.path.exists(path)
+
+
 def _upsert_sessions(batch_df: DataFrame, path: str, key_col: str) -> None:
     """Keyed upsert on (key, session_start) — finalized sessions are
     immutable, so a replayed batch rewrites identical rows."""
@@ -80,11 +91,17 @@ def _upsert_sessions(batch_df: DataFrame, path: str, key_col: str) -> None:
             "|", F.col(key_col).cast("string"), F.col("session_start").cast("string")
         ),
     )
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    # First-write detection must be narrow: sessions are emitted once
+    # past the watermark and cannot be recovered by replay, so treating
+    # a transient IO error / corrupt footer as "no prior data" and
+    # overwriting would destroy all previously finalized sessions.
+    # Mirror the established sinks (ohlcv/batch.py, streaming/
+    # pipeline.py): existence check first, and let any read error on an
+    # existing path propagate so the micro-batch fails and retries.
+    if not _parquet_exists(path):
         batch.write.mode("overwrite").parquet(path)
         return
+    existing = spark.read.parquet(path)
     merged = (
         existing.join(batch.select("doc_id"), "doc_id", "left_anti")
         .unionByName(batch)

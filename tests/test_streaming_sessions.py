@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -158,3 +160,39 @@ def test_session_upsert_replay_idempotent(spark, tmp_path):
     _upsert_sessions(sessions, path, "user_id")  # replay
     second = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert first == second
+
+
+def test_session_upsert_read_failure_does_not_wipe(spark, tmp_path):
+    """ADVICE round 6: a transient read failure on an EXISTING sessions
+    table must fail the micro-batch (so it retries) — the old bare
+    ``except Exception`` treated any read error as first-write and
+    overwrote the table with just the current batch, permanently
+    destroying previously finalized sessions (append-mode emissions are
+    never replayed)."""
+    import os
+
+    from big_data_pr_spark.streaming.session_sink import _upsert_sessions
+
+    sessions = spark.createDataFrame(
+        [
+            ("A", "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1800, 2, 5.0,
+             "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+        ],
+        "user_id string, session_start string, session_end string, "
+        "duration_s long, n_events long, total_value double, "
+        "first_event string, last_event string",
+    ).withColumn("session_start", F.to_timestamp("session_start"))
+    path = str(tmp_path / "s")
+    _upsert_sessions(sessions, path, "user_id")
+    # corrupt every parquet footer: the path EXISTS but cannot be read
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            with open(os.path.join(path, name), "wb") as f:
+                f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        _upsert_sessions(sessions, path, "user_id")
+    # the corrupt files are still there — nothing was overwritten
+    assert any(
+        open(os.path.join(path, n), "rb").read() == b"not a parquet file"
+        for n in os.listdir(path) if n.endswith(".parquet")
+    )

@@ -76,7 +76,18 @@ FAMILIES: dict[str, list[str]] = {
                  "token_budget_waterfill", "weighted_reservoir_docs"],
     "multimodal": ["multimodal_meta", "multimodal_frames",
                    "multimodal_ppm_decode", "multimodal_wav_decode",
-                   "multimodal_video_frames"],
+                   "multimodal_video_frames", "multimodal_decode",
+                   "multimodal_features", "multimodal_resize"],
+    "selection": ["dsir_importance_weights", "dsir_bucket_kl",
+                  "ccnet_perplexity_buckets", "gopher_quality_flags",
+                  "doc_novelty_fraction", "mixture_temperature_weights"],
+    "valuation": ["knn_shapley_valuation", "kcenter_coreset_greedy",
+                  "t_closeness_audit", "good_turing_smoothing",
+                  "hill_tail_index"],
+    "linkage": ["fs_linkage_patterns", "em_linkage_step",
+                "sorted_neighborhood_stats"],
+    "lm": ["kneser_ney_bigram_top", "unigram_lm_viterbi",
+           "perplexity_scores"],
     "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
                     "matview_incremental_refresh", "scd2_build_customer_priority",
                     "cdc_merge_apply"],
@@ -111,7 +122,8 @@ FAMILIES: dict[str, list[str]] = {
                   "cohort_retention", "attribution_last_touch",
                   "rfm_segmentation", "multi_touch_attribution",
                   "cohort_ltv_matrix", "pareto_share_curve",
-                  "spend_band_migration", "price_index_fisher_yearly"],
+                  "spend_band_migration", "price_index_fisher_yearly",
+                  "markov_attribution_removal", "shapley_attribution_sets"],
     "validation": ["validate_orders", "jsonl_corrupt_quarantine",
                    "schema_evolution_roundtrip", "sequence_gap_audit",
                    "expectation_suite_audit", "order_total_reconciliation",
