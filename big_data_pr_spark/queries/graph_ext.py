@@ -19,6 +19,8 @@ capped by degree (as dedup's stop-shingle cap does) before pairing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -181,22 +183,35 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge set is built ONCE and cached; each peel round only
     # re-derives the |parts|-sized alive set (degree >= k in the
     # subgraph induced by the previous alive set), so a round costs two
-    # broadcast semi-joins over the cached edges + one small-key
-    # groupBy — no per-round edge re-materialization
+    # semi-joins over the cached edges + one small-key groupBy — no
+    # per-round edge re-materialization
     edges = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .select(F.col("a.pk").alias("s1"), F.col("b.pk").alias("s2"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # SCALE GATE (r6 verdict #4): the alive set is |parts|-sized —
+    # broadcastable at TPC-H sf but unbounded at 100 TB part
+    # cardinality. Gate the broadcast hint on a one-time count of the
+    # vertex set; past the threshold the semi-joins fall back to
+    # shuffles (edges are already hash-partitioned by the join key, so
+    # the alive side — orders of magnitude smaller than edges — is the
+    # only moving data). Env override exists so the fallback plan is
+    # pin-testable at any sf.
+    bcast_max = int(
+        os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", str(5_000_000))
+    )
+    use_broadcast = lo.select("pk").distinct().count() <= bcast_max
 
     def induced_degrees(alive: DataFrame | None) -> DataFrame:
         e = edges
         if alive is not None:
+            hint = F.broadcast if use_broadcast else (lambda df: df)
             e = e.join(
-                F.broadcast(alive.withColumnRenamed("sk", "s1")), "s1", "left_semi"
+                hint(alive.withColumnRenamed("sk", "s1")), "s1", "left_semi"
             ).join(
-                F.broadcast(alive.withColumnRenamed("sk", "s2")), "s2", "left_semi"
+                hint(alive.withColumnRenamed("sk", "s2")), "s2", "left_semi"
             )
         return e.groupBy(F.col("s1").alias("sk")).agg(F.count("*").alias("d"))
 

@@ -1,0 +1,102 @@
+"""Restricted-unpickler loading of the reference's real MinMaxScaler
+artifacts (r6 verdict #5): sklearn/joblib are absent from the
+container, so the loader must recover the fitted parameters from the
+joblib pickle bytes alone — and refuse any global outside the
+allowlist."""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from big_data_pr_spark.ohlcv.artifacts import (
+    MinMaxScalerParams,
+    _RestrictedJoblibUnpickler,
+    load_minmax_scaler,
+)
+
+REF_MODELS = "/root/reference/trained_models"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MODELS), reason="reference artifacts not present"
+)
+
+
+@pytest.mark.parametrize("sym", ["BTC", "ETH"])
+def test_reference_scaler_loads_and_is_consistent(sym):
+    s = load_minmax_scaler(f"{REF_MODELS}/{sym}_USDT_scaler.pkl")
+    assert s.n_features_in_ == 1
+    assert s.feature_range == (0, 1)
+    assert s.n_samples_seen_ > 0
+    # sklearn invariants: scale_ = 1/(data_max-data_min),
+    # min_ = -data_min*scale_ for feature_range (0,1)
+    span = s.data_max_ - s.data_min_
+    assert np.allclose(s.scale_, 1.0 / span)
+    assert np.allclose(s.min_, -s.data_min_ * s.scale_)
+
+
+def test_btc_scaler_transform_fixture():
+    """Pin the BTC artifact's learned endpoints so a silently changed
+    or mis-decoded payload fails loudly (values read from the real
+    pickle: data_min_=49804.0, data_max_=111780.84, n=9000)."""
+    s = load_minmax_scaler(f"{REF_MODELS}/BTC_USDT_scaler.pkl")
+    assert s.data_min_[0] == pytest.approx(49804.0)
+    assert s.data_max_[0] == pytest.approx(111780.84)
+    assert s.n_samples_seen_ == 9000
+    x = np.array([[49804.0], [111780.84], [80792.42]])
+    t = s.transform(x)
+    assert t.ravel() == pytest.approx([0.0, 1.0, 0.5], abs=1e-9)
+    assert s.inverse_transform(t).ravel() == pytest.approx(x.ravel())
+
+
+def test_scaler_plugs_into_recursive_forecast():
+    from big_data_pr_spark.ohlcv.forecast import recursive_forecast
+
+    s = load_minmax_scaler(f"{REF_MODELS}/ETH_USDT_scaler.pkl")
+    closes = [2000.0, 2010.0, 2020.0, 2030.0, 2040.0]
+    preds = recursive_forecast(closes, last_ts_ms=0, steps=3, scaler=s)
+    assert len(preds) == 3
+    # DriftModel sees scaled inputs; inverse-transform must land the
+    # prediction back in price space near the window
+    for _, p in preds:
+        assert 1500 < p < 2500
+
+
+def test_disallowed_global_is_rejected():
+    evil = pickle.dumps(os.system)
+    with pytest.raises(pickle.UnpicklingError, match="not in the restricted"):
+        _RestrictedJoblibUnpickler(io.BytesIO(evil)).load()
+
+
+def test_object_dtype_payload_rejected():
+    class W:  # emulate a wrapper state for an object-dtype array
+        pass
+
+    from big_data_pr_spark.ohlcv.artifacts import _NumpyArrayWrapper
+
+    w = _NumpyArrayWrapper()
+    w.shape = (1,)
+    w.order = "C"
+    w.dtype = np.dtype("O")
+    w.numpy_array_alignment_bytes = None
+
+    class U:
+        file_handle = io.BytesIO(b"\x00" * 16)
+
+    with pytest.raises(pickle.UnpicklingError, match="object-dtype"):
+        w.read(U())
+
+
+def test_params_roundtrip_synthetic():
+    s = MinMaxScalerParams(
+        scale_=np.array([0.5]), min_=np.array([-1.0]),
+        data_min_=np.array([2.0]), data_max_=np.array([4.0]),
+    )
+    x = np.array([[2.0], [3.0], [4.0]])
+    assert s.transform(x).ravel() == pytest.approx([0.0, 0.5, 1.0])
+    assert s.inverse_transform(s.transform(x)).ravel() == pytest.approx(
+        x.ravel()
+    )

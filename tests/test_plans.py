@@ -1043,3 +1043,29 @@ def test_quantile_normalize_equi_join(q):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_kcore_alive_broadcast_gated(spark, sf_dir, monkeypatch):
+    """r6 verdict #4: the k-core alive set is |parts|-sized, so the
+    broadcast hint must be gated on cardinality. Below the threshold
+    the peel's semi-joins broadcast; above it (env-forced here) they
+    fall back to shuffle semi-joins — same rows either way."""
+    import os
+
+    name = "kcore_parts"
+    bcast_df = REGISTRY[name].fn(spark, sf_dir)
+    plan = plan_str(bcast_df, mode="simple")
+    assert "BroadcastHashJoin" in plan  # sf fixtures sit under the gate
+
+    monkeypatch.setenv("SPARK_GRAFT_KCORE_BCAST_MAX", "0")
+    shuffled_df = REGISTRY[name].fn(spark, sf_dir)
+    plan2 = plan_str(shuffled_df, mode="simple")
+    # every LeftSemi peel join must have left the broadcast path
+    semi_lines = [
+        ln for ln in plan2.splitlines() if "LeftSemi" in ln
+    ]
+    assert semi_lines, plan2
+    assert all("Broadcast" not in ln for ln in semi_lines), plan2
+    assert sorted(map(tuple, bcast_df.collect())) == sorted(
+        map(tuple, shuffled_df.collect())
+    )
