@@ -89,12 +89,27 @@ class _NumpyArrayWrapper:
         return arr.reshape(self.shape, order=order)  # type: ignore[attr-defined]
 
 
+class _XGBRegressorShell:
+    """Attribute bag for xgboost.sklearn.XGBRegressor pickles: hyper-
+    params land in ``__dict__``; the fitted state is ``_Booster``."""
+
+
+class _BoosterShell:
+    """Attribute bag for xgboost.core.Booster: its pickled state is
+    ``{'handle': bytearray(<UBJSON model bytes>)}`` — the real
+    ``__setstate__`` would call into libxgboost; we just keep the raw
+    buffer for :mod:`.xgb_ubjson` to decode."""
+
+
 _ALLOWED = {
     ("sklearn.preprocessing._data", "MinMaxScaler"): _ScalerShell,
     ("sklearn.preprocessing.data", "MinMaxScaler"): _ScalerShell,  # old sklearn
     ("joblib.numpy_pickle", "NumpyArrayWrapper"): _NumpyArrayWrapper,
     ("numpy", "dtype"): np.dtype,
     ("numpy", "ndarray"): np.ndarray,
+    ("xgboost.sklearn", "XGBRegressor"): _XGBRegressorShell,
+    ("xgboost.core", "Booster"): _BoosterShell,
+    ("builtins", "bytearray"): bytearray,
 }
 
 

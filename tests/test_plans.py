@@ -1069,3 +1069,40 @@ def test_kcore_alive_broadcast_gated(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, bcast_df.collect())) == sorted(
         map(tuple, shuffled_df.collect())
     )
+
+
+def test_bnlj_guard_flags_data_scale_nested_loop(spark, sf_dir):
+    """r6 verdict #7: PLANS.md shows 30+ BNLJ rows that are all benign
+    (1-row/constant relations), but nothing programmatically prevented
+    a data-scale nested loop from landing. The audit helper must flag a
+    deliberately unbounded cross join and clear the constant-bounded
+    pattern every registered BNLJ uses."""
+    from tools.plan_audit import bnlj_violations
+
+    # metrics live on the DataFrame's OWN execution — collect(), not
+    # count() (which plans a separate aggregate job). Sides scaled down
+    # with a matching threshold so the collect stays cheap.
+    a = spark.range(2_000).toDF("x")
+    b = spark.range(1_500).toDF("y")
+    bad = a.crossJoin(b)
+    bad.collect()
+    viol = bnlj_violations(bad, max_rows=1_000)
+    assert viol, "unbounded 2k x 1.5k cross join must be flagged"
+    name, l_rows, r_rows = viol[0]
+    assert min(l_rows, r_rows) > 1_000
+
+    scalar = a.crossJoin(F.broadcast(a.agg(F.sum("x").alias("s"))))
+    scalar.collect()
+    assert bnlj_violations(scalar, max_rows=1_000) == []
+
+
+def test_bnlj_guard_clears_registered_scalar_crossjoins(spark, sf_dir):
+    """The registry's canonical scalar-BNLJ query stays clean under the
+    guard (quantile_normalize_by_type: the only BNLJ allowed is the
+    1-row np scalar cross join — its regression comment in
+    test_quantile_normalize_equi_join)."""
+    from tools.plan_audit import bnlj_violations
+
+    df = REGISTRY["quantile_normalize_by_type"].fn(spark, sf_dir)
+    df.collect()
+    assert bnlj_violations(df) == []

@@ -37,6 +37,75 @@ JOIN_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
 )
 
+# A nested-loop join is only scale-safe when one side is constant-
+# bounded (1-row scalar, k centroids, a literal grid...). Above this
+# many rows on BOTH sides it's a data-scale O(|L|x|R|) — flagged.
+BNLJ_SMALL_SIDE_MAX = 10_000
+
+
+def _simple_name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _rows_of(node):
+    """numOutputRows of the executed subtree, descending through AQE/
+    stage/codegen wrappers that carry no metric of their own."""
+    opt = node.metrics().get("numOutputRows")
+    if not opt.isEmpty():
+        return opt.get().value()
+    name = _simple_name(node)
+    if name == "AdaptiveSparkPlanExec":
+        return _rows_of(node.executedPlan())
+    if "QueryStage" in name:
+        try:
+            return _rows_of(node.plan())
+        except Exception:
+            pass
+    ch = node.children()
+    if ch.size() >= 1:
+        return _rows_of(ch.apply(0))
+    return None
+
+
+def nested_loop_sides(df) -> list[tuple[str, int | None, int | None]]:
+    """(node, left_rows, right_rows) for every executed nested-loop
+    join (BNLJ/cartesian) in the FINALIZED plan. The DataFrame must
+    already have been executed (metrics are populated by the run)."""
+    out: list[tuple[str, int | None, int | None]] = []
+
+    def walk(node):
+        name = _simple_name(node)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+            ch = node.children()
+            out.append((name, _rows_of(ch.apply(0)), _rows_of(ch.apply(1))))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if "QueryStage" in name:
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def bnlj_violations(
+    df, max_rows: int = BNLJ_SMALL_SIDE_MAX
+) -> list[tuple[str, int | None, int | None]]:
+    """Nested-loop joins whose SMALLER side exceeds ``max_rows`` —
+    i.e. data-scale O(|L|x|R|) work that no constant bound excuses.
+    Unknown row counts (missing metrics) are treated as violations."""
+    viol = []
+    for name, l_rows, r_rows in nested_loop_sides(df):
+        if l_rows is None or r_rows is None or min(l_rows, r_rows) > max_rows:
+            viol.append((name, l_rows, r_rows))
+    return viol
+
 
 def audit(df) -> dict:
     # AQE only finalizes (and codegen-annotates) the plan on execution;
@@ -76,7 +145,13 @@ def audit(df) -> dict:
         )
     )
     topk = "TakeOrderedAndProject" in plan
+    viol = bnlj_violations(df) if ("NestedLoop" in plan or "CartesianProduct" in plan) else []
     return {
+        "bnlj_bounded": (
+            "UNBOUNDED " + ";".join(f"{l}x{r}" for _, l, r in viol)
+            if viol
+            else "ok"
+        ),
         "joins": ",".join(short[j] for j in joins) or "—",
         "exchanges": n_exchange,
         "scans": n_scan,
@@ -113,8 +188,8 @@ def main() -> None:
         "same query keeps SMJ on the co-located l_orderkey shuffle, which",
         "is what `tests/test_plans.py` pins on the static plan.",
         "",
-        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -122,7 +197,8 @@ def main() -> None:
         a = audit(REGISTRY[name].fn(spark, sf_dir))
         lines.append(
             f"| {name} | {a['joins']} | {a['exchanges']} | {a['scans']} | "
-            f"{a['pushed']} | {a['codegen']} | {a['python']} | {a['topk_heap']} |"
+            f"{a['pushed']} | {a['codegen']} | {a['python']} | {a['topk_heap']} | "
+            f"{a['bnlj_bounded']} |"
         )
     lines.append("")
     with open(out_md, "w") as f:
