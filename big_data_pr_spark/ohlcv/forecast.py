@@ -93,14 +93,24 @@ def recursive_forecast(
 
 
 def load_artifacts(model_path: str, scaler_path: str):
-    """Load joblib model artifacts when available (reference
-    ``app.py:22-23,207-218``); gated import — the container has no
-    xgboost, so callers fall back to :class:`DriftModel`."""
+    """Load the reference's model artifacts (``app.py:22-23,207-218``).
+
+    With joblib+xgboost installed this is the reference's exact load
+    path; without them (this container) the restricted unpickler +
+    UBJSON booster decoder recover the SAME fitted state — real trees,
+    real scaler parameters — so the serving path needs no stub (see
+    :mod:`.artifacts` / :mod:`.xgb_ubjson`;
+    tests/test_artifacts.py proves recursion parity)."""
     try:
         import joblib  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("joblib not available; use DriftModel") from e
-    return joblib.load(model_path), joblib.load(scaler_path)
+        import xgboost  # noqa: F401, PLC0415
+        return joblib.load(model_path), joblib.load(scaler_path)
+    except ImportError:
+        from .artifacts import load_minmax_scaler  # noqa: PLC0415
+        from .xgb_ubjson import load_reference_regressor  # noqa: PLC0415
+
+        model, _params = load_reference_regressor(model_path)
+        return model, load_minmax_scaler(scaler_path)
 
 
 def forecast_all_symbols(

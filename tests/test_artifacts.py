@@ -100,3 +100,93 @@ def test_params_roundtrip_synthetic():
     assert s.inverse_transform(s.transform(x)).ravel() == pytest.approx(
         x.ravel()
     )
+
+
+# --- real XGBoost boosters via UBJSON (no xgboost package) ---------------
+
+
+@pytest.mark.parametrize("sym,k", [("BTC", 5), ("ETH", 24)])
+def test_reference_booster_decodes(sym, k):
+    """app.py:203-206 configures window 5 for BTC, 24 for ETH; the
+    decoded booster must agree (n_estimators=150 per the pickled
+    hyperparams)."""
+    from big_data_pr_spark.ohlcv.xgb_ubjson import load_reference_regressor
+
+    m, params = load_reference_regressor(
+        f"{REF_MODELS}/{sym}_USDT_xgboost_model.pkl"
+    )
+    assert m.n_features_in_ == k
+    assert len(m.trees) == params["n_estimators"] == 150
+    # every split index addresses a real feature slot
+    for t in m.trees:
+        assert all(-1 <= f < k for f in t.feature)
+
+
+def test_real_artifact_recursive_forecast_matches_reference_loop():
+    """End-to-end U1 with the REAL model+scaler, checked against an
+    inline transcription of the reference's scaled-space recursion
+    (app.py:229-238: scale window once, append SCALED predictions,
+    inverse-transform only outputs). Our recursive_forecast re-scales
+    the price-space window per step — affine-equivalent; this test is
+    the proof."""
+    from big_data_pr_spark.ohlcv.forecast import recursive_forecast
+    from big_data_pr_spark.ohlcv.xgb_ubjson import load_reference_regressor
+
+    model, _ = load_reference_regressor(f"{REF_MODELS}/BTC_USDT_xgboost_model.pkl")
+    scaler = load_minmax_scaler(f"{REF_MODELS}/BTC_USDT_scaler.pkl")
+    closes = [80000.0, 80500.0, 81000.0, 80800.0, 81200.0]
+
+    got = recursive_forecast(closes, last_ts_ms=0, steps=24,
+                             model=model, scaler=scaler)
+
+    # reference transcription (scaled-space sliding window)
+    w = scaler.transform(np.asarray(closes).reshape(-1, 1)).flatten()
+    want = []
+    for i in range(24):
+        p_scaled = float(model.predict(w.reshape(1, -1))[0])
+        p_price = float(scaler.inverse_transform(
+            np.array([[p_scaled]]))[0, 0])
+        want.append(((i + 1) * 3_600_000, p_price))
+        w = np.append(w[1:], p_scaled)
+
+    assert len(got) == 24
+    for (ts_g, p_g), (ts_w, p_w) in zip(got, want):
+        assert ts_g == ts_w
+        assert p_g == pytest.approx(p_w, rel=1e-9)
+    # forecasts stay inside the scaler's trained price range
+    lo, hi = scaler.data_min_[0], scaler.data_max_[0]
+    assert all(lo * 0.9 <= p <= hi * 1.1 for _, p in got)
+
+
+def test_ubjson_decoder_roundtrip_handbuilt():
+    """Decode a hand-assembled UBJSON document (typed array, nested
+    object, all int widths, strings, bools)."""
+    import struct
+
+    from big_data_pr_spark.ohlcv.xgb_ubjson import decode_ubjson
+
+    def S(s):
+        b = s.encode()
+        return b"S" + b"U" + bytes([len(b)]) + b
+
+    def key(s):
+        b = s.encode()
+        return b"U" + bytes([len(b)]) + b
+
+    doc = (
+        b"{"
+        + key("ints") + b"[$l#" + b"U\x03"
+        + struct.pack(">iii", -1, 0, 7)
+        + key("floats") + b"[$D#" + b"U\x02"
+        + struct.pack(">dd", 1.5, -2.25)
+        + key("nested") + b"{" + key("s") + S("hi")
+        + key("t") + b"T" + key("f") + b"F" + key("z") + b"Z" + b"}"
+        + key("plain") + b"[" + b"i\x05" + b"L" + struct.pack(">q", 1 << 40)
+        + b"]"
+        + b"}"
+    )
+    got = decode_ubjson(doc)
+    assert list(got["ints"]) == [-1, 0, 7]
+    assert list(got["floats"]) == [1.5, -2.25]
+    assert got["nested"] == {"s": "hi", "t": True, "f": False, "z": None}
+    assert got["plain"] == [5, 1 << 40]
