@@ -122,6 +122,10 @@ _FRONT = [
 # slots/round this list clears in ~4 more rounds; COVERAGE.md records
 # which already-green twins certify the same operator decision.
 _POST_FREEZE = [
+    # --- round-7a additions (registered after the r7 window froze) ---
+    "doremi_mixture_weights",
+    "substring_dup_fraction",
+    "kmeans_cosine_assign",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

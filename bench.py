@@ -21,6 +21,10 @@ from big_data_pr_spark.queries import REGISTRY  # noqa: E402
 from big_data_pr_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # round-7a
+    "doremi_mixture_weights",
+    "substring_dup_fraction",
+    "kmeans_cosine_assign",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

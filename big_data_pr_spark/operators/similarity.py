@@ -873,3 +873,101 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spherical k-means (cosine Lloyd) — direction clustering for embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot_to_literal(vec: Column, centroid: list[float]) -> Column:
+    """vec · literal centroid, folded left-to-right in double (same
+    fold order as DuckDB ``list_sum``, same contract as
+    :func:`_sq_dist_to_literal`)."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit(v: list[float]) -> list[float]:
+    """Driver-side L2 normalization with a SEQUENTIAL square-sum fold
+    (python sum == DuckDB list_sum fold order, NOT numpy's pairwise
+    sum) so the SQL oracle replays the exact same doubles."""
+    import math
+
+    n = math.sqrt(sum(float(x) * float(x) for x in v))
+    return [float(x) / n for x in v] if n > 0 else [float(x) for x in v]
+
+
+def spherical_kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Dhillon & Modha 2001): cluster
+    by DIRECTION — assignment is max cosine (equivalently max dot
+    against unit centroids; the row's own norm is a positive constant,
+    so it cannot change the argmax), update renormalizes the member
+    mean. The standard clustering for embedding spaces where magnitude
+    is nuisance (semantic sharding, SemDeDup-style bucketing).
+
+    Determinism mirrors :func:`kmeans_fit`: first-k init (driver-
+    normalized), ties break to the lowest cluster id. Scale shape is
+    identical — assign is a zero-shuffle narrow map against k×dim
+    literals, update one posexplode partial-agg returning k·dim rows.
+
+    Returns (id, cluster, cos) where cos = dot(x, c_unit) / ||x||.
+    """
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents: dict[int, list[float]] = {
+        i: _unit([float(x) for x in r[0]]) for i, r in enumerate(init)
+    }
+
+    def assign(c: dict[int, list[float]]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    (-_dot_to_literal(F.col(vec_col), cent)).alias("negdot"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cent in sorted(c.items())
+            ]
+        )
+        best = F.array_min(pairs)  # max dot, ties -> lowest cid
+        return df.select(
+            id_col,
+            vec_col,
+            best["cid"].alias("cluster"),
+            (-best["negdot"]).alias("dot"),
+        )
+
+    assigned = assign(cents)
+    for _ in range(iters - 1):
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("v"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(
+                r["v"]
+            )
+        cents = {
+            cid: _unit([dims[p] for p in sorted(dims)])
+            for cid, dims in by_cluster.items()
+        }
+        assigned = assign(cents)
+    sq = F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.round(F.col("dot") / norm, 4).alias("cos"),
+    )

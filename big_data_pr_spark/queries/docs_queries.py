@@ -2973,3 +2973,74 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7a: exact-substring duplication fraction (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_SSD_L = 30  # duplicated-substring window, characters
+
+
+@register(
+    "substring_dup_fraction",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(text) - {_SSD_L} + 1, 0) + 1),
+               i -> substr(text, i, {_SSD_L}))) AS g
+      FROM documents
+    ),
+    dg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           FROM pos GROUP BY doc_id, g),
+    tot AS (SELECT g, sum(c) AS t FROM dg GROUP BY g)
+    SELECT dg.doc_id,
+           CAST(sum(dg.c) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN tot.t > 1 THEN dg.c ELSE 0 END) AS BIGINT)
+             AS n_dup_positions,
+           round(sum(CASE WHEN tot.t > 1 THEN dg.c ELSE 0 END) * 1.0
+                 / sum(dg.c), 6) AS dup_fraction
+    FROM dg JOIN tot USING (g)
+    GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """,
+    doc="Exact-substring duplication fraction (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): the "
+    f"fraction of a document's character-{_SSD_L}-gram positions whose "
+    "substring occurs more than once in the corpus (any doc, incl. "
+    "repeats within the same doc) — the per-document form of the "
+    "suffix-array duplicate-span statistic, the signal ExactSubstr "
+    "dedup cuts on. Scale: positions compress immediately to "
+    "(doc, gram, count) rows (one map-side-combinable shuffle), gram "
+    "totals are a second count-compressing aggregate, and the "
+    "flag-join runs on the compressed table keyed by gram — never the "
+    "raw position stream; docs shorter than the window emit no rows "
+    "(no defined positions).",
+)
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_pos = F.length("text") - _SSD_L + 1
+    # sequence(1, 0) DESCENDS in Spark — emit nothing for short docs
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = docs.select(
+        "doc_id",
+        "text",
+        F.explode(idx).alias("i"),
+    ).select(
+        "doc_id", F.expr(f"substr(text, i, {_SSD_L})").alias("g")
+    )
+    dg = pos.groupBy("doc_id", "g").agg(F.count("*").cast("bigint").alias("c"))
+    tot = dg.groupBy("g").agg(F.sum("c").alias("t"))
+    dup_c = F.when(F.col("t") > 1, F.col("c")).otherwise(F.lit(0))
+    return (
+        dg.join(tot, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_positions"),
+            F.sum(dup_c).cast("bigint").alias("n_dup_positions"),
+            F.round(F.sum(dup_c) / F.sum("c"), 6).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -649,3 +649,73 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_SKM_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), d -> "
+    "e.embedding[d]::DOUBLE * i.c[d]))"
+)
+_SKM_NORM = (
+    "sqrt(list_sum(list_transform({v}, y -> y::DOUBLE * y::DOUBLE)))"
+)
+
+
+@register(
+    "kmeans_cosine_assign",
+    f"""
+    WITH init0 AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    ),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding,
+               x -> x::DOUBLE / {_SKM_NORM.format(v="embedding")}) AS c
+      FROM init0
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT e.vec_id, e.embedding, i.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SKM_DOT.format(dim=_KM_DIM)} DESC, i.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cluster AS cid, list(v ORDER BY dim) AS m FROM (
+        SELECT a1.cluster, i.dim, avg(a1.embedding[i.dim]::DOUBLE) AS v
+        FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS dim) i
+        GROUP BY a1.cluster, i.dim)
+      GROUP BY cluster
+    ),
+    c1 AS (
+      SELECT cid, list_transform(m, x -> x / {_SKM_NORM.format(v="m")}) AS c
+      FROM m1
+    )
+    SELECT vec_id, cluster, round(cosv, 4) AS cos FROM (
+      SELECT e.vec_id, i.cid AS cluster,
+             {_SKM_DOT.format(dim=_KM_DIM)}
+               / {_SKM_NORM.format(v="e.embedding")} AS cosv,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SKM_DOT.format(dim=_KM_DIM)} DESC, i.cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN c1 i)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="Deterministic 2-iteration SPHERICAL k-means (Dhillon & Modha "
+    "2001; operators/similarity.py::spherical_kmeans_assign): cluster "
+    "embeddings by direction — assignment is max cosine against unit "
+    "centroids, update renormalizes the member mean. The cosine twin "
+    "of kmeans_assign, and the clustering SemDeDup-style semantic "
+    "dedup buckets on. First-k init + lowest-cid tie-break keep the "
+    "decision SQL-replayable; assign passes are zero-shuffle narrow "
+    "maps against k×dim literals, update is one posexplode "
+    "partial-agg shuffle returning k·dim rows.",
+)
+def kmeans_cosine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.spherical_kmeans_assign(emb, k=_KM_K, iters=2).orderBy(
+        "vec_id"
+    )

@@ -1073,3 +1073,4 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_pseudo")
     )
+

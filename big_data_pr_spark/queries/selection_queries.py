@@ -524,3 +524,82 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         w(0.7, "w_a70"),
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(tot), 6).alias("w_a100"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-7a: DoReMi-style excess-loss domain reweighting
+# ---------------------------------------------------------------------------
+
+_DRM_ETA = 1.0  # exponentiated-gradient step (effective temperature)
+_DRM_SMOOTH = 0.2  # uniform smoothing mass c: w = (1-c)*softmax + c/k
+
+
+@register(
+    "doremi_mixture_weights",
+    f"""
+    WITH {{bg}},
+    srcnll AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             -avg(lm.logp) AS nll
+      FROM bg JOIN lm USING (bigram) JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ),
+    ref AS (SELECT min(nll) AS ref_nll FROM srcnll),
+    ex AS (
+      SELECT source, n_bigrams, nll,
+             greatest(nll - ref.ref_nll, 0) AS excess
+      FROM srcnll CROSS JOIN ref
+    ),
+    sm AS (
+      SELECT source, n_bigrams, nll, excess,
+             exp({_DRM_ETA} * excess)
+               / sum(exp({_DRM_ETA} * excess)) OVER () AS sw,
+             count(*) OVER () AS k
+      FROM ex
+    )
+    SELECT source, n_bigrams, round(nll, 6) AS proxy_nll,
+           round(excess, 6) AS excess_loss,
+           round((1 - {_DRM_SMOOTH}) * sw + {_DRM_SMOOTH} / k, 6) AS weight
+    FROM sm ORDER BY source
+    """.replace("{bg}", _BG_SQL),
+    doc="DoReMi-style domain reweighting (Xie et al. 2023): each "
+    "source's proxy loss is its mean token NLL under the corpus bigram "
+    "LM; excess loss clips at the best domain's NLL; one exponentiated-"
+    "gradient step turns excesses into a softmax over domains, smoothed "
+    "with uniform mass c=0.2 (DoReMi's alpha-smoothing) — hard domains "
+    "get upweighted, the reference mix is never starved. With a FIXED "
+    "proxy model the T-step EG recursion collapses to a single softmax "
+    "at temperature T*eta, so one step IS the converged reweighting "
+    "(documented divergence from the online form, which retrains the "
+    "proxy between steps). Scale: the only data-sized work is the "
+    "bigram NLL join (vocabulary-bounded LM state); everything after "
+    "is a |sources|-row window.",
+)
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lm, _ = text.bigram_lm(docs)
+    bg = docs.select("doc_id", F.explode(text.bigrams("text")).alias("bigram"))
+    srcnll = (
+        bg.join(lm.select("bigram", "logp"), "bigram")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (-F.avg("logp")).alias("nll"),
+        )
+    )
+    wall = Window.partitionBy()
+    ex = srcnll.withColumn(
+        "excess", F.greatest(F.col("nll") - F.min("nll").over(wall), F.lit(0.0))
+    )
+    sw = F.exp(_DRM_ETA * F.col("excess")) / F.sum(
+        F.exp(_DRM_ETA * F.col("excess"))
+    ).over(wall)
+    k = F.count("*").over(wall)
+    return ex.select(
+        "source",
+        "n_bigrams",
+        F.round("nll", 6).alias("proxy_nll"),
+        F.round("excess", 6).alias("excess_loss"),
+        F.round((1 - _DRM_SMOOTH) * sw + _DRM_SMOOTH / k, 6).alias("weight"),
+    ).orderBy("source")

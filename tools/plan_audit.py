@@ -56,6 +56,9 @@ def _rows_of(node):
     name = _simple_name(node)
     if name == "AdaptiveSparkPlanExec":
         return _rows_of(node.executedPlan())
+    if name == "ReusedExchangeExec":
+        # leaf wrapper around the original exchange; metrics live there
+        return _rows_of(node.child())
     if "QueryStage" in name:
         try:
             return _rows_of(node.plan())
