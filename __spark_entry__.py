@@ -126,6 +126,8 @@ _POST_FREEZE = [
     "doremi_mixture_weights",
     "substring_dup_fraction",
     "kmeans_cosine_assign",
+    "winnowing_fingerprints",
+    "ivfpq_adc_topk_lit",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

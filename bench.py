@@ -25,6 +25,8 @@ HEADLINE = [
     "doremi_mixture_weights",
     "substring_dup_fraction",
     "kmeans_cosine_assign",
+    "winnowing_fingerprints",
+    "ivfpq_adc_topk_lit",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

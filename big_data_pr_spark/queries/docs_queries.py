@@ -3044,3 +3044,108 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7b: winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 20  # char k-gram length
+_WIN_W = 8  # winnowing window (hashes per window)
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substr(text, i, {_WIN_K})), 1, 8))::BIGINT AS h
+      FROM documents,
+           LATERAL unnest(range(1, greatest(len(text) - {_WIN_K} + 1, 0) + 1))
+             AS t(i)
+    ),
+    m AS (SELECT doc_id, max(i) AS m FROM pos GROUP BY doc_id),
+    wmin AS (
+      SELECT pos.doc_id,
+             min(h) OVER (PARTITION BY pos.doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS fp,
+             i, m.m
+      FROM pos JOIN m USING (doc_id)
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, fp
+      FROM wmin WHERE i <= m - {_WIN_W} + 1
+    ),
+    stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fp GROUP BY doc_id),
+    shared AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fp GROUP BY fp)
+    SELECT fp.doc_id, stats.n_fp,
+           CAST(sum(CASE WHEN shared.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           round(sum(CASE WHEN shared.nd > 1 THEN 1 ELSE 0 END) * 1.0
+                 / stats.n_fp, 6) AS shared_frac
+    FROM fp JOIN shared USING (fp) JOIN stats USING (doc_id)
+    GROUP BY fp.doc_id, stats.n_fp ORDER BY fp.doc_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & Aiken "
+    f"2003, the MOSS algorithm): hash every char-{_WIN_K}-gram "
+    f"(engine-neutral md5 prefix), keep the minimum hash of each "
+    f"sliding window of {_WIN_W} consecutive hashes — the guarantee is "
+    "every shared substring of length >= k+w-1 produces at least one "
+    "shared fingerprint, at ~2/(w+1) the storage of full k-gram sets. "
+    "Per doc: fingerprint count, fingerprints shared with any other "
+    "document, shared fraction (the plagiarism/near-dup triage "
+    "signal positional MinHash can miss). Scale: the window min is a "
+    "per-doc ROWS frame (one doc-keyed shuffle), fingerprints "
+    "compress to distinct (doc, fp) rows before the |fp|-keyed "
+    "sharing aggregate — no pair join anywhere.",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_pos = F.length("text") - _WIN_K + 1
+    idx = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = docs.select(
+        "doc_id", "text", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substr(text, i, {_WIN_K})")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wmin = pos.select(
+        "doc_id",
+        "i",
+        F.min("h").over(frame).alias("fp"),
+        F.max("i").over(wdoc).alias("m"),
+    )
+    fp = (
+        wmin.where(F.col("i") <= F.col("m") - _WIN_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    stats = fp.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    shared = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    is_shared = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        fp.join(shared, "fp")
+        .join(stats, "doc_id")
+        .groupBy("doc_id", "n_fp")
+        .agg(
+            F.sum(is_shared).cast("bigint").alias("n_shared_fp"),
+            F.round(F.sum(is_shared) / F.col("n_fp"), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

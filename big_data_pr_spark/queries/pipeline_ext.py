@@ -1074,3 +1074,124 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_pseudo")
     )
 
+
+
+_IVFPQ_COARSE_K = 16
+_IVFPQ_PROBE = 4
+_IVFPQ_SQD64 = (
+    "list_sum(list_transform(generate_series(1, 64), d -> "
+    "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE)) * "
+    "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE))))"
+)
+
+
+@register(
+    "ivfpq_adc_topk_lit",
+    f"""
+    WITH civf AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS c
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+            LIMIT {_IVFPQ_COARSE_K})
+    ),
+    probe AS (
+      SELECT i.cid FROM civf i,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) e
+      ORDER BY {_IVFPQ_SQD64.format(a='e', b='i.c')}, i.cid
+      LIMIT {_IVFPQ_PROBE}
+    ),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, i.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_IVFPQ_SQD64.format(a='e', b='i.c')}, i.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN civf i)
+      WHERE rn = 1
+    ),
+    cand AS (
+      SELECT c.vec_id, c.embedding FROM cells c
+      JOIN probe p ON c.cell = p.cid
+      WHERE c.vec_id <> 0
+    ),
+    pqinit AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS v
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+    dists AS (
+      SELECT e.vec_id, s.j, i.cid,
+             {_pq_sqd_sql('e.embedding', 'i.v', f's.j * {_PQ_DSUB}')} AS dist
+      FROM cand e CROSS JOIN subs s CROSS JOIN pqinit i),
+    best AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rk
+        FROM dists) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    adc AS (
+      SELECT b.vec_id,
+             {_pq_sqd_sql('q.qv', 'i.v', f'b.j * {_PQ_DSUB}')} AS dq
+      FROM best b JOIN pqinit i USING (cid) CROSS JOIN q)
+    SELECT vec_id, round(sum(dq), 6) AS adc_dist
+    FROM adc GROUP BY vec_id ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    doc="IVF+PQ composed search, the FAISS IVFADC architecture "
+    "(Jégou et al. 2011) with the ENTIRE decision path oracle-"
+    f"certified: coarse quantizer = {_IVFPQ_COARSE_K} literal "
+    f"centroids prunes the scan to the {_IVFPQ_PROBE} cells nearest "
+    "the query (the partition-pruning layer), survivors are scored by "
+    "PQ asymmetric distance over their m-byte codes (the compression "
+    "layer), top-10 by ADC. Composes the separately-certified "
+    "ann_ivf_topk_lit and pq_adc_topk_lit decisions into the "
+    "billion-scale production shape: at 100 TB the scan touches "
+    "probe/k of the partitions and reads 16x less per row; the "
+    "re-rank stage (pq_adc_topk rerank=N) bolts on unchanged. "
+    "operators/similarity.py + operators/ann_index.py.",
+)
+def ivfpq_adc_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = (
+        emb.orderBy("vec_id")
+        .limit(_IVFPQ_COARSE_K)
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in init]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    # probe selection on the driver: sequential fold, same order as
+    # the oracle's list_sum (ann_ivf_topk_lit convention)
+    d = [
+        sum((ci - qi) * (ci - qi) for ci, qi in zip(c, qvec)) for c in cents
+    ]
+    probe = [
+        cid
+        for cid, _ in sorted(enumerate(d), key=lambda t: (t[1], t[0]))[
+            :_IVFPQ_PROBE
+        ]
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                similarity._sq_dist_to_literal(
+                    F.col("embedding"), c
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+    cand = (
+        emb.withColumn("cell", F.array_min(pairs)["cid"])
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .drop("cell")
+    )
+    books = similarity.pq_init_codebooks(emb, dim=64, m=_PQ_M, k=_PQ_K)
+    return similarity.pq_adc_topk(cand, 64, books, qvec, k=10)
