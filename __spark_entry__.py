@@ -128,6 +128,7 @@ _POST_FREEZE = [
     "kmeans_cosine_assign",
     "winnowing_fingerprints",
     "ivfpq_adc_topk_lit",
+    "pipe_syntax_ship_stats",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

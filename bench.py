@@ -27,6 +27,7 @@ HEADLINE = [
     "kmeans_cosine_assign",
     "winnowing_fingerprints",
     "ivfpq_adc_topk_lit",
+    "pipe_syntax_ship_stats",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -310,3 +310,40 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "event_type", "n", F.round("total", 6).alias("total"), "vmax"
     ).orderBy("event_type")
+
+
+@register(
+    "pipe_syntax_ship_stats",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 6) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="SQL pipe syntax (Spark 4: FROM t |> WHERE ... |> AGGREGATE "
+    "... GROUP BY — the Google 'SQL Has Problems' pipe dialect): the "
+    "same filtered revenue rollup as ANSI GROUP BY, expressed as a "
+    "linear dataflow. Surface-syntax parity item: Catalyst plans the "
+    "pipe form into the IDENTICAL aggregate-after-pushed-filter "
+    "physical plan, which is the point — the oracle is the ANSI "
+    "equivalent and must hash-match.",
+)
+def pipe_syntax_ship_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql(
+        """
+        FROM __pipe_lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                     round(avg(l_quantity), 6) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue, avg_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -56,13 +56,15 @@ FAMILIES: dict[str, list[str]] = {
     "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments",
                 "winsorized_stats"],
     "dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_cluster_assign",
-              "dedup_minhash_md5", "dedup_simhash_md5", "dedup_survivorship"],
+              "dedup_minhash_md5", "dedup_simhash_md5", "dedup_survivorship",
+              "substring_dup_fraction", "winnowing_fingerprints"],
     "similarity": ["knn_cosine_bruteforce", "embedding_quantize",
                    "ann_lsh_topk_lit", "ann_ivf_topk_lit",
                    "embedding_pca_project_lit", "pq_adc_topk_lit",
                    "pq_reconstruction_error", "embedding_norm_profile",
                    "lexical_semantic_agreement",
-                   "embedding_anisotropy_probe"],
+                   "embedding_anisotropy_probe", "ivfpq_adc_topk_lit",
+                   "kmeans_cosine_assign"],
     "text": ["lang_id_confusion", "token_burstiness_top",
              "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
@@ -80,7 +82,8 @@ FAMILIES: dict[str, list[str]] = {
                    "multimodal_features", "multimodal_resize"],
     "selection": ["dsir_importance_weights", "dsir_bucket_kl",
                   "ccnet_perplexity_buckets", "gopher_quality_flags",
-                  "doc_novelty_fraction", "mixture_temperature_weights"],
+                  "doc_novelty_fraction", "mixture_temperature_weights",
+                  "doremi_mixture_weights"],
     "valuation": ["knn_shapley_valuation", "kcenter_coreset_greedy",
                   "t_closeness_audit", "good_turing_smoothing",
                   "hill_tail_index"],
