@@ -129,6 +129,8 @@ _POST_FREEZE = [
     "winnowing_fingerprints",
     "ivfpq_adc_topk_lit",
     "pipe_syntax_ship_stats",
+    "bpe_fertility_by_lang",
+    "dirichlet_ql_search_lit",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -28,6 +28,8 @@ HEADLINE = [
     "winnowing_fingerprints",
     "ivfpq_adc_topk_lit",
     "pipe_syntax_ship_stats",
+    "bpe_fertility_by_lang",
+    "dirichlet_ql_search_lit",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

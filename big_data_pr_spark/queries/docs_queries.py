@@ -3149,3 +3149,69 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _bpe_fertility_oracle(n_merges: int = 10, min_freq: int = 2) -> str:
+    """Per-language fertility rollup over the bpe_encode CTE chain."""
+    nul = "chr(0)"
+    cc = f"{nul}||{nul}"
+    train = bpe_ops.bpe_oracle_sql(n_merges, min_freq)
+    ctes = train.split("\nSELECT CAST(0 AS INTEGER)")[0].rstrip().rstrip(",")
+    return f"""{ctes},
+wordlen AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(trim(s, {nul}), {cc})) AS BIGINT) AS n_tok,
+         len(w) AS n_chars
+  FROM v{n_merges}),
+corpus AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wordlen.n_tok) AS BIGINT) AS n_pieces,
+       round(sum(wordlen.n_tok) * 1.0 / count(*), 6) AS fertility,
+       round(sum(wordlen.n_chars) * 1.0 / sum(wordlen.n_tok), 6)
+         AS chars_per_piece
+FROM corpus JOIN wordlen USING (w)
+WHERE w <> ''
+GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "bpe_fertility_by_lang",
+    _bpe_fertility_oracle(10),
+    doc="Tokenizer fertility per language (pieces per word, chars per "
+    "piece) under the corpus-trained BPE — THE cross-lingual equity "
+    "metric for tokenizer retraining (high-fertility languages pay "
+    "more compute per word; cf. the multilingual-tokenizer fairness "
+    "literature). Spark path encodes the DISTINCT word vocabulary "
+    "once (Arrow-batched greedy merges over |vocab| rows, never the "
+    "corpus) and broadcast-joins piece counts back to the exploded "
+    "corpus for a per-language rollup — encode cost is vocabulary-"
+    "bounded, corpus cost is one explode + one broadcast join.",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import apply_bpe, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=10)
+    corpus = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = corpus.select("w").distinct()
+    wordlen = apply_bpe(vocab, merges, text_col="w", out_col="pieces").select(
+        "w",
+        F.size("pieces").cast("bigint").alias("n_tok"),
+        F.length("w").alias("n_chars"),
+    )
+    return (
+        corpus.join(F.broadcast(wordlen), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_pieces"),
+            F.round(F.sum("n_tok") / F.count("*"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_tok"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("lang")
+    )

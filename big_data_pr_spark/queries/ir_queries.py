@@ -596,3 +596,81 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+_QL_MU = 100.0  # Dirichlet prior mass (docs here average ~50 tokens)
+
+
+@register(
+    "dirichlet_ql_search_lit",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             (length(text) - length(replace(text, ' ', '')) + 1) AS dl
+      FROM documents),
+    tot AS (SELECT sum(dl) AS ctot FROM dl),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    qtok AS (SELECT * FROM tok WHERE term IN {_TERMS_SQL}),
+    cf AS (SELECT term, count(*) AS cf FROM qtok GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok
+           GROUP BY doc_id, term),
+    grid AS (SELECT dl.doc_id, dl.dl, cf.term, cf.cf FROM dl CROSS JOIN cf),
+    scored AS (
+      SELECT g.doc_id,
+             sum(ln((coalesce(tf.tf, 0) + {_QL_MU} * g.cf / t.ctot)
+                    / (g.dl + {_QL_MU}))) AS score,
+             CAST(sum(CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_terms_hit
+      FROM grid g
+      LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+      CROSS JOIN tot t
+      GROUP BY g.doc_id)
+    SELECT doc_id, n_terms_hit, round(score, 6) AS score
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Dirichlet-smoothed query-likelihood top-10 (Zhai & Lafferty "
+    "2001), the language-model retrieval twin of bm25_search_lit for "
+    "the same literal 3-term query: score = sum over query terms of "
+    "log((tf + mu*P(t|C)) / (dl + mu)), mu=100 — unlike BM25, absent "
+    "terms still contribute their collection-probability mass, so the "
+    "score grid is |docs| x |Q| (built by cross-joining the "
+    "broadcast 3-row collection-frequency table; tf left-joins in). "
+    "Token stream is filtered to the query terms BEFORE any shuffle; "
+    "top-k via TakeOrderedAndProject.",
+)
+def dirichlet_ql_search_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", n_tokens(F.col("text")).alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("ctot"))
+    qtok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    cf = qtok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    grid = dl.crossJoin(F.broadcast(cf))
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0))
+                     + _QL_MU * F.col("cf") / F.col("ctot"))
+                    / (F.col("dl") + _QL_MU)
+                )
+            ).alias("score"),
+            F.sum(F.col("tf").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select("doc_id", "n_terms_hit", F.round("score", 6).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
+        .limit(10)
+    )

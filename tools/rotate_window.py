@@ -90,7 +90,7 @@ FAMILIES: dict[str, list[str]] = {
     "linkage": ["fs_linkage_patterns", "em_linkage_step",
                 "sorted_neighborhood_stats"],
     "lm": ["kneser_ney_bigram_top", "unigram_lm_viterbi",
-           "perplexity_scores"],
+           "perplexity_scores", "bpe_fertility_by_lang"],
     "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
                     "matview_incremental_refresh", "scd2_build_customer_priority",
                     "cdc_merge_apply"],
