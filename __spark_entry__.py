@@ -131,6 +131,7 @@ _POST_FREEZE = [
     "pipe_syntax_ship_stats",
     "bpe_fertility_by_lang",
     "dirichlet_ql_search_lit",
+    "cox_ph_ship_priority",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -30,6 +30,7 @@ HEADLINE = [
     "pipe_syntax_ship_stats",
     "bpe_fertility_by_lang",
     "dirichlet_ql_search_lit",
+    "cox_ph_ship_priority",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -471,3 +471,139 @@ def price_index_fisher_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     ).orderBy("yr")
+
+
+_COX_STEPS = 8  # Newton-Raphson steps (quadratic convergence; step 8
+# moves beta by ~1e-15 on this data — effectively exact, and the
+# oracle replays the SAME bounded recursion so truncation is shared)
+
+
+@register(
+    "cox_ph_ship_priority",
+    f"""
+    WITH RECURSIVE lat AS (
+      SELECT CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS t,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_t AS (
+      SELECT t, sum(g1) AS d1, count(*) AS d FROM lat GROUP BY t
+    ),
+    tt AS MATERIALIZED (
+      SELECT t, d1, d,
+             sum(d1) OVER (ORDER BY t DESC) AS n1,
+             sum(d) OVER (ORDER BY t DESC) - sum(d1) OVER (ORDER BY t DESC)
+               AS n0
+      FROM per_t
+    ),
+    it AS (
+      SELECT 0 AS k, CAST(0 AS DOUBLE) AS beta
+      UNION ALL
+      SELECT it.k + 1,
+             it.beta
+             + ((SELECT sum(d1) FROM tt)
+                - sum(d * exp(it.beta) * n1 / (n0 + exp(it.beta) * n1)))
+             / sum(d * exp(it.beta) * n1 * n0
+                   / pow(n0 + exp(it.beta) * n1, 2))
+      FROM it, tt
+      WHERE it.k < {_COX_STEPS}
+      GROUP BY it.k, it.beta
+    ),
+    fin AS (SELECT beta FROM it WHERE k = {_COX_STEPS}),
+    info AS (
+      SELECT fin.beta,
+             sum(d * exp(fin.beta) * n1 * n0
+                 / pow(n0 + exp(fin.beta) * n1, 2)) AS i
+      FROM tt CROSS JOIN fin GROUP BY fin.beta
+    )
+    SELECT round(beta, 6) AS beta,
+           round(exp(beta), 6) AS hazard_ratio,
+           round(1.0 / sqrt(i), 6) AS se,
+           round(beta * sqrt(i), 6) AS z,
+           (SELECT CAST(count(*) AS BIGINT) FROM tt) AS n_event_times,
+           (SELECT CAST(sum(d1) AS BIGINT) FROM tt) AS d1_total,
+           (SELECT CAST(sum(d) - sum(d1) AS BIGINT) FROM tt) AS d0_total
+    FROM info
+    """,
+    doc="Cox proportional-hazards fit (binary covariate, Breslow tie "
+    "handling) for order-to-ship latency, urgent vs low priority — "
+    "the parametric sibling of logrank_ship_priority on the SAME risk "
+    "sets: with one binary covariate the partial likelihood collapses "
+    "to the per-event-time table (d, d1, n0, n1), so the score "
+    "U(b) = D1 - sum d*e^b*n1/(n0+e^b*n1) and information I(b) need "
+    "only that |distinct latencies|-sized table. Newton-Raphson from "
+    f"b=0, {_COX_STEPS} bounded steps (driver-side on the collected "
+    "table — date-range bounded by construction; the oracle replays "
+    "the identical recursion). Reports log hazard ratio, HR, SE = "
+    "I(b)^-1/2, Wald z. Scale: one fact join -> per-day aggregate; "
+    "suffix-sum windows over days; the Newton state is two doubles.",
+)
+def cox_ph_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g1"),
+        )
+    )
+    per_t = lat.groupBy("t").agg(
+        F.sum("g1").alias("d1"), F.count("*").alias("d")
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tt = per_t.select(
+        "t",
+        "d1",
+        "d",
+        F.sum("d1").over(wdesc).alias("n1"),
+        (F.sum("d").over(wdesc) - F.sum("d1").over(wdesc)).alias("n0"),
+    ).collect()  # |distinct latency days| rows — date-range bounded
+    rows = sorted(tt, key=lambda r: r["t"])
+    d1_total = sum(r["d1"] for r in rows)
+    d_total = sum(r["d"] for r in rows)
+    beta = 0.0
+    for _ in range(_COX_STEPS):
+        u = float(d1_total)
+        info = 0.0
+        eb = math.exp(beta)
+        for r in rows:
+            s = r["n0"] + eb * r["n1"]
+            u -= r["d"] * eb * r["n1"] / s
+            info += r["d"] * eb * r["n1"] * r["n0"] / (s * s)
+        beta += u / info
+    eb = math.exp(beta)
+    info = sum(
+        r["d"] * eb * r["n1"] * r["n0"] / (r["n0"] + eb * r["n1"]) ** 2
+        for r in rows
+    )
+    se = 1.0 / math.sqrt(info)
+    spark_df = load(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [
+            (
+                round(beta, 6),
+                round(math.exp(beta), 6),
+                round(se, 6),
+                round(beta / se, 6),
+                len(rows),
+                int(d1_total),
+                int(d_total - d1_total),
+            )
+        ],
+        "beta double, hazard_ratio double, se double, z double, "
+        "n_event_times bigint, d1_total bigint, d0_total bigint",
+    )
+    return spark_df

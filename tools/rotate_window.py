@@ -94,7 +94,7 @@ FAMILIES: dict[str, list[str]] = {
     "incremental": ["incremental_agg_merge", "snapshot_diff_orders",
                     "matview_incremental_refresh", "scd2_build_customer_priority",
                     "cdc_merge_apply"],
-    "stattest": ["mad_anomalies", "welch_ttest_purchase_vs_view",
+    "stattest": ["cox_ph_ship_priority", "mad_anomalies", "welch_ttest_purchase_vs_view",
                  "chisq_type_weekday", "ks_test_purchase_vs_view",
                  "mannwhitney_value_shift", "kruskal_wallis_value_by_type",
                  "spearman_qty_price_corr", "kendall_tau_sampled",
