@@ -132,6 +132,7 @@ _POST_FREEZE = [
     "bpe_fertility_by_lang",
     "dirichlet_ql_search_lit",
     "cox_ph_ship_priority",
+    "bradley_terry_event_types",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

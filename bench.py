@@ -31,6 +31,7 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "dirichlet_ql_search_lit",
     "cox_ph_ship_priority",
+    "bradley_terry_event_types",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -527,3 +527,135 @@ def spend_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     ).orderBy("prev_band", "cur_band")
+
+
+_BT_ITERS = 30  # MM iterations (Hunter 2004; |types|=5 state — free)
+
+
+@register(
+    "bradley_terry_event_types",
+    f"""
+    WITH RECURSIVE percap AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    duels AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS w_ab,
+             sum(CASE WHEN a.c <> b.c THEN 1 ELSE 0 END) AS n_ab
+      FROM percap a JOIN percap b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT ta, tb, w_ab, n_ab FROM duels WHERE n_ab > 0
+    ),
+    types AS MATERIALIZED (
+      SELECT event_type,
+             row_number() OVER (ORDER BY event_type) AS i
+      FROM (SELECT DISTINCT ta AS event_type FROM pairs
+            UNION SELECT DISTINCT tb FROM pairs)
+    ),
+    wins AS MATERIALIZED (
+      SELECT t.event_type, t.i,
+             coalesce((SELECT sum(w_ab) FROM pairs WHERE ta = t.event_type), 0)
+             + coalesce((SELECT sum(n_ab - w_ab) FROM pairs
+                         WHERE tb = t.event_type), 0) AS w,
+             coalesce((SELECT sum(n_ab) FROM pairs WHERE ta = t.event_type), 0)
+             + coalesce((SELECT sum(n_ab) FROM pairs
+                         WHERE tb = t.event_type), 0) AS n
+      FROM types t
+    ),
+    it AS (
+      SELECT 0 AS k,
+             (SELECT list(CAST(1.0 AS DOUBLE) ORDER BY i) FROM types) AS p
+      UNION ALL
+      SELECT s.k + 1 AS k, list(s.pn ORDER BY s.i) AS p
+      FROM (
+        SELECT it.k AS k, w.i AS i,
+               w.w / sum(pr.n_ab / (it.p[ti.i] + it.p[tj.i])) AS pn
+        FROM it
+        CROSS JOIN wins w
+        JOIN pairs pr ON pr.ta = w.event_type OR pr.tb = w.event_type
+        JOIN types ti ON ti.event_type = pr.ta
+        JOIN types tj ON tj.event_type = pr.tb
+        WHERE it.k < {_BT_ITERS}
+        GROUP BY it.k, it.p, w.i, w.w
+      ) s
+      GROUP BY s.k
+    ),
+    fin AS (SELECT p FROM it WHERE k = {_BT_ITERS}),
+    tot AS (SELECT sum(x) AS s FROM fin, unnest(fin.p) AS u(x))
+    SELECT t.event_type,
+           CAST(w.w AS BIGINT) AS wins,
+           CAST(w.n AS BIGINT) AS games,
+           round(fin.p[t.i] / tot.s, 6) AS bt_strength
+    FROM types t JOIN wins w USING (event_type)
+    CROSS JOIN fin CROSS JOIN tot
+    ORDER BY t.event_type
+    """,
+    doc="Bradley-Terry strength estimation via Hunter's (2004) MM "
+    "algorithm over pairwise 'duels' between event types: within each "
+    "user, type a beats type b when the user emitted a more often; "
+    "duel counts aggregate once (|types|^2-bounded), then "
+    f"{_BT_ITERS} MM updates p_a <- w_a / sum n_ab/(p_a+p_b) run on "
+    "the |types|-sized state (driver-side in Spark; the oracle "
+    "replays the identical bounded recursion with the strength "
+    "vector as list state). Output normalized to sum 1 — the "
+    "preference-strength ranking used for LLM arena-style pairwise "
+    "evals. Scale: per-user counts are one shuffle; duels join at "
+    "(user x type-pair) density; everything after is constant-sized.",
+)
+def bradley_terry_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    percap = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = percap.alias("a"), percap.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(
+            F.sum((F.col("a.c") > F.col("b.c")).cast("int")).alias("w_ab"),
+            F.sum((F.col("a.c") != F.col("b.c")).cast("int")).alias("n_ab"),
+        )
+        .where(F.col("n_ab") > 0)
+        .collect()  # |types|^2-bounded
+    )
+    duels = sorted(duels, key=lambda r: (r["ta"], r["tb"]))  # stable fold
+    types = sorted({r["ta"] for r in duels} | {r["tb"] for r in duels})
+    idx = {t: i for i, t in enumerate(types)}
+    wins = [0.0] * len(types)
+    games = [0] * len(types)
+    for r in duels:
+        wins[idx[r["ta"]]] += r["w_ab"]
+        wins[idx[r["tb"]]] += r["n_ab"] - r["w_ab"]
+        games[idx[r["ta"]]] += r["n_ab"]
+        games[idx[r["tb"]]] += r["n_ab"]
+    p = [1.0] * len(types)
+    for _ in range(_BT_ITERS):
+        denom = [0.0] * len(types)
+        for r in duels:
+            ia, ib = idx[r["ta"]], idx[r["tb"]]
+            term = r["n_ab"] / (p[ia] + p[ib])
+            denom[ia] += term
+            denom[ib] += term
+        p = [
+            wins[i] / denom[i] if denom[i] > 0 else p[i]
+            for i in range(len(types))
+        ]
+    s = sum(p)
+    rows = [
+        (t, int(wins[idx[t]]), int(games[idx[t]]), round(p[idx[t]] / s, 6))
+        for t in types
+    ]
+    return load(spark, sf_dir, "events").sparkSession.createDataFrame(
+        rows, "event_type string, wins bigint, games bigint, bt_strength double"
+    ).orderBy("event_type")
