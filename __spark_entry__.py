@@ -133,6 +133,7 @@ _POST_FREEZE = [
     "dirichlet_ql_search_lit",
     "cox_ph_ship_priority",
     "bradley_terry_event_types",
+    "page_hinkley_daily_value",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -32,6 +32,7 @@ HEADLINE = [
     "dirichlet_ql_search_lit",
     "cox_ph_ship_priority",
     "bradley_terry_event_types",
+    "page_hinkley_daily_value",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

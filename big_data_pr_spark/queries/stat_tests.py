@@ -2322,3 +2322,79 @@ def logrank_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+_PH_DELTA = 0.005  # magnitude tolerance
+_PH_LAMBDA_SD = 3.0  # alarm at gap > 3 sd of the daily series
+
+
+@register(
+    "page_hinkley_daily_value",
+    f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT day, x,
+             avg(x) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS xbar
+      FROM d
+    ),
+    m AS (
+      SELECT day, x,
+             sum(x - xbar - {_PH_DELTA})
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM r
+    ),
+    g AS (
+      SELECT day, x, mt,
+             mt - min(mt) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS gap,
+             stddev_samp(x) OVER () AS sd
+      FROM m
+    )
+    SELECT day, round(x, 6) AS x, round(mt, 6) AS mt,
+           round(gap, 6) AS gap,
+           CAST(gap > {_PH_LAMBDA_SD} * sd AS INTEGER) AS alarm
+    FROM g ORDER BY day
+    """,
+    doc="Page-Hinkley drift detector (Page 1954; the streaming-ML "
+    "standard for concept drift, cf. Gama et al. 2014) replayed "
+    "offline on daily mean event values: cumulative deviation from "
+    "the RUNNING mean (minus tolerance delta), alarmed when the gap "
+    "to its running minimum exceeds 3 series-sd. Completes the "
+    "changepoint trio (CUSUM = known-mean shift, Pettitt = rank "
+    "changepoint, PH = sequential drift alarm). Cumulative windows "
+    "are sequential folds — both engines iterate the same day order, "
+    "so the statistic replays bit-for-bit; the series is one grouped "
+    "scan, windows over |days| rows only.",
+)
+def page_hinkley_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.avg("value").alias("x"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    r = d.select("day", "x", F.avg("x").over(wcum).alias("xbar"))
+    m = r.select(
+        "day",
+        "x",
+        F.sum(F.col("x") - F.col("xbar") - _PH_DELTA).over(wcum).alias("mt"),
+    )
+    g = m.select(
+        "day",
+        "x",
+        "mt",
+        (F.col("mt") - F.min("mt").over(wcum)).alias("gap"),
+        F.stddev_samp("x").over(wall).alias("sd"),
+    )
+    return g.select(
+        "day",
+        F.round("x", 6).alias("x"),
+        F.round("mt", 6).alias("mt"),
+        F.round("gap", 6).alias("gap"),
+        (F.col("gap") > _PH_LAMBDA_SD * F.col("sd")).cast("int").alias("alarm"),
+    ).orderBy("day")
