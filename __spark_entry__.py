@@ -134,6 +134,7 @@ _POST_FREEZE = [
     "cox_ph_ship_priority",
     "bradley_terry_event_types",
     "page_hinkley_daily_value",
+    "multimodal_phash_groups",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -33,6 +33,7 @@ HEADLINE = [
     "cox_ph_ship_priority",
     "bradley_terry_event_types",
     "page_hinkley_daily_value",
+    "multimodal_phash_groups",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -688,3 +688,47 @@ def sample_video_frames(df: DataFrame, stride: int = 2) -> DataFrame:
         schema="id long, n_frames int, frame_idx int, width int, height int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+def ahash_images(df: DataFrame) -> DataFrame:
+    """8x8 average-hash (aHash) from REAL decoded pixels: gray-sum =
+    r+g+b per pixel (no /3 — keeps every pooled value an EXACT
+    integer ratio so the SQL oracle's closed-form replay is
+    bit-identical; the /3 cancels in the threshold comparison),
+    average-pooled onto an 8x8 grid (block bx covers x in
+    [floor(bx*w/8), floor((bx+1)*w/8)) — integer ranges an oracle
+    reproduces), bit k=by*8+bx set when the pooled value exceeds the
+    mean of the 64 pooled values, packed as a 16-hex-char string (one
+    byte per pixel-row band; string packing sidesteps int64 sign
+    overflow on bit 63). The standard cheap perceptual near-dup key
+    for image corpora — identical-looking rasters collide, so GROUPING
+    replaces the pair join. Arrow-batched narrow map."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for rid, buf in zip(pdf["id"], pdf["payload"]):
+                w, h, px = parse_ppm(bytes(buf))
+                g3 = px.sum(axis=2, dtype="int64")  # r+g+b, exact ints
+                pooled = []
+                for by in range(8):
+                    ylo, yhi = by * h // 8, (by + 1) * h // 8
+                    row = []
+                    for bx in range(8):
+                        xlo, xhi = bx * w // 8, (bx + 1) * w // 8
+                        s = int(g3[ylo:yhi, xlo:xhi].sum())
+                        n = (yhi - ylo) * (xhi - xlo)
+                        row.append(s / n)  # exact: value is k/2, k int
+                    pooled.append(row)
+                m = sum(sum(r) for r in pooled) / 64.0  # exact: /2^6
+                hex_hash = "".join(
+                    "%02x"
+                    % sum(1 << bx for bx in range(8) if pooled[by][bx] > m)
+                    for by in range(8)
+                )
+                out.append((int(rid), int(w), int(h), hex_hash))
+            yield pd.DataFrame(out, columns=["id", "w", "h", "ahash"])
+
+    return df.mapInPandas(batches, schema="id long, w int, h int, ahash string")

@@ -3215,3 +3215,68 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "multimodal_phash_groups",
+    """
+    WITH g AS (
+      SELECT doc_id AS id,
+             16 + doc_id % 17 AS w,
+             16 + (doc_id * 3) % 13 AS h,
+             doc_id % 256 AS c
+      FROM documents
+    ),
+    cells AS (
+      SELECT id, w, h, bxy.bx, bxy.by,
+             c + (((bxy.bx * w) // 8) + (((bxy.bx + 1) * w) // 8) - 1) / 2.0
+               + (((bxy.by * h) // 8) + (((bxy.by + 1) * h) // 8) - 1) / 2.0
+               AS pooled
+      FROM g, (SELECT x.i AS bx, y.i AS by
+               FROM (SELECT unnest(range(0, 8)) AS i) x,
+                    (SELECT unnest(range(0, 8)) AS i) y) bxy
+    ),
+    thr AS (
+      SELECT id, w, h, bx, by, pooled,
+             avg(pooled) OVER (PARTITION BY id) AS m
+      FROM cells
+    ),
+    bytes AS (
+      SELECT id, w, h, by,
+             CAST(sum(CASE WHEN pooled > m
+                           THEN CAST(1 AS BIGINT) << bx ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM thr GROUP BY id, w, h, by
+    ),
+    hashes AS (
+      SELECT id, w, h,
+             string_agg(lower(lpad(to_hex(b), 2, '0')), '' ORDER BY by) AS ahash
+      FROM bytes GROUP BY id, w, h
+    )
+    SELECT id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_dupes
+    FROM hashes ORDER BY id
+    """,
+    doc="Perceptual-hash (8x8 average-hash) near-dup GROUPS over the "
+    "image corpus, end-to-end through the REAL codec: payloads are "
+    "encoded, decoded back to pixels, gray-sum average-pooled onto "
+    "the 8x8 grid, thresholded at the pooled mean, and hex-packed "
+    "(operators/multimodal.py::ahash_images); the oracle recomputes "
+    "every bit from the rasters' closed form, so the whole "
+    "decode->pool->threshold->pack pipeline is hash-certified. "
+    "n_dupes = documents sharing the exact perceptual hash — the "
+    "image-dedup decision is a GROUP BY on the 8-byte key, never a "
+    "pair join (hamming-radius variants band the same key). Scale: "
+    "one Arrow-batched narrow map + one hash-keyed shuffle.",
+)
+def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hashed = multimodal.ahash_images(multimodal.synthesize_ppm(docs, "doc_id"))
+    wdup = Window.partitionBy("ahash")
+    return hashed.select(
+        "id",
+        "w",
+        "h",
+        "ahash",
+        F.count("*").over(wdup).cast("bigint").alias("n_dupes"),
+    ).orderBy("id")

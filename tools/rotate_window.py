@@ -79,7 +79,8 @@ FAMILIES: dict[str, list[str]] = {
     "multimodal": ["multimodal_meta", "multimodal_frames",
                    "multimodal_ppm_decode", "multimodal_wav_decode",
                    "multimodal_video_frames", "multimodal_decode",
-                   "multimodal_features", "multimodal_resize"],
+                   "multimodal_features", "multimodal_resize",
+                   "multimodal_phash_groups"],
     "selection": ["dsir_importance_weights", "dsir_bucket_kl",
                   "ccnet_perplexity_buckets", "gopher_quality_flags",
                   "doc_novelty_fraction", "mixture_temperature_weights",
