@@ -135,6 +135,7 @@ _POST_FREEZE = [
     "bradley_terry_event_types",
     "page_hinkley_daily_value",
     "multimodal_phash_groups",
+    "hbos_outlier_topk",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

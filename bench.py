@@ -34,6 +34,7 @@ HEADLINE = [
     "bradley_terry_event_types",
     "page_hinkley_daily_value",
     "multimodal_phash_groups",
+    "hbos_outlier_topk",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2398,3 +2398,116 @@ def page_hinkley_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gap", 6).alias("gap"),
         (F.col("gap") > _PH_LAMBDA_SD * F.col("sd")).cast("int").alias("alarm"),
     ).orderBy("day")
+
+
+_HBOS_BINS = 10
+
+
+@register(
+    "hbos_outlier_topk",
+    f"""
+    WITH f AS (
+      SELECT event_id,
+             value,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(extract(dow FROM ts) AS BIGINT) AS dow
+      FROM events
+    ),
+    vr AS (SELECT min(value) AS lo, max(value) AS hi FROM f),
+    b AS (
+      SELECT event_id, value, hod, dow,
+             least(CAST(floor((value - vr.lo) / (vr.hi - vr.lo)
+                              * {_HBOS_BINS}) AS BIGINT),
+                   {_HBOS_BINS - 1}) AS vbin
+      FROM f CROSS JOIN vr
+    ),
+    hv AS (SELECT vbin, count(*) AS c FROM b GROUP BY vbin),
+    hh AS (SELECT hod, count(*) AS c FROM b GROUP BY hod),
+    hd AS (SELECT dow, count(*) AS c FROM b GROUP BY dow),
+    mx AS (
+      SELECT (SELECT max(c) FROM hv) AS mv,
+             (SELECT max(c) FROM hh) AS mh,
+             (SELECT max(c) FROM hd) AS md
+    ),
+    scored AS (
+      SELECT b.event_id, b.value, b.hod, b.dow,
+             ln(mx.mv * 1.0 / hv.c) + ln(mx.mh * 1.0 / hh.c)
+             + ln(mx.md * 1.0 / hd.c) AS score
+      FROM b
+      JOIN hv USING (vbin) JOIN hh USING (hod) JOIN hd USING (dow)
+      CROSS JOIN mx
+    )
+    SELECT event_id, round(value, 6) AS value, hod, dow,
+           round(score, 6) AS hbos_score
+    FROM scored
+    ORDER BY round(score, 6) DESC, event_id
+    LIMIT 20
+    """,
+    doc="HBOS anomaly scores (Goldstein & Dengel 2012), top-20: per "
+    "feature (value decile-width bins, hour-of-day, day-of-week) a "
+    "max-normalized histogram; score = sum of log(max_height / "
+    "bin_height) — events in jointly rare bins float to the top. The "
+    "linear-time unsupervised outlier baseline (assumes feature "
+    "independence — by design). Scale: three histogram aggregates "
+    "(bounded bins), broadcast joins of the bin tables back onto one "
+    "scan, top-k heap; no distance computations, no pairs.",
+)
+def hbos_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id",
+        "value",
+        F.hour("ts").cast("long").alias("hod"),
+        F.dayofweek("ts").cast("long").alias("dow0"),
+    ).withColumn("dow", F.col("dow0") - 1).drop("dow0")
+    wall = Window.partitionBy()
+    b = f.select(
+        "event_id",
+        "value",
+        "hod",
+        "dow",
+        F.least(
+            F.floor(
+                (F.col("value") - F.min("value").over(wall))
+                / (F.max("value").over(wall) - F.min("value").over(wall))
+                * _HBOS_BINS
+            ).cast("long"),
+            F.lit(_HBOS_BINS - 1),
+        ).alias("vbin"),
+    )
+    hv = b.groupBy("vbin").agg(F.count("*").alias("cv"))
+    hh = b.groupBy("hod").agg(F.count("*").alias("ch"))
+    hd = b.groupBy("dow").agg(F.count("*").alias("cd"))
+    mx = (
+        hv.agg(F.max("cv").alias("mv"))
+        .crossJoin(hh.agg(F.max("ch").alias("mh")))
+        .crossJoin(hd.agg(F.max("cd").alias("md")))
+    )
+    scored = (
+        b.join(F.broadcast(hv), "vbin")
+        .join(F.broadcast(hh), "hod")
+        .join(F.broadcast(hd), "dow")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_id",
+            "value",
+            "hod",
+            "dow",
+            (
+                F.log(F.col("mv") / F.col("cv"))
+                + F.log(F.col("mh") / F.col("ch"))
+                + F.log(F.col("md") / F.col("cd"))
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "event_id",
+            F.round("value", 6).alias("value"),
+            "hod",
+            "dow",
+            F.round("score", 6).alias("hbos_score"),
+        )
+        .orderBy(F.desc(F.round(F.col("hbos_score"), 6)), F.asc("event_id"))
+        .limit(20)
+    )
