@@ -136,6 +136,7 @@ _POST_FREEZE = [
     "page_hinkley_daily_value",
     "multimodal_phash_groups",
     "hbos_outlier_topk",
+    "sax_motifs_hourly",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -35,6 +35,7 @@ HEADLINE = [
     "page_hinkley_daily_value",
     "multimodal_phash_groups",
     "hbos_outlier_topk",
+    "sax_motifs_hourly",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

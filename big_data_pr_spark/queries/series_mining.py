@@ -1119,3 +1119,110 @@ def overdispersion_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(var > mu, mu * mu / (var - mu)), 6
         ).alias("nb_r_moments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: SAX symbolization + motif counts (Lin et al. 2003)
+# ---------------------------------------------------------------------------
+
+_SAX_WORD = 3  # symbols per word
+# breakpoints for a 4-letter alphabet under N(0,1): -0.6745, 0, 0.6745
+_SAX_BP = 0.6745
+
+
+@register(
+    "sax_motifs_hourly",
+    f"""
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS hr, avg(value) AS x
+      FROM events GROUP BY 1
+    ),
+    z AS (
+      SELECT hr, x,
+             (x - avg(x) OVER ()) / stddev_samp(x) OVER () AS zx
+      FROM s
+    ),
+    sym AS (
+      SELECT hr,
+             CASE WHEN zx < -{_SAX_BP} THEN 'a'
+                  WHEN zx < 0 THEN 'b'
+                  WHEN zx < {_SAX_BP} THEN 'c'
+                  ELSE 'd' END AS c,
+             row_number() OVER (ORDER BY hr) AS i,
+             count(*) OVER () AS n
+      FROM z
+    ),
+    words AS (
+      SELECT s1.c || s2.c || s3.c AS word
+      FROM sym s1
+      JOIN sym s2 ON s2.i = s1.i + 1
+      JOIN sym s3 ON s3.i = s1.i + 2
+      WHERE s1.i <= s1.n - {_SAX_WORD} + 1
+    )
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS support
+    FROM words GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    """,
+    doc="SAX symbolic motif counts (Lin, Keogh et al. 2003) over the "
+    "hourly mean-value series: z-normalize, map each point to a "
+    "4-letter alphabet at the standard-normal quartile breakpoints "
+    f"(±{_SAX_BP}), slide a {_SAX_WORD}-symbol window, count words — "
+    "the discretization that makes time-series motif/novelty mining "
+    "a plain GROUP BY. Symbol assignment is ordinal (breakpoint "
+    "compares), so both engines agree bit-for-bit; the word build is "
+    "|hours|-sized self-joins on consecutive ranks (at scale: one "
+    "lead() window instead — expressed as joins here to match the "
+    "oracle shape exactly).",
+)
+def sax_motifs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.avg("value").alias("x")
+    )
+    wall = Window.partitionBy()
+    z = s.select(
+        "hr",
+        (
+            (F.col("x") - F.avg("x").over(wall))
+            / F.stddev_samp("x").over(wall)
+        ).alias("zx"),
+    )
+    sym = z.select(
+        "hr",
+        F.when(F.col("zx") < -_SAX_BP, "a")
+        .when(F.col("zx") < 0, "b")
+        .when(F.col("zx") < _SAX_BP, "c")
+        .otherwise("d")
+        .alias("c"),
+        F.row_number().over(Window.orderBy("hr")).alias("i"),
+        F.count("*").over(wall).alias("n"),
+    )
+    # |hours|-sized series: the word build is lead() windows (narrow
+    # after the single ORDER BY hr sort)
+    wseq = Window.orderBy("i")
+    words = (
+        sym.select(
+            "i",
+            "n",
+            F.concat(
+                F.col("c"), F.lead("c", 1).over(wseq), F.lead("c", 2).over(wseq)
+            ).alias("word"),
+        )
+        .where(F.col("i") <= F.col("n") - _SAX_WORD + 1)
+        .select("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .select(
+            "word",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences")
+                / F.sum("n_occurrences").over(Window.partitionBy()),
+                6,
+            ).alias("support"),
+        )
+        .orderBy(F.desc("n_occurrences"), "word")
+    )
