@@ -137,6 +137,7 @@ _POST_FREEZE = [
     "multimodal_phash_groups",
     "hbos_outlier_topk",
     "sax_motifs_hourly",
+    "contrastive_triplets_hard",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

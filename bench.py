@@ -36,6 +36,7 @@ HEADLINE = [
     "multimodal_phash_groups",
     "hbos_outlier_topk",
     "sax_motifs_hourly",
+    "contrastive_triplets_hard",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

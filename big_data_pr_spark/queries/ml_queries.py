@@ -22,7 +22,7 @@ Oracle strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity
@@ -718,4 +718,119 @@ def kmeans_cosine_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.spherical_kmeans_assign(emb, k=_KM_K, iters=2).orderBy(
         "vec_id"
+    )
+
+
+_TRIP_ANCHORS = 20  # deterministic anchor set: vec_id < 20
+
+_TRIP_COS = """
+    round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+      6)
+"""
+
+
+@register(
+    "contrastive_triplets_hard",
+    f"""
+    WITH anchors AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < {_TRIP_ANCHORS}
+    ),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label,
+             {_TRIP_COS} AS cos
+      FROM anchors a JOIN embeddings c ON c.vec_id <> a.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, cand_id) AS rk
+        FROM scored WHERE cand_label = anchor_label)
+      WHERE rk = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, cand_id) AS rk
+        FROM scored WHERE cand_label <> anchor_label)
+      WHERE rk = 1
+    )
+    SELECT p.anchor_id, p.pos_id, n.neg_id,
+           p.pos_cos, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 6) AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    ORDER BY anchor_id
+    """,
+    doc="Hard-triplet mining for contrastive training (the FaceNet/"
+    "SimCLR-style semi-hard selection, batch-mined): for each anchor "
+    "in a deterministic set, the hardest positive is the most-similar "
+    "SAME-label vector and the hard negative the most-similar OTHER-"
+    "label vector; margin = pos_cos - neg_cos (negative margin = the "
+    "triplet that actually teaches). Scale: anchors broadcast against "
+    "one corpus scan (|A| x corpus narrow work), per-anchor top-1 via "
+    "WindowGroupLimit — at training scale the scan is the ANN index "
+    "probe instead (ann_index.py) with identical selection semantics.",
+)
+def contrastive_triplets_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < _TRIP_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(
+                similarity.cosine(F.col("a_emb"), F.col("embedding")), 6
+            ).alias("cos"),
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    pos = (
+        scored.where(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(wpos))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rk", F.row_number().over(wpos))
+        .where(F.col("rk") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "neg_id",
+            "pos_cos",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
     )
