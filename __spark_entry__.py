@@ -138,6 +138,7 @@ _POST_FREEZE = [
     "hbos_outlier_topk",
     "sax_motifs_hourly",
     "contrastive_triplets_hard",
+    "rm3_expansion_terms_lit",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -37,6 +37,7 @@ HEADLINE = [
     "hbos_outlier_topk",
     "sax_motifs_hourly",
     "contrastive_triplets_hard",
+    "rm3_expansion_terms_lit",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

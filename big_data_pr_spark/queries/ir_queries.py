@@ -31,13 +31,13 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators.text import bigrams, n_tokens, tokens
 from ..tables import load
-from .registry import register
+from .registry import REGISTRY, register
 
 # Literal search query — terms present in the synthetic vocabulary.
 _BM25_TERMS = ["window", "merge", "scan"]
@@ -674,3 +674,85 @@ def dirichlet_ql_search_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_RM3_EXPANSION_K = 8
+
+
+_RM3_ORACLE = f"""
+    WITH top10 AS (
+      SELECT doc_id, score FROM ({REGISTRY["bm25_search_lit"].oracle})
+    ),
+    wd AS (
+      SELECT doc_id, score / sum(score) OVER () AS w FROM top10
+    ),
+    tok AS (
+      SELECT d.doc_id, wd.w, unnest(string_split(d.text, ' ')) AS term
+      FROM documents d JOIN wd USING (doc_id)
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, term, w, count(*) AS tf
+           FROM tok GROUP BY doc_id, term, w),
+    ptr AS (
+      SELECT term,
+             sum(tf.w * tf.tf / dl.dl) AS p_rel,
+             CAST(count(DISTINCT tf.doc_id) AS BIGINT) AS n_fb_docs
+      FROM tf JOIN dl USING (doc_id)
+      WHERE term NOT IN {_TERMS_SQL}
+      GROUP BY term
+    )
+    SELECT term, n_fb_docs, round(p_rel, 6) AS p_rel
+    FROM ptr
+    ORDER BY round(p_rel, 6) DESC, term
+    LIMIT {_RM3_EXPANSION_K}
+"""
+
+
+@register(
+    "rm3_expansion_terms_lit",
+    _RM3_ORACLE,
+    doc="RM3 pseudo-relevance-feedback expansion terms (Lavrenko & "
+    "Croft 2001 relevance model, Abdul-Jaleel et al. 2004 RM3): the "
+    "BM25 top-10 for the literal query becomes a pseudo-relevant set; "
+    "each document contributes its maximum-likelihood term "
+    "distribution P(t|d) = tf/dl weighted by its normalized BM25 "
+    "score; the top expansion terms by P(t|R), original query terms "
+    "excluded, feed the second-pass query. Composes the certified "
+    "bm25_search_lit decision (its oracle body is a CTE here — the "
+    "minhash_eval_metrics composition pattern). Scale: the feedback "
+    "set is 10 rows broadcast against one token scan; the term "
+    "distribution is |terms-in-10-docs|-bounded.",
+)
+def rm3_expansion_terms_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    top10 = bm25_search_lit(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("bscore")
+    )
+    wall = Window.partitionBy()
+    wd = top10.select(
+        "doc_id", (F.col("bscore") / F.sum("bscore").over(wall)).alias("w")
+    )
+    tok = docs.join(F.broadcast(wd), "doc_id").select(
+        "doc_id", "w", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ptr = (
+        tok.groupBy("doc_id", "term", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dl), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("w") * F.col("tf") / F.col("dl")).alias("p_rel"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_fb_docs"),
+        )
+        .where(~F.col("term").isin(_BM25_TERMS))
+    )
+    return (
+        ptr.select(
+            "term", "n_fb_docs", F.round("p_rel", 6).alias("p_rel")
+        )
+        .orderBy(F.desc(F.round(F.col("p_rel"), 6)), F.asc("term"))
+        .limit(_RM3_EXPANSION_K)
+    )
+
+
