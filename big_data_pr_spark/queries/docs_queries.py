@@ -3029,13 +3029,20 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.explode(idx).alias("i"),
     ).select(
-        "doc_id", F.expr(f"substr(text, i, {_SSD_L})").alias("g")
+        # identity-only consumer: hash the gram so every exchange
+        # carries 8-byte longs instead of 30-char strings (the
+        # shingle_hash_array convention; collision odds ~|grams|²/2⁶⁵)
+        "doc_id",
+        F.xxhash64(F.expr(f"substr(text, i, {_SSD_L})")).alias("g"),
     )
     dg = pos.groupBy("doc_id", "g").agg(F.count("*").cast("bigint").alias("c"))
-    tot = dg.groupBy("g").agg(F.sum("c").alias("t"))
+    # global total per gram as a WINDOW over the compressed table: the
+    # dg subtree is built once (a join against dg.groupBy(g) would
+    # evaluate the explode+shuffle twice)
+    dgt = dg.withColumn("t", F.sum("c").over(Window.partitionBy("g")))
     dup_c = F.when(F.col("t") > 1, F.col("c")).otherwise(F.lit(0))
     return (
-        dg.join(tot, "g")
+        dgt
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_positions"),
@@ -3136,16 +3143,22 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    stats = fp.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_fp"))
-    shared = fp.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
-    is_shared = F.when(F.col("nd") > 1, 1).otherwise(0)
+    # sharing flag as a WINDOW over the fingerprint key: rows are
+    # distinct (doc, fp), so >= 2 distinct docs per fp iff the fp
+    # partition holds different doc ids — min != max. Keeps the fp
+    # subtree (explode + md5 + window-min) evaluated ONCE; the
+    # aggregate-then-join-back form re-ran it three times.
+    wfp = Window.partitionBy("fp")
+    is_shared = (
+        F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp)
+    ).cast("int")
     return (
-        fp.join(shared, "fp")
-        .join(stats, "doc_id")
-        .groupBy("doc_id", "n_fp")
+        fp.withColumn("shared", is_shared)
+        .groupBy("doc_id")
         .agg(
-            F.sum(is_shared).cast("bigint").alias("n_shared_fp"),
-            F.round(F.sum(is_shared) / F.col("n_fp"), 6).alias("shared_frac"),
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.sum("shared").cast("bigint").alias("n_shared_fp"),
+            F.round(F.sum("shared") / F.count("*"), 6).alias("shared_frac"),
         )
         .orderBy("doc_id")
     )
