@@ -139,6 +139,7 @@ _POST_FREEZE = [
     "sax_motifs_hourly",
     "contrastive_triplets_hard",
     "rm3_expansion_terms_lit",
+    "energy_distance_purchase_vs_view",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

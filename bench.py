@@ -38,6 +38,7 @@ HEADLINE = [
     "sax_motifs_hourly",
     "contrastive_triplets_hard",
     "rm3_expansion_terms_lit",
+    "energy_distance_purchase_vs_view",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2511,3 +2511,120 @@ def hbos_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("hbos_score"), 6)), F.asc("event_id"))
         .limit(20)
     )
+
+
+@register(
+    "energy_distance_purchase_vs_view",
+    """
+    WITH ab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a, value
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    per AS (
+      SELECT value AS v,
+             CAST(sum(is_a) AS DOUBLE) AS ca,
+             CAST(sum(1 - is_a) AS DOUBLE) AS cb
+      FROM ab GROUP BY value
+    ),
+    cum AS (
+      SELECT v, ca, cb,
+             sum(ca) OVER w AS cau, sum(cb) OVER w AS cbu,
+             sum(ca * v) OVER w AS sau, sum(cb * v) OVER w AS sbu,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+             sum(ca * v) OVER () AS sat, sum(cb * v) OVER () AS sbt
+      FROM per
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    sums AS (
+      SELECT
+        sum(ca * (v * cbu - sbu + (sbt - sbu) - v * (nb - cbu))) AS dxy,
+        sum(ca * (v * cau - sau + (sat - sau) - v * (na - cau))) AS dxx,
+        sum(cb * (v * cbu - sbu + (sbt - sbu) - v * (nb - cbu))) AS dyy,
+        max(na) AS na, max(nb) AS nb
+      FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           round(dxy / (na * nb), 6) AS e_xy,
+           round(dxx / (na * na), 6) AS e_xx,
+           round(dyy / (nb * nb), 6) AS e_yy,
+           round(2 * dxy / (na * nb) - dxx / (na * na) - dyy / (nb * nb), 6)
+             AS energy_dist_sq,
+           round((na * nb / (na + nb))
+                 * (2 * dxy / (na * nb) - dxx / (na * na) - dyy / (nb * nb)),
+                 6) AS statistic
+    FROM sums
+    """,
+    doc="Energy-distance two-sample statistic (Szekely & Rizzo 2004) "
+    "for purchase vs view values, computed EXACTLY in O(n log n): in "
+    "1-D every cross-mean E|X-Y| reduces to cumulative count/sum "
+    "windows over the value-grouped table (for each v, sum_w "
+    "cnt(w)|v-w| telescopes into prefix sums), so no pair term ever "
+    "materializes. V-statistic form (self-pairs contribute 0); the "
+    "test statistic is the standard n_a n_b/(n_a+n_b) scaling. "
+    "Completes the two-sample family: KS (sup-norm), Mann-Whitney "
+    "(rank), Wasserstein (L1 of CDFs), energy (metric/characteristic-"
+    "function). One grouped aggregate + one ordered window chain over "
+    "|distinct values| rows.",
+)
+def energy_distance_purchase_vs_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    per = (
+        ev.select(
+            (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+            F.col("value").alias("v"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("double").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+        )
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(wcum).alias("cau"),
+        F.sum("cb").over(wcum).alias("cbu"),
+        F.sum(F.col("ca") * F.col("v")).over(wcum).alias("sau"),
+        F.sum(F.col("cb") * F.col("v")).over(wcum).alias("sbu"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+        F.sum(F.col("ca") * F.col("v")).over(wall).alias("sat"),
+        F.sum(F.col("cb") * F.col("v")).over(wall).alias("sbt"),
+    )
+    v = F.col("v")
+    dxy_t = v * F.col("cbu") - F.col("sbu") + (F.col("sbt") - F.col("sbu")) - v * (
+        F.col("nb") - F.col("cbu")
+    )
+    dxx_t = v * F.col("cau") - F.col("sau") + (F.col("sat") - F.col("sau")) - v * (
+        F.col("na") - F.col("cau")
+    )
+    sums = cum.agg(
+        F.sum(F.col("ca") * dxy_t).alias("dxy"),
+        F.sum(F.col("ca") * dxx_t).alias("dxx"),
+        F.sum(F.col("cb") * dxy_t).alias("dyy"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    d2 = (
+        2 * F.col("dxy") / (na * nb)
+        - F.col("dxx") / (na * na)
+        - F.col("dyy") / (nb * nb)
+    )
+    return sums.select(
+        na.cast("bigint").alias("na"),
+        nb.cast("bigint").alias("nb"),
+        F.round(F.col("dxy") / (na * nb), 6).alias("e_xy"),
+        F.round(F.col("dxx") / (na * na), 6).alias("e_xx"),
+        F.round(F.col("dyy") / (nb * nb), 6).alias("e_yy"),
+        F.round(d2, 6).alias("energy_dist_sq"),
+        F.round((na * nb / (na + nb)) * d2, 6).alias("statistic"),
+    )
