@@ -140,6 +140,7 @@ _POST_FREEZE = [
     "contrastive_triplets_hard",
     "rm3_expansion_terms_lit",
     "energy_distance_purchase_vs_view",
+    "ktruss_suppliers",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

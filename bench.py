@@ -39,6 +39,7 @@ HEADLINE = [
     "contrastive_triplets_hard",
     "rm3_expansion_terms_lit",
     "energy_distance_purchase_vs_view",
+    "ktruss_suppliers",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2628,3 +2628,127 @@ def energy_distance_purchase_vs_view(
         F.round(d2, 6).alias("energy_dist_sq"),
         F.round((na * nb / (na + nb)) * d2, 6).alias("statistic"),
     )
+
+
+_TRUSS_K = 4  # k-truss: every surviving edge in >= k-2 = 2 triangles
+_TRUSS_ROUNDS = 3
+
+_TRUSS_ROUND_SQL = """
+    tri{r} AS (
+      SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      FROM e{p} e1 JOIN e{p} e2 ON e1.s2 = e2.s1
+      JOIN e{p} e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    ),
+    sup{r} AS (
+      SELECT s1, s2, count(*) AS sup FROM (
+        SELECT a AS s1, b AS s2 FROM tri{r}
+        UNION ALL SELECT b, c FROM tri{r}
+        UNION ALL SELECT a, c FROM tri{r}
+      ) GROUP BY s1, s2
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.s1, e.s2 FROM e{p} e JOIN sup{r} s
+        ON e.s1 = s.s1 AND e.s2 = s.s2
+      WHERE s.sup >= {k2}
+    )"""
+
+
+def _truss_oracle() -> str:
+    rounds = ",".join(
+        _TRUSS_ROUND_SQL.format(r=i, p=i - 1, k2=_TRUSS_K - 2)
+        for i in range(1, _TRUSS_ROUNDS + 1)
+    )
+    last, prev = _TRUSS_ROUNDS, _TRUSS_ROUNDS - 1
+    return f"""
+    WITH ps AS ({_CO_SUPPLY_PS}),
+    e0 AS MATERIALIZED (
+      SELECT a.sk AS s1, b.sk AS s2
+      FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    {rounds}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges_initial,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{last}) AS n_edges_truss,
+           (SELECT CAST(count(DISTINCT sk) AS BIGINT) FROM (
+              SELECT s1 AS sk FROM e{last} UNION ALL SELECT s2 FROM e{last}))
+             AS n_suppliers_truss,
+           (SELECT count(*) FROM e{last}) = (SELECT count(*) FROM e{prev})
+             AS converged
+    """
+
+
+@register(
+    "ktruss_suppliers",
+    _truss_oracle(),
+    doc=f"{_TRUSS_K}-truss of the supplier co-supply graph (Cohen "
+    "2008): iteratively drop every edge in fewer than k-2 triangles — "
+    "the cohesion upgrade of the k-core (every k-truss edge sits in a "
+    "dense near-clique; cores only bound degree). "
+    f"{_TRUSS_ROUNDS} unrolled peel rounds with an in-result "
+    "convergence certificate (edge count unchanged in the last "
+    "round). Each round is one oriented-wedge triangle enumeration "
+    "(id-ordered, each triangle once) + one edge-keyed support "
+    "aggregate + a semi-filter on a monotonically SHRINKING edge set; "
+    "the oracle replays identical rounds via MATERIALIZED CTEs. At "
+    "100 TB the orientation switches to degree-ordering so wedges fan "
+    "out from low-degree endpoints (the triangle_count note).",
+)
+def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").where(F.col("p_size") == 1)
+    ps = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    e = (
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.sk") < F.col("b.sk")))
+        .groupBy(F.col("a.sk").alias("s1"), F.col("b.sk").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 2)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    n0 = e.count()
+    prev_n = n0
+    for _ in range(_TRUSS_ROUNDS):
+        prev_n = e.count()
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+            .join(
+                e3,
+                (F.col("e3.s1") == F.col("e1.s1"))
+                & (F.col("e3.s2") == F.col("e2.s2")),
+            )
+            .select(
+                F.col("e1.s1").alias("a"),
+                F.col("e1.s2").alias("b"),
+                F.col("e2.s2").alias("c"),
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("s1"), F.col("b").alias("s2"))
+            .unionAll(tri.select(F.col("b").alias("s1"), F.col("c").alias("s2")))
+            .unionAll(tri.select(F.col("a").alias("s1"), F.col("c").alias("s2")))
+            .groupBy("s1", "s2")
+            .agg(F.count("*").alias("sup"))
+            .where(F.col("sup") >= _TRUSS_K - 2)
+            .select("s1", "s2")
+        )
+        e = e.join(sup, ["s1", "s2"], "left_semi").localCheckpoint(eager=True)
+    n_final = e.count()
+    n_sup = (
+        e.select(F.col("s1").alias("sk"))
+        .unionAll(e.select(F.col("s2").alias("sk")))
+        .select("sk")
+        .distinct()
+        .count()
+    )
+    spark_ = li.sparkSession
+    return spark_.createDataFrame(
+        [(int(n0), int(n_final), int(n_sup), bool(n_final == prev_n))],
+        "n_edges_initial bigint, n_edges_truss bigint, "
+        "n_suppliers_truss bigint, converged boolean",
+    )

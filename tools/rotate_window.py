@@ -115,7 +115,7 @@ FAMILIES: dict[str, list[str]] = {
                  "engle_granger_cointegration",
                  "newey_west_trend_test", "breusch_pagan_daily",
                  "youden_optimal_threshold", "lad_trend_profile"],
-    "graph": ["recursive_reachability_signup", "pagerank_event_transitions",
+    "graph": ["ktruss_suppliers", "recursive_reachability_signup", "pagerank_event_transitions",
               "triangle_count_suppliers", "jaccard_supplier_pairs",
               "degree_assortativity_suppliers"],
     "forecast": ["gbt_score_events", "forecast_linear", "forecast_gbt",
