@@ -98,3 +98,36 @@ def test_negative_and_zero_ordering(spark):
     assert est[0.5] == 0.0
     assert est[0.0] == pytest.approx(-100.0, rel=ALPHA)
     assert est[1.0] == pytest.approx(100.0, rel=ALPHA)
+
+
+def test_restart_continuity(spark, tmp_path):
+    """Stop after the first drain, append new files, start a NEW query
+    on the same checkpoint+state: the sketch must continue (not
+    refold old batches, not miss new ones)."""
+    in_dir, state, cp = (
+        str(tmp_path / "in"),
+        str(tmp_path / "state"),
+        str(tmp_path / "cp"),
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = start_quantile_stream(stream, "value", state, cp)
+        q.awaitTermination(120)
+
+    _vals(spark, 0, 6_000).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    _vals(spark, 6_000, 10_000).coalesce(1).write.mode("append").parquet(in_dir)
+    _vals(spark, 10_000, 14_000).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+
+    got = current_quantiles(spark, state, QS)
+    want = estimate_quantiles(
+        batch_buckets(_vals(spark, 0, 14_000), "value"), QS
+    )
+    assert got == want
+    assert versioned.manifest(state)["extra"]["n_total"] == 14_000
