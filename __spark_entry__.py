@@ -141,6 +141,7 @@ _POST_FREEZE = [
     "rm3_expansion_terms_lit",
     "energy_distance_purchase_vs_view",
     "ktruss_suppliers",
+    "ddsketch_error_certificate",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

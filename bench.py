@@ -40,6 +40,7 @@ HEADLINE = [
     "rm3_expansion_terms_lit",
     "energy_distance_purchase_vs_view",
     "ktruss_suppliers",
+    "ddsketch_error_certificate",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2155,3 +2155,109 @@ def priority_mix_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_month"
         ),
     ).orderBy("month", "o_orderpriority")
+
+
+_DDS_ALPHA = 0.02
+# gamma = (1+a)/(1-a); literal so both engines share the exact double
+_DDS_GAMMA = (1 + _DDS_ALPHA) / (1 - _DDS_ALPHA)
+_DDS_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "ddsketch_error_certificate",
+    f"""
+    WITH pos AS (SELECT value AS x FROM events WHERE value > 0),
+    b AS (
+      SELECT CAST(ceil(ln(x) / ln({_DDS_GAMMA!r})) AS BIGINT) AS bkt,
+             count(*) AS n
+      FROM pos GROUP BY 1
+    ),
+    c AS (
+      SELECT bkt, n,
+             sum(n) OVER (ORDER BY bkt) AS cum,
+             sum(n) OVER () AS total
+      FROM b
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _DDS_QS)}]) AS q),
+    est AS (
+      SELECT qs.q,
+             min(CASE WHEN c.cum > qs.q * (c.total - 1)
+                      THEN 2 * pow({_DDS_GAMMA!r}, c.bkt)
+                           / ({_DDS_GAMMA!r} + 1) END) AS est
+      FROM qs CROSS JOIN c GROUP BY qs.q
+    ),
+    exact AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(x, 0.5) AS ex FROM pos
+      UNION ALL SELECT 0.9, quantile_cont(x, 0.9) FROM pos
+      UNION ALL SELECT 0.99, quantile_cont(x, 0.99) FROM pos
+    )
+    SELECT CAST(est.q AS DOUBLE) AS q,
+           round(est.est, 6) AS sketch_estimate,
+           round(exact.ex, 6) AS exact_quantile,
+           round(abs(est.est - exact.ex) / exact.ex, 6) AS rel_err,
+           CAST(abs(est.est - exact.ex) / exact.ex <= {_DDS_ALPHA} + 1e-12
+                AS INTEGER) AS within_bound
+    FROM est JOIN exact USING (q) ORDER BY est.q
+    """,
+    doc="DDSketch relative-error certificate (Masson et al. 2019), the "
+    "batch twin of streaming/quantile_sink.py: log-bucket the positive "
+    "values at gamma=(1+a)/(1-a), estimate q50/q90/q99 from the bucket "
+    "midpoints via one cumulative scan, and certify |est-exact|/exact "
+    "<= a IN THE RESULT against the exact continuous quantile — the "
+    "sketch family's cms/hll certificate pattern. Exact quantile "
+    "definitional note: Spark percentile == DuckDB quantile_cont "
+    "(linear interpolation on (n-1)q rank). Bucket state is log-range "
+    "bounded; nothing scales with row count after the grouped count.",
+)
+def ddsketch_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    b = (
+        ev.select(
+            F.ceil(F.log("value") / math.log(_DDS_GAMMA)).cast("long").alias("bkt")
+        )
+        .groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+    )
+    wcum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = b.select(
+        "bkt",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DDS_QS], "q double")
+    est = (
+        qs.crossJoin(c)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") > F.col("q") * (F.col("total") - 1),
+                    2 * F.pow(F.lit(_DDS_GAMMA), F.col("bkt")) / (_DDS_GAMMA + 1),
+                )
+            ).alias("est")
+        )
+    )
+    exacts = [
+        ev.agg(F.expr(f"percentile(value, {q})").alias("ex")).select(
+            F.lit(q).alias("q"), "ex"
+        )
+        for q in _DDS_QS
+    ]
+    exact = exacts[0]
+    for e in exacts[1:]:
+        exact = exact.unionByName(e)
+    rel = F.abs(F.col("est") - F.col("ex")) / F.col("ex")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("est", 6).alias("sketch_estimate"),
+            F.round("ex", 6).alias("exact_quantile"),
+            F.round(rel, 6).alias("rel_err"),
+            (rel <= _DDS_ALPHA + 1e-12).cast("int").alias("within_bound"),
+        )
+        .orderBy("q")
+    )
