@@ -142,6 +142,7 @@ _POST_FREEZE = [
     "energy_distance_purchase_vs_view",
     "ktruss_suppliers",
     "ddsketch_error_certificate",
+    "permutation_importance_gbt",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

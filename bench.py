@@ -41,6 +41,7 @@ HEADLINE = [
     "energy_distance_purchase_vs_view",
     "ktruss_suppliers",
     "ddsketch_error_certificate",
+    "permutation_importance_gbt",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

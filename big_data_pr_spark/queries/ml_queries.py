@@ -834,3 +834,155 @@ def contrastive_triplets_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+_PI_SCORE_SQL = """round(CAST(0.5
+             + CASE WHEN {v} < 50
+                    THEN CASE WHEN {h} < 12 THEN -1.25 ELSE -0.5 END
+                    ELSE CASE WHEN {v} < 200 THEN 0.75 ELSE 2.0 END END
+             + CASE WHEN {h} < 6 THEN -0.25
+                    ELSE CASE WHEN {v} < 120 THEN 0.125 ELSE 1.5 END END
+             AS DOUBLE), 4)"""
+
+_PI_AUC_SQL = """
+    per_{n} AS (
+      SELECT s, sum(y) AS n_pos, sum(1 - y) AS n_neg
+      FROM sc_{n} GROUP BY s
+    ),
+    cum_{n} AS (
+      SELECT n_pos, n_neg,
+             coalesce(sum(n_neg) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS nb
+      FROM per_{n}
+    ),
+    auc_{n} AS (
+      SELECT '{n}' AS variant,
+             round(sum(n_pos * (nb + 0.5 * n_neg))
+                   / ((SELECT sum(y) FROM base)
+                      * (SELECT sum(1 - y) FROM base)), 6) AS auc
+      FROM cum_{n}
+    )"""
+
+
+@register(
+    "permutation_importance_gbt",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_id, value AS v,
+             CAST(extract(hour FROM ts) AS DOUBLE) AS h,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             row_number() OVER (ORDER BY event_id) AS r,
+             row_number() OVER (
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rp
+      FROM events
+    ),
+    permv AS (
+      SELECT a.event_id, b.v AS v, a.h, a.y
+      FROM base a JOIN base b ON b.rp = a.r
+    ),
+    permh AS (
+      SELECT a.event_id, a.v, b.h AS h, a.y
+      FROM base a JOIN base b ON b.rp = a.r
+    ),
+    sc_baseline AS (
+      SELECT {_PI_SCORE_SQL.format(v='v', h='h')} AS s, y FROM base),
+    sc_permute_value AS (
+      SELECT {_PI_SCORE_SQL.format(v='v', h='h')} AS s, y FROM permv),
+    sc_permute_hour AS (
+      SELECT {_PI_SCORE_SQL.format(v='v', h='h')} AS s, y FROM permh),
+    {_PI_AUC_SQL.format(n='baseline')},
+    {_PI_AUC_SQL.format(n='permute_value')},
+    {_PI_AUC_SQL.format(n='permute_hour')},
+    allv AS (
+      SELECT * FROM auc_baseline
+      UNION ALL SELECT * FROM auc_permute_value
+      UNION ALL SELECT * FROM auc_permute_hour
+    )
+    SELECT variant, auc,
+           round((SELECT auc FROM auc_baseline) - auc, 6) AS auc_drop
+    FROM allv ORDER BY variant
+    """,
+    doc="Permutation feature importance (Breiman 2001) for the fixed "
+    "2-tree GBT scorer against the purchase label: permute ONE "
+    "feature via a deterministic md5 rank-realignment (row with "
+    "event-id rank r takes the feature of the row with md5 rank r — "
+    "the engine-portable shuffle), re-score through the SAME Arrow "
+    "tree-traversal path, and report the AUC drop per feature. "
+    "Scale: the permutation is two rank windows + one equi-join on "
+    "the rank (quantile_normalize's mapping pattern); each AUC is "
+    "the standard no-collect cumulative formula; the model rides as "
+    "driver literals.",
+)
+def permutation_importance_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    base = ev.select(
+        "*",
+        F.row_number().over(Window.orderBy("event_id")).alias("r"),
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.col("event_id").cast("string")), "event_id"))
+        .alias("rp"),
+    )
+
+    def auc_of(scored: DataFrame, name: str) -> DataFrame:
+        per = scored.groupBy("s").agg(
+            F.sum("y").alias("n_pos"), F.sum(1 - F.col("y")).alias("n_neg")
+        )
+        wprev = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        wall = Window.partitionBy()
+        cum = per.select(
+            "n_pos",
+            "n_neg",
+            F.coalesce(F.sum("n_neg").over(wprev), F.lit(0)).alias("nb"),
+            F.sum("n_pos").over(wall).alias("p"),
+            F.sum("n_neg").over(wall).alias("n"),
+        )
+        return cum.agg(
+            F.round(
+                F.sum(F.col("n_pos") * (F.col("nb") + 0.5 * F.col("n_neg")))
+                / (F.max("p") * F.max("n")),
+                6,
+            ).alias("auc")
+        ).select(F.lit(name).alias("variant"), "auc")
+
+    def scored(df: DataFrame) -> DataFrame:
+        feats = df.select(
+            "event_id", "value", "hour", "y"
+        )
+        return (
+            predict_gbt(feats, _SCORE_MODEL)
+            .select(F.round("score", 4).alias("s"), "y")
+        )
+
+    a, b = base.alias("a"), base.alias("b")
+    permv = a.join(b, F.col("b.rp") == F.col("a.r")).select(
+        F.col("a.event_id").alias("event_id"),
+        F.col("b.value").alias("value"),
+        F.col("a.hour").alias("hour"),
+        F.col("a.y").alias("y"),
+    )
+    permh = a.join(b, F.col("b.rp") == F.col("a.r")).select(
+        F.col("a.event_id").alias("event_id"),
+        F.col("a.value").alias("value"),
+        F.col("b.hour").alias("hour"),
+        F.col("a.y").alias("y"),
+    )
+    aucs = (
+        auc_of(scored(base), "baseline")
+        .unionByName(auc_of(scored(permv), "permute_value"))
+        .unionByName(auc_of(scored(permh), "permute_hour"))
+    )
+    wall = Window.partitionBy()
+    baseline = F.max(
+        F.when(F.col("variant") == "baseline", F.col("auc"))
+    ).over(wall)
+    return aucs.select(
+        "variant",
+        "auc",
+        F.round(baseline - F.col("auc"), 6).alias("auc_drop"),
+    ).orderBy("variant")
