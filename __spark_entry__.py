@@ -143,6 +143,7 @@ _POST_FREEZE = [
     "ktruss_suppliers",
     "ddsketch_error_certificate",
     "permutation_importance_gbt",
+    "mahalanobis_ood_topk",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

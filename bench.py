@@ -42,6 +42,7 @@ HEADLINE = [
     "ktruss_suppliers",
     "ddsketch_error_certificate",
     "permutation_importance_gbt",
+    "mahalanobis_ood_topk",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -986,3 +986,101 @@ def permutation_importance_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auc",
         F.round(baseline - F.col("auc"), 6).alias("auc_drop"),
     ).orderBy("variant")
+
+
+_OOD_TOPK = 15
+
+
+@register(
+    "mahalanobis_ood_topk",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, label, d.i AS dim, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, {_KM_DIM})) AS i) d
+    ),
+    mu AS (
+      SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim
+    ),
+    vd AS (
+      SELECT dims.dim, avg((dims.x - mu.m) * (dims.x - mu.m)) AS v
+      FROM dims JOIN mu ON mu.label = dims.label AND mu.dim = dims.dim
+      GROUP BY dims.dim
+    ),
+    dist AS (
+      SELECT dims.vec_id, mu.label AS cand,
+             round(sum((dims.x - mu.m) * (dims.x - mu.m) / vd.v), 4) AS d2
+      FROM dims JOIN mu ON mu.dim = dims.dim
+      JOIN vd ON vd.dim = dims.dim
+      GROUP BY dims.vec_id, mu.label
+    ),
+    best AS (
+      SELECT vec_id, cand AS nearest_label, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cand) AS rk
+        FROM dist) WHERE rk = 1
+    )
+    SELECT b.vec_id, e.label AS true_label, b.nearest_label,
+           b.d2 AS min_mahalanobis_sq
+    FROM best b JOIN embeddings e USING (vec_id)
+    ORDER BY b.d2 DESC, b.vec_id LIMIT {_OOD_TOPK}
+    """,
+    doc="Mahalanobis out-of-distribution scores (Lee et al. 2018, the "
+    "standard feature-space OOD detector) with a SHARED DIAGONAL "
+    "covariance: per-label per-dim means, pooled per-dim variance of "
+    "residuals, each vector's score = min over labels of the "
+    "variance-scaled squared distance; the top-k HIGHEST minima are "
+    "the candidates no class explains — the embedding-space filter "
+    "for corrupted/outlier training vectors. Distances round before "
+    "the argmin so the label tie-break is engine-portable. Scale: "
+    "class stats are (labels x dim)/(dim)-bounded aggregates "
+    "broadcast back; the distance is one grouped sum per (vec, "
+    "label); at larger label counts the same literal-centroid "
+    "zero-shuffle shape as kmeans_assign applies.",
+)
+def mahalanobis_ood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x0").cast("double").alias("x"),
+    )
+    mu = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    vd = (
+        dims.join(mu, ["label", "dim"])
+        .groupBy("dim")
+        .agg(F.avg((F.col("x") - F.col("m")) ** 2).alias("v"))
+    )
+    dist = (
+        dims.drop("label")
+        .join(F.broadcast(mu.withColumnRenamed("label", "cand")), "dim")
+        .join(F.broadcast(vd), "dim")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("m")) ** 2 / F.col("v")), 4
+            ).alias("d2")
+        )
+    )
+    wbest = Window.partitionBy("vec_id").orderBy("d2", "cand")
+    best = (
+        dist.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("cand").alias("nearest_label"), "d2")
+    )
+    return (
+        best.join(emb.select("vec_id", F.col("label").alias("true_label")), "vec_id")
+        .select(
+            "vec_id",
+            "true_label",
+            "nearest_label",
+            F.col("d2").alias("min_mahalanobis_sq"),
+        )
+        .orderBy(F.desc("min_mahalanobis_sq"), F.asc("vec_id"))
+        .limit(_OOD_TOPK)
+    )
