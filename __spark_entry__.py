@@ -144,6 +144,7 @@ _POST_FREEZE = [
     "ddsketch_error_certificate",
     "permutation_importance_gbt",
     "mahalanobis_ood_topk",
+    "regression_discontinuity_acctbal",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -43,6 +43,7 @@ HEADLINE = [
     "ddsketch_error_certificate",
     "permutation_importance_gbt",
     "mahalanobis_ood_topk",
+    "regression_discontinuity_acctbal",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

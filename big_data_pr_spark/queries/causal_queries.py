@@ -607,3 +607,85 @@ def cox_ph_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_event_times bigint, d1_total bigint, d0_total bigint",
     )
     return spark_df
+
+
+_RDD_BW = 3000.0  # bandwidth around the acctbal cutoff
+
+
+@register(
+    "regression_discontinuity_acctbal",
+    f"""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_acctbal AS x,
+             coalesce(sum(o.o_totalprice), 0) AS y
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    w AS (
+      SELECT x, y, CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side
+      FROM spend WHERE abs(x) <= {_RDD_BW}
+    ),
+    fits AS (
+      SELECT side,
+             CAST(count(*) AS BIGINT) AS n,
+             regr_intercept(y, x) AS a,
+             regr_slope(y, x) AS b
+      FROM w GROUP BY side
+    )
+    SELECT l.n AS n_left, r.n AS n_right,
+           round(l.a, 4) AS intercept_left,
+           round(r.a, 4) AS intercept_right,
+           round(l.b, 6) AS slope_left,
+           round(r.b, 6) AS slope_right,
+           round(r.a - l.a, 4) AS rdd_effect
+    FROM (SELECT * FROM fits WHERE side = 0) l
+    CROSS JOIN (SELECT * FROM fits WHERE side = 1) r
+    """,
+    doc="Sharp regression-discontinuity estimate at the zero-balance "
+    "cutoff: per-customer total spend (left join keeps zero-order "
+    "customers) regressed on account balance separately on each side "
+    f"within a ±{_RDD_BW:.0f} bandwidth; the effect is the boundary "
+    "intercept gap (local-linear RDD, Imbens & Lemieux 2008). The "
+    "causal-family member for threshold-assigned treatments — "
+    "credit/eligibility cutoffs — next to did_value_estimate and "
+    "cuped. Scale: one fact join -> |customers| aggregate -> two "
+    "closed-form regr_* fits; nothing iterative.",
+)
+def regression_discontinuity_acctbal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0)).alias("y"))
+        .select(F.col("c_acctbal").alias("x"), "y")
+    )
+    w = spend.where(F.abs("x") <= _RDD_BW).withColumn(
+        "side", (F.col("x") >= 0).cast("int")
+    )
+    fits = w.groupBy("side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.regr_intercept("y", "x").alias("a"),
+        F.regr_slope("y", "x").alias("b"),
+    )
+    l = fits.where(F.col("side") == 0).select(
+        F.col("n").alias("n_left"),
+        F.col("a").alias("al"),
+        F.col("b").alias("bl"),
+    )
+    r = fits.where(F.col("side") == 1).select(
+        F.col("n").alias("n_right"),
+        F.col("a").alias("ar"),
+        F.col("b").alias("br"),
+    )
+    return l.crossJoin(r).select(
+        "n_left",
+        "n_right",
+        F.round("al", 4).alias("intercept_left"),
+        F.round("ar", 4).alias("intercept_right"),
+        F.round("bl", 6).alias("slope_left"),
+        F.round("br", 6).alias("slope_right"),
+        F.round(F.col("ar") - F.col("al"), 4).alias("rdd_effect"),
+    )
