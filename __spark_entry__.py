@@ -145,6 +145,7 @@ _POST_FREEZE = [
     "permutation_importance_gbt",
     "mahalanobis_ood_topk",
     "regression_discontinuity_acctbal",
+    "compression_ratio_proxy",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

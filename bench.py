@@ -44,6 +44,7 @@ HEADLINE = [
     "permutation_importance_gbt",
     "mahalanobis_ood_topk",
     "regression_discontinuity_acctbal",
+    "compression_ratio_proxy",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -3293,3 +3293,84 @@ def multimodal_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ahash",
         F.count("*").over(wdup).cast("bigint").alias("n_dupes"),
     ).orderBy("id")
+
+
+_CRP_L = 8  # char-gram length for the dictionary-growth proxy
+
+
+@register(
+    "compression_ratio_proxy",
+    f"""
+    WITH pos AS (
+      SELECT doc_id,
+             len(text) - {_CRP_L} + 1 AS n_pos,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(text) - {_CRP_L} + 1, 0) + 1),
+               i -> substr(text, i, {_CRP_L})))) AS n_distinct
+      FROM documents WHERE len(text) >= {_CRP_L}
+    ),
+    scored AS (
+      SELECT d.source, pos.doc_id,
+             pos.n_distinct * 1.0 / pos.n_pos AS ratio
+      FROM pos JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ratio), 6) AS mean_distinct_gram_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           CAST(sum(CASE WHEN ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_repetitive,
+           CAST(sum(CASE WHEN ratio > 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_random
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    doc="Compressibility-proxy quality gate (the gzip-ratio filter of "
+    "Dolma/RedPajama-class pipelines, without a codec): per doc, the "
+    f"fraction of distinct char-{_CRP_L}-grams among its gram "
+    "positions — the LZ dictionary-growth rate. Very low = machine-"
+    "repetitive boilerplate (gzip would crush it), ~1.0 = high-"
+    "entropy noise; both tails are flagged per source. One narrow "
+    "map (the distinct-gram count runs INSIDE the array expression — "
+    "no explode, no shuffle) + a per-source rollup.",
+)
+def compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(
+        F.length("text") >= _CRP_L
+    )
+
+    # bind text once; substr per element on the bound variable
+    # (dedup._bind pattern)
+    gram_arr = dedup._bind(
+        F.col("text"),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.when(
+                    F.length(t) - _CRP_L + 1 >= 1,
+                    F.sequence(F.lit(1), F.length(t) - _CRP_L + 1),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: t.substr(i, F.lit(_CRP_L)),
+            )
+        ),
+    )
+    scored = docs.select(
+        "source",
+        (
+            F.size(gram_arr)
+            / (F.length("text") - _CRP_L + 1).cast("double")
+        ).alias("ratio"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("mean_distinct_gram_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.sum((F.col("ratio") < 0.3).cast("int"))
+            .cast("bigint")
+            .alias("n_too_repetitive"),
+            F.sum((F.col("ratio") > 0.99).cast("int"))
+            .cast("bigint")
+            .alias("n_near_random"),
+        )
+        .orderBy("source")
+    )

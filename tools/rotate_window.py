@@ -69,7 +69,7 @@ FAMILIES: dict[str, list[str]] = {
              "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
              "vocab_oov_rate", "heaps_law_fit", "token_coverage_curve"],
-    "hygiene": ["contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
+    "hygiene": ["compression_ratio_proxy", "contamination_ngram", "boilerplate_ngrams", "repetition_ratio",
                 "contamination_transitive", "blocklist_hit_rate",
                 "watermark_greenlist_zscore"],
     "sampling": ["stratified_sample_exact", "stratified_sample_hash",
