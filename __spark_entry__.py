@@ -146,6 +146,7 @@ _POST_FREEZE = [
     "mahalanobis_ood_topk",
     "regression_discontinuity_acctbal",
     "compression_ratio_proxy",
+    "vocab_overlap_langs",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

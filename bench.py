@@ -45,6 +45,7 @@ HEADLINE = [
     "mahalanobis_ood_topk",
     "regression_discontinuity_acctbal",
     "compression_ratio_proxy",
+    "vocab_overlap_langs",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -3374,3 +3374,91 @@ def compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_VOL_TOPN = 100
+
+
+@register(
+    "vocab_overlap_langs",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    cnt AS (SELECT lang, w, count(*) AS c FROM tok WHERE w <> ''
+            GROUP BY lang, w),
+    top AS (
+      SELECT lang, w FROM (
+        SELECT lang, w, row_number() OVER (
+          PARTITION BY lang ORDER BY c DESC, w) AS rk
+        FROM cnt) WHERE rk <= {_VOL_TOPN}
+    ),
+    sz AS (SELECT lang, count(*) AS n FROM top GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+      FROM top a JOIN top b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           round(i.n_shared * 1.0
+                 / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.lang = i.lang_a
+    JOIN sz sb ON sb.lang = i.lang_b
+    ORDER BY lang_a, lang_b
+    """,
+    doc="Cross-language top-vocabulary overlap: per language the top-"
+    f"{_VOL_TOPN} tokens by frequency (count-desc, term tie-break), "
+    "pairwise Jaccard over those sets — the confusability signal that "
+    "explains language-ID errors and shared-script contamination "
+    "(lang_id_confusion's diagnostic companion). Scale: token counts "
+    "are vocabulary-bounded per language; the pair join runs on "
+    "|langs| x top-N rows only.",
+)
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    cnt = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    wtop = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= _VOL_TOPN)
+        .select("lang", "w")
+    )
+    sz = top.groupBy("lang").agg(F.count("*").alias("n"))
+    a, b = top.alias("a"), top.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("lang", "lang_a")
+                        .withColumnRenamed("n", "na")), "lang_a"
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("lang", "lang_b")
+                        .withColumnRenamed("n", "nb")), "lang_b"
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
