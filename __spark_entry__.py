@@ -147,6 +147,7 @@ _POST_FREEZE = [
     "regression_discontinuity_acctbal",
     "compression_ratio_proxy",
     "vocab_overlap_langs",
+    "asof_join_nearest_click",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -46,6 +46,7 @@ HEADLINE = [
     "regression_discontinuity_acctbal",
     "compression_ratio_proxy",
     "vocab_overlap_langs",
+    "asof_join_nearest_click",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

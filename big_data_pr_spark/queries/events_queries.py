@@ -1745,3 +1745,141 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("reversed_vs_overall"),
     ).orderBy("stratum")
+
+
+_ASOF_NEAREST_TOL_S = 3600  # nearest-match tolerance
+
+
+@register(
+    "asof_join_nearest_click",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    back AS (
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS bts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    fwd AS (
+      SELECT p.event_id, c.ts AS fts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    ),
+    j AS (
+      SELECT back.event_id, back.user_id, back.ts, back.bts, fwd.fts,
+             CASE WHEN back.bts IS NOT NULL
+                  THEN epoch_us(back.ts) - epoch_us(back.bts) END AS db_us,
+             CASE WHEN fwd.fts IS NOT NULL
+                  THEN epoch_us(fwd.fts) - epoch_us(back.ts) END AS df_us
+      FROM back JOIN fwd USING (event_id)
+    ),
+    pick AS (
+      SELECT event_id, user_id, ts,
+             CASE
+               WHEN db_us IS NOT NULL
+                    AND (df_us IS NULL OR db_us <= df_us) THEN bts
+               WHEN df_us IS NOT NULL THEN fts END AS nts,
+             CASE
+               WHEN db_us IS NOT NULL
+                    AND (df_us IS NULL OR db_us <= df_us) THEN db_us
+               WHEN df_us IS NOT NULL THEN df_us END AS d_us,
+             CASE
+               WHEN db_us IS NOT NULL
+                    AND (df_us IS NULL OR db_us <= df_us) THEN 'backward'
+               WHEN df_us IS NOT NULL THEN 'forward' END AS direction
+      FROM j
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN d_us <= CAST({_ASOF_NEAREST_TOL_S} AS BIGINT) * 1000000
+                THEN nts END AS nearest_click_ts,
+           CASE WHEN d_us <= CAST({_ASOF_NEAREST_TOL_S} AS BIGINT) * 1000000
+                THEN CAST(d_us // 1000000 AS BIGINT) END AS delta_s,
+           CASE WHEN d_us <= CAST({_ASOF_NEAREST_TOL_S} AS BIGINT) * 1000000
+                THEN direction END AS direction
+    FROM pick ORDER BY event_id
+    """,
+    doc="NEAREST-direction as-of join with tolerance: each purchase "
+    "aligned to the closest click per user in EITHER direction "
+    f"(ties -> backward), nulled beyond {_ASOF_NEAREST_TOL_S} s — "
+    "pandas merge_asof(direction='nearest') at engine scale. Both "
+    "directions come from the same union+ordered-window trick as the "
+    "backward as-of (one shuffle by user, last-ignorenulls for "
+    "backward, first-ignorenulls over the FOLLOWING frame for "
+    "forward); no pair join, no per-group pandas. The oracle replays "
+    "via two DuckDB ASOF joins.",
+)
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("bigint").alias("event_id_p"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("event_id_p"),
+        F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    # backward: clicks sort first at equal ts (is_p asc) so ties count;
+    # forward: frame starts at CURRENT ROW, same ordering keeps a
+    # same-ts click inside the following frame? No — a same-ts click
+    # sorts BEFORE the purchase, so the forward frame must start at
+    # the first row of the same ts: order forward by (ts, is_p) and
+    # take min click_ts over a RANGE-on-ts-like trick. Simpler and
+    # exact: compute forward on the REVERSED sort (ts desc, is_p desc)
+    # with last-ignorenulls over the preceding frame — a same-ts click
+    # then sorts AFTER the purchase in reversed order and is included,
+    # mirroring backward-tie semantics (delta 0 on both sides).
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_p"), F.desc("event_id_p"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        clicks.unionByName(purchases)
+        .withColumn("bts", F.last("click_ts", ignorenulls=True).over(wb))
+        .withColumn("fts", F.last("click_ts", ignorenulls=True).over(wf))
+    )
+    from ..timeutil import epoch_micros
+
+    db = F.when(
+        F.col("bts").isNotNull(),
+        epoch_micros(F.col("ts")) - epoch_micros(F.col("bts")),
+    )
+    df_ = F.when(
+        F.col("fts").isNotNull(),
+        epoch_micros(F.col("fts")) - epoch_micros(F.col("ts")),
+    )
+    take_back = db.isNotNull() & (df_.isNull() | (db <= df_))
+    nts = F.when(take_back, F.col("bts")).otherwise(
+        F.when(df_.isNotNull(), F.col("fts"))
+    )
+    d_us = F.when(take_back, db).otherwise(df_)
+    direction = F.when(take_back, F.lit("backward")).otherwise(
+        F.when(df_.isNotNull(), F.lit("forward"))
+    )
+    tol = _ASOF_NEAREST_TOL_S * 1_000_000
+    in_tol = d_us <= tol
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            F.col("event_id_p").alias("event_id"),
+            "user_id",
+            "ts",
+            F.when(in_tol, nts).alias("nearest_click_ts"),
+            F.when(in_tol, F.floor(d_us / 1_000_000)).cast("bigint").alias(
+                "delta_s"
+            ),
+            F.when(in_tol, direction).alias("direction"),
+        )
+        .orderBy("event_id")
+    )

@@ -51,7 +51,7 @@ FAMILIES: dict[str, list[str]] = {
     "streaming-batch": ["sliding_window_stats", "session_window_native"],
     "tpch": ["q1_pricing", "q21_waiting_supplier_v", "returns_analysis",
              "customer_ltv_deciles", "supplier_scorecard"],
-    "join": ["join_semi_discounted", "join_anti_customers",
+    "join": ["asof_join_nearest_click", "join_semi_discounted", "join_anti_customers",
              "salted_join_segment_revenue", "bloom_prefilter_urgent_revenue"],
     "agg-ext": ["grouping_sets_pricing", "string_agg_statuses", "stats_moments",
                 "winsorized_stats"],
