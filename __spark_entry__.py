@@ -148,6 +148,7 @@ _POST_FREEZE = [
     "compression_ratio_proxy",
     "vocab_overlap_langs",
     "asof_join_nearest_click",
+    "dau_mau_stickiness",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -47,6 +47,7 @@ HEADLINE = [
     "compression_ratio_proxy",
     "vocab_overlap_langs",
     "asof_join_nearest_click",
+    "dau_mau_stickiness",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -2261,3 +2261,57 @@ def ddsketch_error_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "dau_mau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    mau AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.day - INTERVAL 27 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, mau.mau,
+           round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau USING (day) ORDER BY day
+    """,
+    doc="DAU/MAU stickiness per day (the standard engagement ratio): "
+    "daily actives over 28-day rolling distinct actives. Exact form: "
+    "the (day, user) distinct table joined to the day spine within "
+    "the window — |days| x |daily actives| work, never raw events. "
+    "At 100 TB the rolling distinct switches to merged daily HLL "
+    "registers (hll_set_op_certificate's union path) with identical "
+    "query shape; this exact twin certifies that pipeline's numbers "
+    "at fixture scale.",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    d, u = days.alias("d"), ud.alias("u")
+    mau = (
+        d.join(
+            u,
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 27))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
