@@ -410,3 +410,77 @@ def test_banded_lsh_recall_curve(spark, sf_dir):
     if len(exact) >= 5:
         recall = len(exact & got) / len(exact)
         assert recall >= 0.8, (recall, len(exact))
+
+
+def test_bind_equals_unbound_shingles(spark):
+    """The _bind let-binding is a pure performance rewrite: the bound
+    shingle builders must return exactly the arrays the naive inline
+    form produces."""
+    from big_data_pr_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, "q q q q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["s"], r["h"])
+        for r in df.select(
+            "doc_id",
+            dedup.shingle_array("text", 3).alias("s"),
+            dedup.shingle_hash_array("text", 3).alias("h"),
+        ).collect()
+    }
+    # naive reference in python
+    for doc_id, text in [(1, "a b c d e"), (2, "x y"), (3, ""), (4, "q q q q")]:
+        toks = text.split(" ")
+        grams = (
+            [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else []
+        )
+        want = list(dict.fromkeys(grams))
+        assert got[doc_id][0] == want, doc_id
+        assert len(got[doc_id][1]) == len(want), doc_id
+
+
+def test_spherical_kmeans_matches_naive(spark):
+    """spherical_kmeans_assign's cluster decision equals a plain-python
+    spherical Lloyd with the same init/tie-break conventions."""
+    import math
+
+    from big_data_pr_spark.operators.similarity import (
+        spherical_kmeans_assign,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.1, 0.9]), (4, [-1.0, 0.0]), (5, [-0.9, -0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spherical_kmeans_assign(df, k=3, iters=2).collect()
+    }
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+    cents = {i: unit(vecs[i][1]) for i in range(3)}
+    for _ in range(2):
+        assign = {}
+        for i, v in vecs:
+            dots = [(-(sum(a * b for a, b in zip(v, c))), cid)
+                    for cid, c in sorted(cents.items())]
+            assign[i] = min(dots)[1]
+        if _ == 0:  # recompute once (iters=2 -> one update)
+            by = {}
+            for i, v in vecs:
+                by.setdefault(assign[i], []).append(v)
+            cents = {
+                cid: unit([sum(x) / len(vs) for x in zip(*vs)])
+                for cid, vs in by.items()
+            }
+    assert got == assign
