@@ -151,6 +151,7 @@ _POST_FREEZE = [
     "vocab_overlap_langs",
     "asof_join_nearest_click",
     "dau_mau_stickiness",
+    "qte_deciles_purchase_vs_view",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

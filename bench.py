@@ -48,6 +48,7 @@ HEADLINE = [
     "vocab_overlap_langs",
     "asof_join_nearest_click",
     "dau_mau_stickiness",
+    "qte_deciles_purchase_vs_view",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

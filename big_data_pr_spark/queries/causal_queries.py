@@ -689,3 +689,72 @@ def regression_discontinuity_acctbal(
         F.round("br", 6).alias("slope_right"),
         F.round(F.col("ar") - F.col("al"), 4).alias("rdd_effect"),
     )
+
+
+@register(
+    "qte_deciles_purchase_vs_view",
+    """
+    WITH ab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g,
+             value
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    rk AS (
+      SELECT g, value,
+             row_number() OVER (PARTITION BY g ORDER BY value) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM ab
+    ),
+    qs AS (SELECT unnest(range(1, 10)) AS d),
+    pick AS (
+      SELECT qs.d, rk.g, rk.value
+      FROM qs JOIN rk ON rk.r = CAST(ceil(qs.d * 0.1 * rk.n) AS BIGINT)
+    )
+    SELECT CAST(d AS BIGINT) AS decile,
+           round(max(CASE WHEN g = 'a' THEN value END), 6) AS q_purchase,
+           round(max(CASE WHEN g = 'b' THEN value END), 6) AS q_view,
+           round(max(CASE WHEN g = 'a' THEN value END)
+                 - max(CASE WHEN g = 'b' THEN value END), 6) AS qte
+    FROM pick GROUP BY d ORDER BY d
+    """,
+    doc="Quantile treatment effects at deciles (the distributional "
+    "companion to the mean-shift tests): per decile, the purchase-vs-"
+    "view difference of EXACT type-1 quantiles (element at rank "
+    "ceil(q*n) — ordinal, no interpolation, so both engines pick the "
+    "identical row; cf. Doksum 1974 / Koenker's QTE). Reveals where "
+    "in the distribution the effect lives — tails vs median — which "
+    "a single Mann-Whitney/Welch number hides. One rank window per "
+    "group + a 9-row broadcast rank join.",
+)
+def qte_deciles_purchase_vs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    ab = ev.select(
+        F.when(F.col("event_type") == "purchase", "a").otherwise("b").alias("g"),
+        "value",
+    )
+    wg = Window.partitionBy("g").orderBy("value")
+    wn = Window.partitionBy("g")
+    rk = ab.select(
+        "g",
+        "value",
+        F.row_number().over(wg).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    )
+    qs = spark.range(1, 10).select(F.col("id").alias("d"))
+    pick = qs.join(
+        rk,
+        rk["r"] == F.ceil(F.col("d") * 0.1 * rk["n"]).cast("long"),
+    )
+    qa = F.max(F.when(F.col("g") == "a", F.col("value")))
+    qb = F.max(F.when(F.col("g") == "b", F.col("value")))
+    return (
+        pick.groupBy(F.col("d").cast("bigint").alias("decile"))
+        .agg(
+            F.round(qa, 6).alias("q_purchase"),
+            F.round(qb, 6).alias("q_view"),
+            F.round(qa - qb, 6).alias("qte"),
+        )
+        .orderBy("decile")
+    )
