@@ -118,6 +118,58 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_forecast(args: argparse.Namespace) -> int:
+    """Reference /api/predict_xgboost parity (app.py:195-244), served
+    from the REAL pickled artifacts without xgboost/sklearn: the
+    restricted unpickler + UBJSON booster decoder recover the fitted
+    state, the last-k closes come from the hist table (or a synthetic
+    ramp when none is given), and the 24-step scaled-space recursion
+    emits [(ts_ms, price)] as JSON lines."""
+    import json as _json
+    import os as _os
+
+    from .ohlcv.forecast import recursive_forecast
+    from .ohlcv.artifacts import load_minmax_scaler
+    from .ohlcv.xgb_ubjson import load_reference_regressor
+
+    model_pkl = _os.path.join(
+        args.artifacts, f"{args.symbol}_xgboost_model.pkl"
+    )
+    scaler_pkl = _os.path.join(args.artifacts, f"{args.symbol}_scaler.pkl")
+    model, _params = load_reference_regressor(model_pkl)
+    scaler = load_minmax_scaler(scaler_pkl)
+    k = model.n_features_in_
+    if args.hist:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from .session import get_spark
+
+        spark = get_spark("forecast-cli")
+        rows = (
+            spark.read.parquet(args.hist)
+            .where(F.col("symbol") == args.symbol.replace("_", "/"))
+            .orderBy(F.desc("timestamp_dt"))
+            .limit(k)
+            .orderBy("timestamp_dt")
+            .collect()
+        )
+        closes = [float(r["close"]) for r in rows]
+        last_ms = int(rows[-1]["timestamp_dt"].timestamp() * 1000)
+    else:
+        mid = (scaler.data_min_[0] + scaler.data_max_[0]) / 2
+        closes = [mid * (1 + 0.001 * i) for i in range(k)]
+        last_ms = 0
+    preds = recursive_forecast(
+        closes, last_ms, steps=args.steps, model=model, scaler=scaler
+    )
+    for ts, price in preds:
+        print(_json.dumps(
+            {"timestamp": ts, "predicted_price": round(price, 2)}
+        ))
+    return 0
+
+
+
 def cmd_rag(args: argparse.Namespace) -> int:
     from .pipelines import build_rag_index, rag_query
     from .tables import load
@@ -399,6 +451,18 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--quality-min", type=float, default=0.3)
     cp.add_argument("--pack-capacity", type=int, default=512)
     cp.set_defaults(fn=cmd_corpus)
+
+    fc = sub.add_parser(
+        "forecast",
+        help="24-step recursive forecast from the reference's REAL "
+        "pickled artifacts (restricted unpickler + UBJSON booster "
+        "decode; app.py /api/predict_xgboost parity)",
+    )
+    fc.add_argument("--symbol", default="BTC_USDT")
+    fc.add_argument("--artifacts", default="/root/reference/trained_models")
+    fc.add_argument("--steps", type=int, default=24)
+    fc.add_argument("--hist", help="candles parquet (symbol/timestamp_dt/close); omitted -> synthetic mid-range window")
+    fc.set_defaults(fn=cmd_forecast)
 
     rg = sub.add_parser(
         "rag",

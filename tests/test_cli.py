@@ -185,3 +185,22 @@ def test_matview_subcommand_lifecycle(spark, sf_dir, tmp_path, capsys):
     assert len(hist) == 1 and json.loads(hist[0])["version"] == 1
     assert main(["matview", "--dir", d]) == 0
     assert "event_type" in capsys.readouterr().out
+
+
+def test_cli_forecast_real_artifacts(capsys):
+    import json
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/reference/trained_models"):
+        pytest.skip("reference artifacts not present")
+    from big_data_pr_spark.__main__ import main
+
+    rc = main(["forecast", "--symbol", "ETH_USDT", "--steps", "4"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4
+    assert [r["timestamp"] for r in lines] == [3600000 * i for i in range(1, 5)]
+    # prices stay inside the fitted scaler's plausible band
+    assert all(1000 < r["predicted_price"] < 5000 for r in lines)
