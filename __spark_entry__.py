@@ -152,6 +152,7 @@ _POST_FREEZE = [
     "asof_join_nearest_click",
     "dau_mau_stickiness",
     "qte_deciles_purchase_vs_view",
+    "winnowing_minhash_agreement",
     "containment_pairs",
     "cross_region_trade_matrix",
     "decay_weighted_user_value",

@@ -49,6 +49,7 @@ HEADLINE = [
     "asof_join_nearest_click",
     "dau_mau_stickiness",
     "qte_deciles_purchase_vs_view",
+    "winnowing_minhash_agreement",
     "q1_pricing",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -3462,3 +3462,88 @@ def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+_WMA_ORACLE = f"""
+    WITH winn AS (
+      SELECT doc_id, CAST(shared_frac > 0 AS INTEGER) AS w
+      FROM ({{winnowing}})
+    ),
+    mh AS (
+      SELECT DISTINCT doc_id, 1 AS m FROM (
+        SELECT id_a AS doc_id FROM ({{minhash}})
+        UNION ALL SELECT id_b FROM ({{minhash}})
+      )
+    ),
+    j AS (
+      SELECT d.doc_id,
+             coalesce(winn.w, 0) AS w, coalesce(mh.m, 0) AS m
+      FROM documents d
+      LEFT JOIN winn USING (doc_id) LEFT JOIN mh USING (doc_id)
+    )
+    SELECT CAST(sum(w * m) AS BIGINT) AS n_both,
+           CAST(sum(w * (1 - m)) AS BIGINT) AS n_winnowing_only,
+           CAST(sum((1 - w) * m) AS BIGINT) AS n_minhash_only,
+           CAST(sum((1 - w) * (1 - m)) AS BIGINT) AS n_neither,
+           round(sum(w * m) * 1.0
+                 / nullif(sum(CASE WHEN w = 1 OR m = 1 THEN 1 ELSE 0 END), 0),
+                 6) AS flag_jaccard
+    FROM j
+"""
+
+
+_WMA_ORACLE_FULL = _WMA_ORACLE.format(
+    winnowing=REGISTRY["winnowing_fingerprints"].oracle,
+    minhash=REGISTRY["dedup_minhash_md5"].oracle,
+)
+
+
+@register(
+    "winnowing_minhash_agreement",
+    _WMA_ORACLE_FULL,
+    doc="Detector-agreement audit between the two near-dup signals: "
+    "docs flagged by winnowing (any shared fingerprint — substring-"
+    "level identity) vs docs in a MinHash LSH pair (set-level "
+    "Jaccard >= 0.5). The confusion counts + flagged-set Jaccard "
+    "quantify what each detector sees that the other misses "
+    "(winnowing catches long verbatim spans inside otherwise-"
+    "different docs; MinHash catches global near-identity with no "
+    "long common substring) — the calibration evidence for choosing "
+    "a dedup stack. Composes the two certified oracle bodies as CTEs "
+    "(the minhash_eval_metrics pattern).",
+)
+def winnowing_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    winn = winnowing_fingerprints(spark, sf_dir).select(
+        "doc_id", (F.col("shared_frac") > 0).cast("int").alias("w")
+    )
+    pairs = REGISTRY["dedup_minhash_md5"].fn(spark, sf_dir)
+    mh = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    j = (
+        docs.join(winn, "doc_id", "left")
+        .join(mh, "doc_id", "left")
+        .select(
+            F.coalesce("w", F.lit(0)).alias("w"),
+            F.coalesce("m", F.lit(0)).alias("m"),
+        )
+    )
+    w, m = F.col("w"), F.col("m")
+    return j.agg(
+        F.sum(w * m).cast("bigint").alias("n_both"),
+        F.sum(w * (1 - m)).cast("bigint").alias("n_winnowing_only"),
+        F.sum((1 - w) * m).cast("bigint").alias("n_minhash_only"),
+        F.sum((1 - w) * (1 - m)).cast("bigint").alias("n_neither"),
+        F.round(
+            F.sum(w * m)
+            / F.nullif(
+                F.sum(F.when((w == 1) | (m == 1), 1).otherwise(0)), F.lit(0)
+            ),
+            6,
+        ).alias("flag_jaccard"),
+    )
+
