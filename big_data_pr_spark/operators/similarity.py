@@ -875,6 +875,98 @@ def pq_adc_topk(
     )
 
 
+def pq_sample_codebooks_md5(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PSEUDO-RANDOM PQ init: the ``k`` vectors with the
+    smallest ``md5(cast(id as string))`` (ties → lowest id) seed the
+    codebooks — the md5-keyed sampling convention of dedup_minhash_md5,
+    replayable verbatim in DuckDB (``ORDER BY md5(CAST(vec_id AS
+    VARCHAR)), vec_id LIMIT k``). Unlike :func:`pq_init_codebooks`'s
+    lowest-id convention this is an unbiased sample of the corpus, so
+    the certified twin exercises the production path's *trained-like*
+    codebook quality, not just the decision plumbing."""
+    dsub = dim // m
+    init = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[0]] for r in init]
+    return [[v[j * dsub : (j + 1) * dsub] for v in vecs] for j in range(m)]
+
+
+def pq_refine_round(
+    df: DataFrame,
+    dim: int,
+    books: list[list[list[float]]],
+    decimals: int = 6,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """ONE Lloyd refinement iteration with the new centroids ROUNDED to
+    ``decimals`` places — the oracle-replayable form of
+    :func:`pq_train`: rounding happens JVM-side (``F.round``, HALF_UP)
+    inside the partial aggregate so DuckDB's ``round(avg(x), 6)``
+    reproduces the exact doubles, and every downstream encode/ADC
+    decision is then computed from bit-identical centroid literals on
+    both engines. Empty clusters keep their (rounded) init centroid.
+
+    Same scale shape as pq_train: assignment is a zero-shuffle narrow
+    map against m·k literal arrays; the recompute is one posexplode
+    partial-agg returning m·k·dsub rows to the driver."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    def _r(x: float) -> float:
+        # Spark F.round parity: BigDecimal.valueOf(double) == repr(x)
+        q = Decimal(1).scaleb(-decimals)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    m = len(books)
+    dsub = dim // m
+    codes = df.select(
+        vec_col,
+        *[
+            _pq_subspace_code(F.col(vec_col), j, dsub, books[j]).alias(
+                f"__c{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    parts = codes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.col(f"__c{j}").alias("cl"),
+                        F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("v"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.sub").alias("sub"),
+        F.col("s.cl").alias("cl"),
+        F.posexplode("s.v").alias("pos", "x"),
+    )
+    rows = (
+        parts.groupBy("sub", "cl", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), decimals).alias("mu"))
+        .collect()
+    )
+    new = [[[_r(x) for x in c] for c in book] for book in books]
+    for r in rows:
+        new[r["sub"]][r["cl"]][r["pos"]] = float(r["mu"])
+    return new
+
+
 # ---------------------------------------------------------------------------
 # Spherical k-means (cosine Lloyd) — direction clustering for embeddings
 # ---------------------------------------------------------------------------

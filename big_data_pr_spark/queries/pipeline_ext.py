@@ -1040,6 +1040,108 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_topk_md5",
+    f"""
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cid,
+             embedding AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_PQ_K})),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+    dims AS (SELECT unnest(generate_series(1, {_PQ_DSUB})) AS pos),
+    dists AS (
+      SELECT e.vec_id, s.j, i.cid,
+             {_pq_sqd_sql('e.embedding', 'i.v', f's.j * {_PQ_DSUB}')} AS dist
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN init i),
+    assign AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rk
+        FROM dists) WHERE rk = 1),
+    means AS (
+      SELECT a.j, a.cid, d.pos,
+             round(avg(CAST(e.embedding[a.j * {_PQ_DSUB} + d.pos]
+                            AS DOUBLE)), 6) AS mu
+      FROM assign a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+      GROUP BY a.j, a.cid, d.pos),
+    grid AS (
+      SELECT s.j, i.cid, d.pos,
+             round(CAST(i.v[s.j * {_PQ_DSUB} + d.pos] AS DOUBLE), 6)
+               AS init_mu
+      FROM init i CROSS JOIN subs s CROSS JOIN dims d),
+    books AS (
+      SELECT g.j, g.cid, list(coalesce(m.mu, g.init_mu) ORDER BY g.pos) AS c
+      FROM grid g LEFT JOIN means m
+        ON m.j = g.j AND m.cid = g.cid AND m.pos = g.pos
+      GROUP BY g.j, g.cid),
+    d2 AS (
+      SELECT e.vec_id, b.j, b.cid,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}), d ->
+               (CAST(e.embedding[b.j * {_PQ_DSUB} + d] AS DOUBLE) - b.c[d]) *
+               (CAST(e.embedding[b.j * {_PQ_DSUB} + d] AS DOUBLE) - b.c[d])))
+               AS dist
+      FROM embeddings e CROSS JOIN books b
+      WHERE e.vec_id <> 0),
+    best2 AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rk
+        FROM d2) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    adc AS (
+      SELECT t.vec_id,
+             list_sum(list_transform(generate_series(1, {_PQ_DSUB}), d ->
+               (CAST(q.qv[t.j * {_PQ_DSUB} + d] AS DOUBLE) - b.c[d]) *
+               (CAST(q.qv[t.j * {_PQ_DSUB} + d] AS DOUBLE) - b.c[d]))) AS dq
+      FROM best2 t JOIN books b ON b.j = t.j AND b.cid = t.cid CROSS JOIN q),
+    cand AS (
+      SELECT vec_id, round(sum(dq), 6) AS adc_dist
+      FROM adc GROUP BY vec_id ORDER BY adc_dist, vec_id LIMIT 50)
+    SELECT e.vec_id,
+           round(list_sum(list_transform(generate_series(1, 64), d ->
+             (CAST(e.embedding[d] AS DOUBLE) - CAST(q.qv[d] AS DOUBLE)) *
+             (CAST(e.embedding[d] AS DOUBLE) - CAST(q.qv[d] AS DOUBLE)))), 6)
+             AS adc_dist
+    FROM embeddings e JOIN cand c USING (vec_id) CROSS JOIN q
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+    doc="PQ ADC top-10 with a TRAINED-LIKE but oracle-replayable "
+    "codebook — the md5-certified twin of the production path "
+    "pq_adc_topk (r7 verdict #7): init = md5-keyed pseudo-random "
+    "sample of 8 corpus vectors (dedup_minhash_md5 convention, "
+    "unbiased unlike the lowest-id init of pq_adc_topk_lit), ONE "
+    "Lloyd refinement whose centroids are rounded JVM-side to 6 dp "
+    "(similarity.pq_refine_round) so every downstream encode / ADC / "
+    "re-rank decision is computed from bit-identical literals on both "
+    "engines, then ADC top-50 + exact-L2 re-rank to top-10 — the full "
+    "train→encode→ADC→re-rank production shape under a value-hash "
+    "oracle. Scale shape identical to pq_adc_topk: codebook is "
+    "driver-sized, encode is a zero-shuffle narrow map, ADC scans "
+    "m-byte codes, re-rank reads only 50 full vectors via broadcast "
+    "semi-join. operators/similarity.py::pq_refine_round.",
+)
+def pq_adc_topk_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_sample_codebooks_md5(emb, dim=64, m=_PQ_M, k=_PQ_K)
+    refined = similarity.pq_refine_round(emb, dim=64, books=books)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), 64, refined, qvec, k=10, rerank=50
+    )
+
+
+@register(
     "pseudonymize_users",
     f"""
     SELECT {privacy.pseudonymize_sql('user_id', 'rel42')} AS user_pseudo,

@@ -67,13 +67,24 @@ def test_driver_window_family_coverage():
     assert front50 == e._FRONT
     # The family map is shared with the rotation generator
     # (tools/rotate_window.py::FAMILIES — single source of truth);
-    # candidate lists grow as families gain members, and each family
-    # needs >= 1 representative inside the 50-slot window.
+    # candidate lists grow as families gain members. r8 relaxation (per
+    # r7 verdict #1/#2): a family is covered when it has a window rep OR
+    # any driver-green member in the cumulative ledger — fully-certified
+    # families stop spending re-verification slots so the window burns
+    # certification debt faster.
+    import json
+
     from tools.rotate_window import FAMILIES
 
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "DRIVER_LEDGER.json")
+    ) as f:
+        ledger = json.load(f)["queries"]
     for fam, names in FAMILIES.items():
         assert set(names) <= set(REGISTRY), (fam, set(names) - set(REGISTRY))
-        assert any(n in front50 for n in names), (fam, names)
+        assert any(n in front50 for n in names) or any(
+            n in ledger for n in names
+        ), (fam, names)
 
 
 def test_driver_ledger_consistent():

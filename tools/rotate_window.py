@@ -64,7 +64,7 @@ FAMILIES: dict[str, list[str]] = {
                    "pq_reconstruction_error", "embedding_norm_profile",
                    "lexical_semantic_agreement",
                    "embedding_anisotropy_probe", "ivfpq_adc_topk_lit",
-                   "kmeans_cosine_assign"],
+                   "kmeans_cosine_assign", "pq_adc_topk_md5"],
     "text": ["lang_id_confusion", "token_burstiness_top",
              "text_stats", "tfidf_top_terms", "perplexity_scores",
              "char_entropy_hist", "zipf_token_slope", "bpe_encode_tokens",
@@ -173,29 +173,17 @@ def suggest(ledger, never) -> list[str]:
             break
         if n not in picks:
             picks.append(n)
-    # family insurance: fill uncovered families with already-green reps
+    # family insurance (r8 relaxation, per r7 verdict #1/#2: burn debt):
+    # a family is covered if it has a window rep OR any driver-green
+    # member in the ledger — fully-certified families no longer spend
+    # re-verification slots. Only fill a green rep for a family with
+    # neither (should not happen once every family has landed once).
     for fam, names in FAMILIES.items():
-        if any(n in picks for n in names):
+        if any(n in picks for n in names) or any(n in ledger for n in names):
             continue
         green = [n for n in names if n in ledger]
-        if not green:
-            continue
-        if len(picks) < 50:
+        if green and len(picks) < 50:
             picks.append(green[0])
-        else:
-            # evict the last non-flagship pick whose family stays covered
-            for i in range(len(picks) - 1, 0, -1):
-                cand = picks[i]
-                fams_of = [
-                    f for f, ns in FAMILIES.items() if cand in ns
-                ]
-                still = all(
-                    any(n in (picks[:i] + picks[i + 1:]) for n in FAMILIES[f])
-                    for f in fams_of
-                )
-                if still:
-                    picks[i] = green[0]
-                    break
     # top up with already-green representatives if under 50
     if len(picks) < 50:
         for n in sorted(ledger):
