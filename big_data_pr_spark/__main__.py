@@ -153,6 +153,20 @@ def cmd_forecast(args: argparse.Namespace) -> int:
             .orderBy("timestamp_dt")
             .collect()
         )
+        if len(rows) < k:
+            # reference contract (app.py:226-227): explicit found/need
+            # error instead of an IndexError / opaque feature-count
+            # message when the hist table is too short
+            print(
+                _json.dumps(
+                    {
+                        "error": "not enough recent historical data for "
+                        f"{args.symbol} (found {len(rows)}, need {k})"
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return 1
         closes = [float(r["close"]) for r in rows]
         last_ms = int(rows[-1]["timestamp_dt"].timestamp() * 1000)
     else:

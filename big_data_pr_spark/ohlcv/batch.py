@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..fsutil import require_local
 from .schemas import FILENAME_PATTERN, OHLCV_CSV_SCHEMA
 
 
@@ -149,6 +150,7 @@ def upsert_parquet(
     dynamic partition overwrite semantics so only affected (symbol,
     timeframe) partitions are rewritten on a real cluster.
     """
+    require_local(table_path, "upsert_parquet")  # swap is os.rename
     new_df = new_df.withColumn("__pri", F.lit(1))
     if os.path.exists(table_path):
         old = spark.read.parquet(table_path).withColumn("__pri", F.lit(0))

@@ -72,23 +72,37 @@ def recursive_forecast(
 
     ``closes`` is the ascending model-input window (k = len(closes));
     returns [(ts_ms, predicted_price)] for ts = last + i·step.
+
+    With a scaler this is the reference loop verbatim (app.py:232-240):
+    the window is scaled ONCE per element (``reshape(-1, 1)`` — the
+    fitted MinMaxScaler has ``n_features_in_ == 1``, so a (1, k) batch
+    would fail sklearn's feature-count validation), the recursion runs
+    in SCALED space (scaled predictions are appended to the window),
+    and only emitted predictions are inverse-transformed back to price.
     """
     model = model or DriftModel()
     k = len(closes)
     _validate(model, scaler, k)
-    window = np.asarray(closes, dtype=np.float64)
     out: list[tuple[int, float]] = []
+    if scaler is None:
+        window = np.asarray(closes, dtype=np.float64)
+        for i in range(1, steps + 1):
+            pred = float(np.asarray(model.predict(window.reshape(1, -1))).reshape(-1)[0])
+            out.append((last_ts_ms + i * step_ms, pred))
+            window = np.append(window[1:], pred)
+        return out
+    window = scaler.transform(
+        np.asarray(closes, dtype=np.float64).reshape(-1, 1)
+    ).flatten()
     for i in range(1, steps + 1):
-        x = window.reshape(1, -1)
-        if scaler is not None:
-            x = scaler.transform(x)
-        pred = float(np.asarray(model.predict(x)).reshape(-1)[0])
-        if scaler is not None:
-            pred = float(
-                scaler.inverse_transform(np.asarray([[pred]])).reshape(-1)[0]
-            )
+        pred_scaled = float(
+            np.asarray(model.predict(window.reshape(1, -1))).reshape(-1)[0]
+        )
+        pred = float(
+            scaler.inverse_transform(np.asarray([[pred_scaled]]))[0, 0]
+        )
         out.append((last_ts_ms + i * step_ms, pred))
-        window = np.append(window[1:], pred)
+        window = np.append(window[1:], pred_scaled)
     return out
 
 

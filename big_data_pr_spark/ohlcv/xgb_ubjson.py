@@ -16,10 +16,11 @@ output for leaves). The decoded ensemble loads into
 :class:`..operators.gbt.GBTModel` and predicts with
 ``base_score + Σ tree(x)`` (``reg:squarederror`` has identity link).
 
-Divergence note (documented, immaterial here): ``GBTModel`` routes NaN
-features left, while xgboost honors per-node ``default_left``; the
-serving path scales inputs with the fitted MinMaxScaler first, so no
-NaN ever reaches the trees.
+The per-node ``default_left`` array is decoded and honored by
+``Tree.predict`` (a NaN feature — e.g. a missing candle passing through
+the affine scaler as NaN — routes to the node's trained default branch,
+exactly as xgboost's own predictor does), closing the last semantic
+delta vs the reference's real boosters.
 """
 
 from __future__ import annotations
@@ -152,6 +153,9 @@ def booster_to_gbt(model_doc: dict, features: list[str]) -> GBTModel:
         sidx = np.asarray(t["split_indices"], dtype=np.int64)
         scond = np.asarray(t["split_conditions"], dtype=np.float64)
         is_leaf = left < 0
+        dleft = np.asarray(
+            t.get("default_left", np.ones(len(left))), dtype=np.int64
+        )
         trees.append(
             Tree(
                 feature=np.where(is_leaf, -1, sidx).tolist(),
@@ -159,6 +163,7 @@ def booster_to_gbt(model_doc: dict, features: list[str]) -> GBTModel:
                 left=np.where(is_leaf, np.arange(len(left)), left).tolist(),
                 right=np.where(is_leaf, np.arange(len(right)), right).tolist(),
                 value=np.where(is_leaf, scond, 0.0).tolist(),
+                default_left=dleft.tolist(),
             )
         )
     return GBTModel(features=features, trees=trees, base_score=base)

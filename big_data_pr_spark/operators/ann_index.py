@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import require_local
 from .similarity import _assign_cell_udf, cosine, ivf_centroids
 
 
@@ -157,6 +158,7 @@ def stream_into_ivf_index(
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        require_local(index_dir, "ivf_index_sink")  # os-level markers
         marker_dir = os.path.join(index_dir, "_epochs")
         marker = os.path.join(marker_dir, str(epoch_id))
         if os.path.exists(marker):  # replayed epoch → already appended

@@ -26,10 +26,11 @@ so this module supplies the same capability Spark-first:
 - :func:`predict_gbt` — Arrow-batched scoring of a DataFrame (one
   pandas UDF, zero shuffle).
 
-Prediction semantics match xgboost's defaults: missing/NaN goes left,
-decision is ``x < threshold`` → left (yes) branch, score =
-``base_score + Σ leaf`` (leaf values already include the learning
-rate, as xgboost stores them).
+Prediction semantics match xgboost exactly: missing/NaN routes to the
+node's trained ``default_left`` branch (all-left when the model never
+saw missing values — xgboost's default), decision is ``x < threshold``
+→ left (yes) branch, score = ``base_score + Σ leaf`` (leaf values
+already include the learning rate, as xgboost stores them).
 """
 
 from __future__ import annotations
@@ -47,13 +48,17 @@ from pyspark.sql import functions as F
 class Tree:
     """Flat-array binary tree: internal node i splits on
     ``feature[i] < threshold[i]`` → left[i], else right[i]; leaves have
-    ``feature[i] == -1`` and carry ``value[i]``."""
+    ``feature[i] == -1`` and carry ``value[i]``. ``default_left[i]``
+    (0/1) is the per-node missing-value branch, xgboost's
+    ``default_left`` array; ``None`` (models trained here, where
+    binning never emits NaN) means all-left — xgboost's own default."""
 
     feature: list[int]
     threshold: list[float]
     left: list[int]
     right: list[int]
     value: list[float]
+    default_left: list[int] | None = None
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         """Vectorized traversal: one gather per depth level."""
@@ -62,6 +67,11 @@ class Tree:
         lo = np.asarray(self.left, dtype=np.int64)
         hi = np.asarray(self.right, dtype=np.int64)
         val = np.asarray(self.value, dtype=np.float64)
+        dl = (
+            np.ones(len(feat), dtype=bool)
+            if self.default_left is None
+            else np.asarray(self.default_left, dtype=np.int64).astype(bool)
+        )
         idx = np.zeros(len(X), dtype=np.int64)
         # depth is bounded by node count; loop exits when all rows leaf
         for _ in range(len(feat)):
@@ -70,7 +80,8 @@ class Tree:
                 break
             f = np.where(at_leaf, 0, feat[idx])
             x = X[np.arange(len(X)), f]
-            go_left = np.isnan(x) | (x < thr[idx])  # missing → left (xgboost default)
+            # missing routes per the node's trained default branch
+            go_left = np.where(np.isnan(x), dl[idx], x < thr[idx])
             nxt = np.where(go_left, lo[idx], hi[idx])
             idx = np.where(at_leaf, idx, nxt)
         return val[idx]
@@ -145,6 +156,7 @@ class GBTModel:
             lo: list[int] = []
             hi: list[int] = []
             val: list[float] = []
+            dl: list[int] = []
 
             def add(n: dict) -> int:
                 i = len(feat)
@@ -153,6 +165,7 @@ class GBTModel:
                 lo.append(i)
                 hi.append(i)
                 val.append(0.0)
+                dl.append(1)
                 if "leaf" in n:
                     val[i] = float(n["leaf"])
                     return i
@@ -162,13 +175,15 @@ class GBTModel:
                 else:  # xgboost default feature names: f0, f1, ...
                     feat[i] = int(str(split).lstrip("f") or 0)
                 thr[i] = float(n["split_condition"])
+                # dump format: "missing" names the child id NaN routes to
+                dl[i] = int(n.get("missing", n["yes"]) == n["yes"])
                 kids = {c["nodeid"]: c for c in n["children"]}
                 lo[i] = add(kids[n["yes"]])
                 hi[i] = add(kids[n["no"]])
                 return i
 
             add(node)
-            trees.append(Tree(feat, thr, lo, hi, val))
+            trees.append(Tree(feat, thr, lo, hi, val, dl))
         return cls(features=features, trees=trees, base_score=base_score)
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..fsutil import require_local
 from ..ohlcv.schemas import OHLCV_STREAM_SCHEMA
 
 WINDOW_DURATION = os.environ.get("OHLCV_WINDOW_DURATION", "10 minutes")
@@ -337,6 +338,7 @@ def score_stream(parsed: DataFrame, model_json: str, out_col: str = "score") -> 
 def _overwrite_keyed(df: DataFrame, path: str) -> None:
     """Snapshot sink: replace the table with this epoch's state (complete
     output mode ⇒ every epoch carries the full keyed table)."""
+    require_local(path, "_overwrite_keyed")  # swap is os.rename
     staging = path.rstrip("/") + ".staging"
     df.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):
@@ -347,6 +349,7 @@ def _overwrite_keyed(df: DataFrame, path: str) -> None:
 def _upsert_keyed(df: DataFrame, path: str, key: str = "doc_id") -> None:
     """Update sink: merge this epoch's changed rows by doc key (the ES
     upsert analogue). Epoch replays overwrite the same keys — idempotent."""
+    require_local(path, "_upsert_keyed")  # swap is os.rename
     spark = df.sparkSession
     df = df.withColumn("__pri", F.lit(1))
     if os.path.exists(path):

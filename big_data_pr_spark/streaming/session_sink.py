@@ -25,11 +25,11 @@ length; emitted sessions leave the store.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from ..fsutil import fs_exists
 
 GAP = "30 minutes"
 WATERMARK = "10 minutes"
@@ -70,13 +70,16 @@ def sessionize_stream(
     )
 
 
-def _parquet_exists(path: str) -> bool:
-    """True when a prior write landed at ``path``. Local-FS check,
-    mirroring ohlcv/batch.py:153; on a real cluster this becomes a
-    Hadoop-FS existence probe (or a Delta table, which makes the whole
-    upsert transactional) — the point is that ONLY path-absence may
-    select the first-write branch, never a read failure."""
-    return os.path.exists(path)
+def _parquet_exists(spark: SparkSession, path: str) -> bool:
+    """True when a prior write landed at ``path``. Probed through the
+    Hadoop FileSystem for the path's OWN scheme (fsutil.fs_exists), so
+    the check matches whatever filesystem the write targets — on
+    ``hdfs://`` / ``s3a://`` an os-level check would always report
+    absence and every micro-batch would take the first-write overwrite,
+    destroying finalized sessions. ONLY genuine path-absence may select
+    the first-write branch; an unreachable filesystem raises and the
+    micro-batch retries."""
+    return fs_exists(spark, path)
 
 
 def _upsert_sessions(batch_df: DataFrame, path: str, key_col: str) -> None:
@@ -98,7 +101,7 @@ def _upsert_sessions(batch_df: DataFrame, path: str, key_col: str) -> None:
     # Mirror the established sinks (ohlcv/batch.py, streaming/
     # pipeline.py): existence check first, and let any read error on an
     # existing path propagate so the micro-batch fails and retries.
-    if not _parquet_exists(path):
+    if not _parquet_exists(spark, path):
         batch.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)

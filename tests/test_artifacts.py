@@ -125,10 +125,11 @@ def test_reference_booster_decodes(sym, k):
 def test_real_artifact_recursive_forecast_matches_reference_loop():
     """End-to-end U1 with the REAL model+scaler, checked against an
     inline transcription of the reference's scaled-space recursion
-    (app.py:229-238: scale window once, append SCALED predictions,
-    inverse-transform only outputs). Our recursive_forecast re-scales
-    the price-space window per step — affine-equivalent; this test is
-    the proof."""
+    (app.py:229-238: scale window once per element, append SCALED
+    predictions, inverse-transform only outputs). recursive_forecast
+    now IS that loop (ADVICE round 7: the old (1, k)-shaped
+    scaler.transform call would fail a real fitted sklearn MinMaxScaler
+    whose n_features_in_ is 1); this test pins the parity."""
     from big_data_pr_spark.ohlcv.forecast import recursive_forecast
     from big_data_pr_spark.ohlcv.xgb_ubjson import load_reference_regressor
 
@@ -190,3 +191,112 @@ def test_ubjson_decoder_roundtrip_handbuilt():
     assert list(got["floats"]) == [1.5, -2.25]
     assert got["nested"] == {"s": "hi", "t": True, "f": False, "z": None}
     assert got["plain"] == [5, 1 << 40]
+
+
+# --- per-node default_left NaN routing (r7 verdict #4) --------------------
+
+
+def _naive_tree_eval(t, row):
+    """Per-row reference traversal honoring default_left."""
+    i = 0
+    while t.feature[i] >= 0:
+        x = row[t.feature[i]]
+        if np.isnan(x):
+            go_left = bool(t.default_left[i]) if t.default_left else True
+        else:
+            go_left = x < t.threshold[i]
+        i = t.left[i] if go_left else t.right[i]
+    return t.value[i]
+
+
+def test_default_left_nan_routing_hand_built_booster():
+    """A hand-built UBJSON-shaped model doc with MIXED default_left
+    must route NaN per node — vectorized Tree.predict vs a transcribed
+    per-row reference traversal."""
+    from big_data_pr_spark.ohlcv.xgb_ubjson import booster_to_gbt
+
+    # node 0 splits f0 (NaN -> right), node 1 splits f1 (NaN -> left)
+    doc = {
+        "learner": {
+            "learner_model_param": {"base_score": "0.5", "num_feature": "2"},
+            "objective": {"name": "reg:squarederror"},
+            "gradient_booster": {
+                "model": {
+                    "trees": [
+                        {
+                            "left_children": [1, 3, -1, -1, -1],
+                            "right_children": [2, 4, -1, -1, -1],
+                            "split_indices": [0, 1, 0, 0, 0],
+                            "split_conditions": [10.0, 5.0, 100.0, 7.0, 9.0],
+                            "default_left": [0, 1, 0, 0, 0],
+                        }
+                    ]
+                }
+            },
+        }
+    }
+    m = booster_to_gbt(doc, ["f0", "f1"])
+    X = np.array(
+        [
+            [np.nan, 1.0],   # node0 NaN -> right -> leaf 100
+            [1.0, np.nan],   # node0 left, node1 NaN -> left -> leaf 7
+            [1.0, 1.0],      # left, 1<5 left -> 7
+            [1.0, 6.0],      # left, 6>=5 right -> 9
+            [11.0, 0.0],     # right -> 100
+        ]
+    )
+    got = m.predict(X)
+    want = np.array(
+        [0.5 + _naive_tree_eval(m.trees[0], row) for row in X]
+    )
+    assert got == pytest.approx(want)
+    assert got == pytest.approx([100.5, 7.5, 7.5, 9.5, 100.5])
+
+
+def test_real_booster_decodes_and_honors_default_left():
+    """The reference's real BTC booster carries default_left=0 nodes;
+    NaN input must follow them (vectorized vs per-row traversal), and
+    the all-left shortcut must NOT be equivalent on this model."""
+    from big_data_pr_spark.ohlcv.xgb_ubjson import load_reference_regressor
+
+    m, _ = load_reference_regressor(
+        f"{REF_MODELS}/BTC_USDT_xgboost_model.pkl"
+    )
+    assert any(0 in t.default_left for t in m.trees)
+    X = np.array([[0.5, np.nan, 0.4, np.nan, 0.6]])
+    want = m.base_score + sum(_naive_tree_eval(t, X[0]) for t in m.trees)
+    assert m.predict(X)[0] == pytest.approx(want)
+    # all-left routing would give a DIFFERENT answer on this input —
+    # i.e. honoring default_left is material, not a no-op
+    import dataclasses
+
+    forced = dataclasses.replace(m)
+    forced.trees = [
+        dataclasses.replace(t, default_left=None) for t in m.trees
+    ]
+    assert forced.predict(X)[0] != pytest.approx(want)
+
+
+def test_dump_format_missing_field_maps_to_default_left():
+    """from_xgboost_dump: the public dump's per-node "missing" child id
+    becomes default_left (missing == yes -> 1, == no -> 0)."""
+    from big_data_pr_spark.operators.gbt import GBTModel
+
+    dump = [
+        {
+            "nodeid": 0,
+            "split": "f0",
+            "split_condition": 1.0,
+            "yes": 1,
+            "no": 2,
+            "missing": 2,
+            "children": [
+                {"nodeid": 1, "leaf": -1.0},
+                {"nodeid": 2, "leaf": 2.0},
+            ],
+        }
+    ]
+    m = GBTModel.from_xgboost_dump(dump, ["f0"], base_score=0.0)
+    assert m.trees[0].default_left == [0, 1, 1]
+    assert m.predict(np.array([[np.nan]]))[0] == pytest.approx(2.0)
+    assert m.predict(np.array([[0.0]]))[0] == pytest.approx(-1.0)

@@ -196,3 +196,66 @@ def test_session_upsert_read_failure_does_not_wipe(spark, tmp_path):
         open(os.path.join(path, n), "rb").read() == b"not a parquet file"
         for n in os.listdir(path) if n.endswith(".parquet")
     )
+
+
+def test_fs_exists_probes_path_scheme(spark, tmp_path):
+    """ADVICE round 7: first-write detection must probe the path's OWN
+    filesystem (Hadoop FileSystem API), not the driver's local disk —
+    os.path.exists on an hdfs:///s3a:// URI always reports absence, so
+    every micro-batch would take the first-write overwrite and destroy
+    finalized sessions. fs_exists must agree with the local check on
+    plain paths AND resolve explicit file:// URIs."""
+    from big_data_pr_spark.fsutil import fs_exists
+
+    d = tmp_path / "t"
+    assert fs_exists(spark, str(d)) is False
+    d.mkdir()
+    (d / "part-0").write_text("x")
+    assert fs_exists(spark, str(d)) is True
+    # explicit scheme resolves through the same FS factory path the
+    # write uses (an os.path.exists check would also pass here, but
+    # hdfs://... would not — this pins the API, the real-cluster claim
+    # is the FileSystem.get contract)
+    assert fs_exists(spark, "file://" + str(d)) is True
+    assert fs_exists(spark, "file://" + str(tmp_path / "nope")) is False
+
+
+def test_session_upsert_uses_hadoop_fs_for_file_uri(spark, tmp_path):
+    """_upsert_sessions with a file:// URI takes the merge branch on the
+    second write (the os.path.exists version still worked for file://,
+    but the path now flows through the Hadoop FS probe end-to-end)."""
+    from big_data_pr_spark.streaming.session_sink import _upsert_sessions
+
+    mk = lambda uid, start: spark.createDataFrame(  # noqa: E731
+        [
+            (uid, start, "2024-01-01 01:00:00", 1800, 2, 5.0,
+             "2024-01-01 00:00:00", "2024-01-01 00:05:00"),
+        ],
+        "user_id string, session_start string, session_end string, "
+        "duration_s long, n_events long, total_value double, "
+        "first_event string, last_event string",
+    ).withColumn("session_start", F.to_timestamp("session_start"))
+    uri = "file://" + str(tmp_path / "s")
+    _upsert_sessions(mk("A", "2024-01-01 00:00:00"), uri, "user_id")
+    _upsert_sessions(mk("B", "2024-01-01 00:10:00"), uri, "user_id")
+    got = spark.read.parquet(uri)
+    assert got.count() == 2  # second batch merged, not overwritten
+
+
+def test_require_local_rejects_remote_sink_paths(spark, tmp_path):
+    """The os-rename swap sinks must fail LOUDLY on non-local URIs
+    instead of silently mis-detecting first-write (ADVICE round 7)."""
+    import pytest as _pytest
+
+    from big_data_pr_spark.fsutil import require_local
+    from big_data_pr_spark.ohlcv.batch import upsert_parquet
+
+    require_local(str(tmp_path / "x"), "t")  # plain local: fine
+    require_local("file:///tmp/x", "t")  # file scheme: fine
+    with _pytest.raises(ValueError, match="s3a"):
+        require_local("s3a://bucket/table", "t")
+    df = spark.range(1).selectExpr(
+        "'a' AS doc_id", "'BTC' AS symbol", "'1h' AS timeframe", "1.0 AS close"
+    )
+    with _pytest.raises(ValueError, match="upsert_parquet"):
+        upsert_parquet(spark, df, "hdfs://nn/warehouse/candles")
