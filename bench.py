@@ -373,6 +373,97 @@ HEADLINE = [
     "fs_linkage_patterns",
     "em_linkage_step",
     "sorted_neighborhood_stats",
+    # --- round-8: full-registry coverage (r7 verdict #3 — every
+    # registry query gets a recorded wall-time so the regression
+    # net has no holes; guard: tests/test_plans.py pins
+    # set(HEADLINE) == set(REGISTRY)) ---
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "approx_distinct_parts",
+    "approx_value_percentiles",
+    "bigram_lm_top",
+    "bpe_encode_tokens",
+    "bpe_merge_rules",
+    "cms_event_type_counts",
+    "conditional_distinct_users",
+    "csv_roundtrip_stats",
+    "cube_priority_status",
+    "customers_both_periods",
+    "customers_churned",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "distinct_event_types",
+    "distinct_order_status",
+    "distinct_type_day_pairs",
+    "doc_fingerprint",
+    "ema_events",
+    "embedding_dup_pairs",
+    "embedding_dup_pairs_lsh",
+    "forecast_gbt",
+    "forecast_linear",
+    "fuzzy_supplier_pairs",
+    "gap_fill_interpolate",
+    "gbt_classifier_docs",
+    "gbt_train_docs",
+    "high_watermark",
+    "incremental_new_rows",
+    "join_anti_customers",
+    "join_left_order_counts",
+    "json_props_agg",
+    "jsonl_roundtrip_stats",
+    "lang_classifier_docs",
+    "lang_id",
+    "macd_12_26_9",
+    "minhash_eval_metrics",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "ntile_value_quartiles",
+    "pct_change_events",
+    "percent_rank_cume_dist",
+    "pivot_status_qty",
+    "pq_adc_topk_md5",
+    "q10_returned_items",
+    "q11_important_parts_v",
+    "q12_late_priority_v",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count_v",
+    "q17_small_qty_revenue",
+    "q19_bracket_revenue_v",
+    "q20_excess_qty_suppliers_v",
+    "q22_dormant_customers_v",
+    "q2_min_cost_supplier_v",
+    "q4_order_priority",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q9_product_profit_v",
+    "quality_score",
+    "range_scan_limit",
+    "rank_parts_by_price",
+    "realtime_stats_join",
+    "repetition_ratio",
+    "rolling_corr_pairs",
+    "rollup_pricing",
+    "scalar_datetime",
+    "session_window_native",
+    "simhash_eval_metrics",
+    "split_by_cluster",
+    "split_by_hash",
+    "stratified_sample_exact",
+    "string_agg_statuses",
+    "text_stats",
+    "tfidf_top_terms",
+    "tumbling_hour_stats",
+    "union_dedup",
+    "unpivot_ohlc",
+    "value_histogram",
+    "window_first_last_nth",
+    "zscore_anomalies",
 ]
 
 

@@ -1106,3 +1106,14 @@ def test_bnlj_guard_clears_registered_scalar_crossjoins(spark, sf_dir):
     df = REGISTRY["quantile_normalize_by_type"].fn(spark, sf_dir)
     df.collect()
     assert bnlj_violations(df) == []
+
+
+def test_bench_headline_covers_full_registry():
+    """r7 verdict #3: every registry query has a recorded bench
+    wall-time — a new registry entry without a HEADLINE line is a
+    regression-net hole."""
+    import bench
+    from big_data_pr_spark.queries import REGISTRY
+
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert set(bench.HEADLINE) == set(REGISTRY)
