@@ -571,13 +571,37 @@ def streaming_rows_per_sec(spark, sf_dir: str) -> tuple[float | None, dict]:
         ):
             q.awaitTermination(300)
         raw = pipeline.file_source(spark, in_dir)
-        t0 = time.time()
-        queries = pipeline.start_three_queries(
-            raw, os.path.join(work, "out"), os.path.join(work, "cp")
+        # State-partition sizing (r7 verdict #6, curve in SCALE.md +
+        # tools/stream_probe.py): the stateful queries' state-store
+        # open/commit cost scales with the shuffle-partition count, not
+        # the data — at this state size 8 partitions beat 32 by 1.4×.
+        # The no-data watermark-advance batch costs a full trigger
+        # cycle and emits nothing this topology needs (complete/update
+        # modes + a stateless append). Both are runtime confs scoped to
+        # this topology: set before the queries plan, restored after.
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.streaming.noDataMicroBatches.enabled",
+            )
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
         )
-        for q in queries:
-            q.awaitTermination(600)
-        elapsed = time.time() - t0
+        try:
+            t0 = time.time()
+            queries = pipeline.start_three_queries(
+                raw, os.path.join(work, "out"), os.path.join(work, "cp")
+            )
+            for q in queries:
+                q.awaitTermination(600)
+            elapsed = time.time() - t0
+        finally:
+            for k, v in saved.items():
+                if v is not None:
+                    spark.conf.set(k, v)
         breakdown = _progress_breakdown(queries)
         breakdown["wall_clock_s"] = round(elapsed, 2)
         rps = round(n_rows / elapsed, 1) if elapsed > 0 else None

@@ -132,16 +132,18 @@ VARIANTS: list[tuple[str, dict]] = [
     ("baseline_hdfs_sp32", {}),
     ("hdfs_sp8", {"spark.sql.shuffle.partitions": "8"}),
     ("hdfs_sp4", {"spark.sql.shuffle.partitions": "4"}),
+    ("hdfs_sp16", {"spark.sql.shuffle.partitions": "16"}),
     ("rocksdb_sp32", {"spark.sql.streaming.stateStore.providerClass": ROCKSDB}),
     ("rocksdb_sp8", {
         "spark.sql.streaming.stateStore.providerClass": ROCKSDB,
         "spark.sql.shuffle.partitions": "8",
     }),
-    # commit-path knobs: async progress tracking off by default; probe
-    # unpersist + fewer output files via one post-shuffle coalesce
-    ("hdfs_sp8_minbatches", {
+    # the watermark-advance no-data batch costs a full trigger cycle on
+    # the stateful query; this topology (complete/update modes +
+    # stateless append) emits everything on data batches already
+    ("hdfs_sp8_nodata_off", {
         "spark.sql.shuffle.partitions": "8",
-        "spark.sql.streaming.fileSource.log.compactInterval": "100",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
     }),
 ]
 
