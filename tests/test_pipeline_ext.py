@@ -4,6 +4,7 @@ saturation) plus invariants of the registry queries."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_pr_spark.operators import sampling
@@ -148,3 +149,69 @@ def test_pq_roundtrip_compression(spark, sf_dir):
     assert len(rr & exact) >= len(raw & exact)
     assert rr <= exact | rr  # sanity: 10 rows
     assert len(rr) == 10
+
+
+def test_pq_refine_round_matches_numpy_lloyd_step(spark, sf_dir):
+    """r8 twin support: pq_refine_round (one Lloyd iteration, centroids
+    rounded JVM-side to 6 dp) must equal a naive numpy recompute —
+    per-subspace argmin assignment against the md5-sampled init, mean
+    per (subspace, cluster, dim), rounded half-up. Empty clusters keep
+    the rounded init centroid."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from big_data_pr_spark.operators import similarity as sim
+    from big_data_pr_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = sim.pq_sample_codebooks_md5(emb, dim=64, m=4, k=8)
+    got = sim.pq_refine_round(emb, dim=64, books=books)
+
+    X = np.array(
+        [[float(x) for x in r[0]] for r in emb.select("embedding").collect()]
+    )
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+
+    for j in range(4):
+        sub = X[:, j * 16 : (j + 1) * 16]
+        cents = np.array(books[j])
+        d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # numpy argmin ties -> lowest index
+        for c in range(8):
+            members = sub[assign == c]
+            if len(members):
+                want = [r6(v) for v in members.mean(axis=0)]
+            else:
+                want = [r6(v) for v in books[j][c]]
+            assert got[j][c] == pytest.approx(want, abs=2e-6), (j, c)
+
+
+def test_pq_sample_codebooks_md5_matches_duckdb_order(spark, sf_dir):
+    """The md5-keyed init sample must pick exactly the vectors DuckDB's
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT k picks."""
+    import os
+
+    import duckdb
+
+    from big_data_pr_spark.operators import similarity as sim
+    from big_data_pr_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = sim.pq_sample_codebooks_md5(emb, dim=64, m=4, k=8)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT embedding FROM read_parquet(?) "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+    ).fetchall()
+    want = [[float(x) for x in r[0]] for r in rows]
+    for ci, v in enumerate(want):
+        for j in range(4):
+            assert books[j][ci] == pytest.approx(v[j * 16 : (j + 1) * 16])
