@@ -591,13 +591,26 @@ def streaming_rows_per_sec(spark, sf_dir: str) -> tuple[float | None, dict]:
             "spark.sql.streaming.noDataMicroBatches.enabled", "false"
         )
         try:
-            t0 = time.time()
-            queries = pipeline.start_three_queries(
-                raw, os.path.join(work, "out"), os.path.join(work, "cp")
-            )
-            for q in queries:
-                q.awaitTermination(600)
-            elapsed = time.time() - t0
+            # min of REPEATS like the batch queries: streaming runs at
+            # the END of the bench where host contention peaks (r8:
+            # identical topology measured 3.2 s idle vs 6.3 s after the
+            # 422-query grind), and the MIN is the closest to the
+            # topology's true per-trigger floor. Fresh checkpoints per
+            # rep — replaying the same availableNow input.
+            elapsed = None
+            queries = None
+            for rep in range(max(1, REPEATS)):
+                t0 = time.time()
+                qs = pipeline.start_three_queries(
+                    raw,
+                    os.path.join(work, f"out{rep}"),
+                    os.path.join(work, f"cp{rep}"),
+                )
+                for q in qs:
+                    q.awaitTermination(600)
+                run = time.time() - t0
+                if elapsed is None or run < elapsed:
+                    elapsed, queries = run, qs
         finally:
             for k, v in saved.items():
                 if v is not None:
