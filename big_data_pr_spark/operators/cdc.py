@@ -28,6 +28,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..fsutil import require_local
 
 
 def latest_changes(
@@ -94,6 +95,7 @@ def apply_changes(
         merged = latest_changes(changes, key_col, seq_col, op_col).filter(
             F.col(op_col) != "D"
         ).drop(op_col, seq_col)
+    require_local(table_path, "apply_changes")  # swap is os.rename
     staging = table_path.rstrip("/") + ".merging"
     merged.write.mode("overwrite").parquet(staging)
     old = table_path.rstrip("/") + ".old"

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from ..fsutil import require_local
 
 
 def write_bucketed(
@@ -157,6 +158,7 @@ def compact(
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.coalesce(n_out)
+    require_local(path, "compact")  # swap is os.rename
     staging = path.rstrip("/") + ".compacting"
     df.write.mode("overwrite").parquet(staging)
     shutil.rmtree(path)
