@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -512,6 +513,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 15,
+    driver_cc_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components of the undirected near-dup pair graph:
     min-label propagation with path compression. Returns (node, label)
@@ -537,6 +539,46 @@ def connected_components(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
     sym = sym.localCheckpoint()
+    # Small-graph escape hatch (same cardinality-gated pattern as
+    # kcore_parts' alive-set broadcast): near-dup graphs are tiny
+    # relative to the corpus (edges ∝ duplicates found, not rows
+    # scanned), and each distributed iteration costs 2 joins + a
+    # convergence probe in fixed job overhead. Below the gate, collect
+    # the (already materialized) edge list and run exact min-label
+    # union-find on the driver — identical output by definition (label
+    # = component minimum), pinned against the distributed path in
+    # tests/test_incremental_dedup.py. Above the gate (a 100 TB corpus
+    # with a pathological duplicate rate), the O(log diameter)
+    # pointer-jumping loop below is the path.
+    n_edges = sym.count()
+    if n_edges <= driver_cc_max_edges:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min id becomes the root → label is the min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {x for r in rows for x in (r["src"], r["dst"])}
+        out_schema = StructType(
+            [
+                StructField("node", sym.schema["src"].dataType),
+                StructField("label", sym.schema["src"].dataType),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], out_schema
+        )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -78,3 +78,52 @@ def test_ingest_batch_exact_only(spark, tmp_path):
     b2 = _docs(spark, [(3, "alpha beta gamma"), (4, "eta theta iota")])
     s2 = inc.ingest_batch(spark, b2, idx)
     assert {r["doc_id"] for r in s2.collect()} == {4}
+
+
+def test_connected_components_driver_gate_matches_distributed(spark):
+    """r8: the cardinality-gated driver union-find (small edge sets)
+    must be row-identical to the distributed min-label propagation on
+    the same pairs — chains, cliques, singleton-free edge lists, and
+    string ids (lexicographic min)."""
+    from big_data_pr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [  # chain 1-2-3, clique 10-11-12, isolated edge 20-21
+            (2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20),
+        ],
+        "id_a long, id_b long",
+    )
+    kwargs = dict(id_a="id_a", id_b="id_b")
+    small = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs, **kwargs).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in connected_components(
+            pairs, **kwargs, driver_cc_max_edges=0
+        ).collect()
+    }
+    assert small == dist
+    assert small == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("z", "y")], "id_a string, id_b string"
+    )
+    s_small = {
+        (r["node"], r["label"])
+        for r in connected_components(spairs, **kwargs).collect()
+    }
+    s_dist = {
+        (r["node"], r["label"])
+        for r in connected_components(
+            spairs, **kwargs, driver_cc_max_edges=0
+        ).collect()
+    }
+    assert s_small == s_dist == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("y", "y"), ("z", "y")
+    }
