@@ -484,3 +484,38 @@ def test_spherical_kmeans_matches_naive(spark):
                 for cid, vs in by.items()
             }
     assert got == assign
+
+
+def test_cosine_pairs_matches_numpy_reference(spark):
+    """r8: the norm-precompute + repartitioned cross join must return
+    exactly the pairs and 6-dp cosines a per-row numpy reference does
+    (including the threshold boundary and a zero vector, which must
+    yield NULL cosine and never qualify)."""
+    import numpy as np
+
+    from big_data_pr_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    vecs[5] = 0.0  # zero vector: try_divide -> NULL, filtered out
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_pairs(df, threshold=0.3).collect()
+    }
+    want = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            a, b = vecs[i].astype(np.float64), vecs[j].astype(np.float64)
+            na, nb = np.sqrt((a * a).sum()), np.sqrt((b * b).sum())
+            if na == 0 or nb == 0:
+                continue
+            c = round(float(a @ b / (na * nb)), 6)
+            if c >= 0.3:
+                want[(i, j)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
