@@ -34,97 +34,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies only the FIRST 50 queries()
-# entries in dict order (observed r2-r7). _FRONT is the per-round
+# entries in dict order (observed r2-r8). _FRONT is the per-round
 # ROTATION of the verified window: DRIVER_LEDGER.json records every
-# query that has ever received a driver-green row (through r7: 212;
-# registry at the r8 freeze: 422, 405 oracle-backed — every windowed
-# query hash-verified locally at sf0.01 this round). The round-8 window
-# spends 49 slots on never-driver-verified oracle-backed queries — the
-# r7 verdict's priority families first (survival/causal, ranking/eval,
-# drift/outlier, graph, IR, engagement, multimodal second wave), then
-# one never-verified representative per family, then _POST_FREEZE
-# declaration order — plus the flagship. Family insurance is RELAXED
-# this round (r7 verdict #1/#2: burn certification debt): a family
-# whose members are all already driver-green is covered by the ledger,
-# not a re-verification slot (guard: tests/test_queries_oracle.py::
+# query that has ever received a driver-green row (through r8: 261;
+# registry frozen at 422, 405 oracle-backed). The round-9 window spends
+# 49 slots on never-driver-verified oracle-backed queries — one
+# never-verified representative per family first, then _POST_FREEZE
+# declaration order — plus the flagship. Family insurance stays RELAXED
+# (r7 verdict #1/#2): a family whose members are all already
+# driver-green is covered by the ledger, not a re-verification slot
+# (guard: tests/test_queries_oracle.py::
 # test_driver_window_family_coverage, which also pins len == 50).
 # Queries outside the window remain covered by the local oracle suite
 # (tests/test_queries_oracle.py at sf0.001).
 _FRONT = [
-    # flagship (driver-green r2-r7, re-verified every round)
+    # flagship (driver-green r2-r8, re-verified every round)
     "ohlcv_candles_sma",
-    # --- never-driver-verified, one per family first (guard:
-    # tests/test_queries_oracle.py; fully-certified families are
-    # covered by the ledger per the r8 relaxation) ---
-    "obv_running",
-    "interarrival_profile",
-    "supplier_scorecard",
-    "asof_join_nearest_click",
-    "substring_dup_fraction",
-    "kmeans_cosine_assign",
-    "heaps_law_fit",
-    "compression_ratio_proxy",
-    "weighted_reservoir_docs",
-    "multimodal_phash_groups",
-    "doremi_mixture_weights",
-    "bpe_fertility_by_lang",
-    "cox_ph_ship_priority",
-    "ktruss_suppliers",
-    "pinball_loss_eval",
-    "attribution_last_touch",
-    "expectation_suite_audit",
-    "skew_key_deciles",
-    "winnowing_fingerprints",
-    "ivfpq_adc_topk_lit",
-    "pipe_syntax_ship_stats",
-    "dirichlet_ql_search_lit",
-    "bradley_terry_event_types",
-    "page_hinkley_daily_value",
-    "hbos_outlier_topk",
-    "sax_motifs_hourly",
-    "contrastive_triplets_hard",
-    "rm3_expansion_terms_lit",
-    "energy_distance_purchase_vs_view",
-    "ddsketch_error_certificate",
-    "permutation_importance_gbt",
-    "mahalanobis_ood_topk",
-    "regression_discontinuity_acctbal",
-    "vocab_overlap_langs",
-    "dau_mau_stickiness",
-    "qte_deciles_purchase_vs_view",
-    "winnowing_minhash_agreement",
-    # --- remaining never-verified, _POST_FREEZE declaration order ---
-    "containment_pairs",
-    "cross_region_trade_matrix",
-    "decay_weighted_user_value",
-    "discount_band_analysis",
-    "dn_retention",
-    "drawdown_duration",
-    "event_trigrams_top",
-    "fim_transform",
-    "funnel_strict_sequence",
-    "gini_user_value",
-    "herfindahl_by_type",
-    # r8-new md5-certified twin of the PQ production path
-    # (r7 verdict #7) — oracle-backed, takes a window slot
-    "pq_adc_topk_md5",
-]
-
-# Oracle-backed queries awaiting a driver window slot after the
-# round-8 rotation (49 slots went to never-verified queries; 147
-# remain vs 195 entering the round — net debt burn 48, registry growth
-# capped at 1 new query this round per r7 verdict #2). The guard test
-# tests/test_queries_oracle.py::test_driver_ledger_consistent pins
-# (never-driver-verified − window) == exactly this list, so the
-# exemption can never silently absorb forgotten queries. At ~49
-# slots/round this list clears in 3 more rounds; COVERAGE.md records
-# which already-green twins certify the same operator decision.
-_POST_FREEZE = [
+    # --- never-driver-verified: one per family, then _POST_FREEZE
+    # declaration order (guard: tests/test_queries_oracle.py) ---
+    "stochastic_oscillator_14",
+    "weekday_hour_heatmap",
+    "embedding_norm_profile",
+    "token_coverage_curve",
+    "multimodal_features",
+    "welch_ttest_purchase_vs_view",
+    "triangle_count_suppliers",
+    "conformal_interval_coverage",
+    "rfm_segmentation",
+    "order_total_reconciliation",
+    "join_size_profile",
     "linreg_value_trend",
     "market_basket_pairs",
     "max_drawdown",
     "minhash_eval_metrics",
-    "multimodal_features",
     "multimodal_resize",
     "naive_bayes_confusion",
     "orc_roundtrip_stats",
@@ -139,11 +81,9 @@ _POST_FREEZE = [
     "segment_nation_share",
     "ship_latency_percentiles",
     "simhash_eval_metrics",
-    "stochastic_oscillator_14",
     "supplier_skyline_2d",
     "theil_sen_trend",
     "user_event_entropy",
-    "welch_ttest_purchase_vs_view",
     "wow_growth_by_type",
     "zorder_layout_stats",
     "dp_noisy_counts",
@@ -161,8 +101,18 @@ _POST_FREEZE = [
     "kendall_tau_sampled",
     "benjamini_hochberg_types",
     "cusum_changepoint_daily",
+]
+
+# Oracle-backed queries awaiting a driver window slot after the
+# round-9 rotation (49 slots went to never-verified queries; 98 remain
+# vs 147 entering the round — net debt burn 49, registry frozen). The
+# guard test tests/test_queries_oracle.py::test_driver_ledger_consistent
+# pins (never-driver-verified − window) == exactly this list, so the
+# exemption can never silently absorb forgotten queries. At ~49
+# slots/round this list clears in 2 more rounds; COVERAGE.md records
+# which already-green twins certify the same operator decision.
+_POST_FREEZE = [
     "pettitt_changepoint",
-    "triangle_count_suppliers",
     "jaccard_supplier_pairs",
     "ewma_volatility",
     "stl_decompose_daily",
@@ -172,12 +122,9 @@ _POST_FREEZE = [
     "ljung_box_hourly",
     "runs_test_daily",
     "friedman_type_ranks",
-    "conformal_interval_coverage",
     "seasonal_naive_mase",
-    "rfm_segmentation",
     "multi_touch_attribution",
     "cohort_ltv_matrix",
-    "order_total_reconciliation",
     "sharpe_sortino_calmar",
     "var_cvar_historical",
     "jarque_bera_returns",
@@ -200,8 +147,6 @@ _POST_FREEZE = [
     "bloom_fpr_certificate",
     "duplicate_order_pairs",
     "order_priority_transitions",
-    "token_coverage_curve",
-    "embedding_norm_profile",
     "weekend_purchase_contrast",
     "dunn_posthoc_pairwise",
     "ab_power_mde",
@@ -210,7 +155,6 @@ _POST_FREEZE = [
     "degree_assortativity_suppliers",
     "pareto_share_curve",
     "spend_band_migration",
-    "join_size_profile",
     "range_partition_boundaries",
     "fk_containment_profile",
     "regression_diagnostics_daily",
@@ -223,7 +167,6 @@ _POST_FREEZE = [
     "youden_optimal_threshold",
     "price_index_fisher_yearly",
     "token_burstiness_top",
-    "weekday_hour_heatmap",
     "lad_trend_profile",
     "lexical_semantic_agreement",
     "embedding_anisotropy_probe",
