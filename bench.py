@@ -615,6 +615,12 @@ def streaming_rows_per_sec(spark, sf_dir: str) -> tuple[float | None, dict]:
             for k, v in saved.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    # key was unset at session build: restore THAT, or
+                    # the override leaks into everything after the
+                    # streaming bench (training_fit, ann_recall, any
+                    # later streaming use of the shared session)
+                    spark.conf.unset(k)
         breakdown = _progress_breakdown(queries)
         breakdown["wall_clock_s"] = round(elapsed, 2)
         rps = round(n_rows / elapsed, 1) if elapsed > 0 else None

@@ -535,24 +535,28 @@ def connected_components(
     probe needs one extra no-op iteration to observe no change, and an
     iteration costs more than the probe).
     """
-    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
-    sym = sym.localCheckpoint()
     # Small-graph escape hatch (same cardinality-gated pattern as
     # kcore_parts' alive-set broadcast): near-dup graphs are tiny
     # relative to the corpus (edges ∝ duplicates found, not rows
     # scanned), and each distributed iteration costs 2 joins + a
-    # convergence probe in fixed job overhead. Below the gate, collect
-    # the (already materialized) edge list and run exact min-label
+    # convergence probe in fixed job overhead. The pair pipeline is
+    # checkpointed ONCE in its undirected form, so the gate's count()
+    # is a metadata-cheap job for both paths and the threshold is in
+    # UNDIRECTED pairs (r8 advice: the previous symmetrized count gated
+    # at half the stated value and shipped every edge to the driver
+    # twice). Below the gate, collect one direction only — union-find
+    # needs each undirected edge once — and run exact min-label
     # union-find on the driver — identical output by definition (label
     # = component minimum), pinned against the distributed path in
     # tests/test_incremental_dedup.py. Above the gate (a 100 TB corpus
     # with a pathological duplicate rate), the O(log diameter)
     # pointer-jumping loop below is the path.
-    n_edges = sym.count()
-    if n_edges <= driver_cc_max_edges:
-        rows = sym.collect()
+    und = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint()
+    n_pairs = und.count()
+    if n_pairs <= driver_cc_max_edges:
+        rows = und.collect()
         parent: dict = {}
 
         def find(x):
@@ -572,13 +576,18 @@ def connected_components(
         nodes = {x for r in rows for x in (r["src"], r["dst"])}
         out_schema = StructType(
             [
-                StructField("node", sym.schema["src"].dataType),
-                StructField("label", sym.schema["src"].dataType),
+                StructField("node", und.schema["src"].dataType),
+                StructField("label", und.schema["src"].dataType),
             ]
         )
         return pairs.sparkSession.createDataFrame(
             [(n, find(n)) for n in sorted(nodes)], out_schema
         )
+    # symmetrize from the checkpointed pairs — a narrow union over
+    # materialized partitions, cheap to recompute per iteration
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

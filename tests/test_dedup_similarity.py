@@ -519,3 +519,23 @@ def test_cosine_pairs_matches_numpy_reference(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_cosine_pairs_cardinality_gate(spark):
+    """r9 (r8 verdict #6): the exact all-pairs verifier must refuse to
+    schedule a grid above max_pairs — loudly, naming the bucketed
+    alternative — and stay plan-identical below it (the registry
+    oracles run far under the default gate)."""
+    import numpy as np
+
+    from big_data_pr_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # 40 vectors -> 780 pairs: above a 100-pair gate, below the default
+    with pytest.raises(ValueError, match="with_banded_lsh"):
+        cosine_pairs(df, threshold=0.3, max_pairs=100)
+    assert cosine_pairs(df, threshold=0.99999, max_pairs=1000).count() >= 0

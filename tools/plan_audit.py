@@ -110,6 +110,88 @@ def bnlj_violations(
     return viol
 
 
+# Aggregates and limits COMPRESS their input: a global window above one
+# runs over |groups|/k rows, not raw rows — the sanctioned pattern
+# (SCALE.md:403 compress-first rule; e.g. lift_gain_deciles).
+_COMPRESS_STOPS = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "AggregateInPandasExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+)
+
+# Leaf scans that are constant-bounded at ANY scale factor (TPC-H fixed
+# dimension tables) or driver literals — a global window over them is
+# size-bounded by construction.
+_BOUNDED_LEAVES = ("LocalTableScanExec", "EmptyRelationExec")
+_BOUNDED_TABLES = ("nation.parquet", "region.parquet")
+
+
+def _unwrap(node):
+    name = _simple_name(node)
+    if name == "AdaptiveSparkPlanExec":
+        return _unwrap(node.executedPlan())
+    if name == "ReusedExchangeExec":
+        return _unwrap(node.child())
+    if "QueryStage" in name:
+        try:
+            return _unwrap(node.plan())
+        except Exception:
+            return node
+    return node
+
+
+def _raw_leaf_reachable(node) -> bool:
+    """True if some path below ``node`` reaches a data-scale leaf scan
+    without passing an aggregate or limit."""
+    node = _unwrap(node)
+    name = _simple_name(node)
+    if name in _COMPRESS_STOPS:
+        return False
+    ch = node.children()
+    if ch.size() == 0:
+        if name in _BOUNDED_LEAVES:
+            return False
+        s = node.toString()
+        if any(t in s for t in _BOUNDED_TABLES):
+            return False
+        return True
+    return any(_raw_leaf_reachable(ch.apply(i)) for i in range(ch.size()))
+
+
+def global_window_violations(df) -> list[str]:
+    """WindowExec/WindowInPandasExec nodes with an EMPTY partition spec
+    whose input is raw-scale — Spark executes such windows as ONE task
+    (every row through a single WindowExec partition), the scale-killer
+    class the r8 judge plan-audit found 3 of by hand. A global window
+    is fine when its child is an aggregate/limit/bounded table (a
+    compressed domain); otherwise use windows.distributed_row_number /
+    distributed_cumsum. The DataFrame must already have been executed
+    (audits the finalized AQE plan)."""
+    out: list[str] = []
+
+    def walk(node):
+        node = _unwrap(node)
+        name = _simple_name(node)
+        if name in ("WindowExec", "WindowInPandasExec"):
+            try:
+                unpartitioned = node.partitionSpec().isEmpty()
+            except Exception:
+                unpartitioned = False
+            if unpartitioned and _raw_leaf_reachable(node.children().apply(0)):
+                out.append(name)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def audit(df) -> dict:
     # AQE only finalizes (and codegen-annotates) the plan on execution;
     # run the query so the audit reflects the plan that actually ran —
@@ -149,11 +231,15 @@ def audit(df) -> dict:
     )
     topk = "TakeOrderedAndProject" in plan
     viol = bnlj_violations(df) if ("NestedLoop" in plan or "CartesianProduct" in plan) else []
+    gw = global_window_violations(df) if "Window" in plan else []
     return {
         "bnlj_bounded": (
             "UNBOUNDED " + ";".join(f"{l}x{r}" for _, l, r in viol)
             if viol
             else "ok"
+        ),
+        "global_window": (
+            f"RAW-GLOBAL x{len(gw)}" if gw else "ok"
         ),
         "joins": ",".join(short[j] for j in joins) or "—",
         "exchanges": n_exchange,
@@ -191,8 +277,15 @@ def main() -> None:
         "same query keeps SMJ on the co-located l_orderkey shuffle, which",
         "is what `tests/test_plans.py` pins on the static plan.",
         "",
-        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "",
+        "`global-window` flags WindowExec with an EMPTY partition spec",
+        "whose input reaches a raw-scale scan with no aggregate/limit in",
+        "between — Spark runs those as ONE task (use",
+        "windows.distributed_row_number / distributed_cumsum instead);",
+        "windows over aggregates/limits/fixed dimension tables are ok.",
+        "",
+        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj | global-window |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -201,7 +294,7 @@ def main() -> None:
         lines.append(
             f"| {name} | {a['joins']} | {a['exchanges']} | {a['scans']} | "
             f"{a['pushed']} | {a['codegen']} | {a['python']} | {a['topk_heap']} | "
-            f"{a['bnlj_bounded']} |"
+            f"{a['bnlj_bounded']} | {a['global_window']} |"
         )
     lines.append("")
     with open(out_md, "w") as f:
