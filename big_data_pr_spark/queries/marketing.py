@@ -74,19 +74,26 @@ from .registry import register
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    wall = Window.partitionBy()
+    sel = o.select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_totalprice"
+    )
+    # corpus max date as a broadcast 1-row scalar — NOT a global window
+    # over raw orders (an empty partition spec funnels every order row
+    # through one WindowExec task; r9 plan-audit guard)
+    refd = sel.agg(F.max("od").alias("refd"))
     rfm = (
-        o.select(
-            "o_custkey",
-            F.to_date("o_orderdate").alias("od"),
-            "o_totalprice",
-        )
-        .withColumn("refd", F.max("od").over(wall))
-        .groupBy("o_custkey")
+        sel.groupBy("o_custkey")
         .agg(
-            F.datediff(F.max("refd"), F.max("od")).alias("r_days"),
+            F.max("od").alias("last_od"),
             F.count("*").alias("f_orders"),
             F.sum("o_totalprice").alias("m_spend"),
+        )
+        .crossJoin(F.broadcast(refd))
+        .select(
+            "o_custkey",
+            F.datediff("refd", "last_od").alias("r_days"),
+            "f_orders",
+            "m_spend",
         )
     )
     scored = rfm.select(

@@ -402,27 +402,28 @@ def kendall_tau_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
-    # sample size rides the a-side as a global window so the final
-    # scalar needs no third scan of the filtered table
-    s = s.withColumn("n", F.count("*").over(Window.partitionBy()))
+    # sample size as a broadcast 1-row scalar — not a global window
+    # over the sampled rows (the sample is fixed-RATE, so it still
+    # scales with the data; an empty partition spec would funnel it
+    # through one WindowExec task — r9 plan-audit guard)
+    n_row = s.agg(F.count("*").alias("n"))
     a, b = s.alias("a"), s.alias("b")
     ax, bx = F.col("a.x"), F.col("b.x")
     ay, by = F.col("a.y"), F.col("b.y")
     prod = (ax - bx) * (ay - by)
-    p = a.join(F.broadcast(b.drop("n")), F.col("a.k") < F.col("b.k")).select(
-        F.col("a.n").alias("n"),
+    p = a.join(F.broadcast(b), F.col("a.k") < F.col("b.k")).select(
         F.when(prod > 0, 1).otherwise(0).alias("c"),
         F.when(prod < 0, 1).otherwise(0).alias("d"),
         F.when(ax == bx, 1).otherwise(0).alias("tx"),
         F.when(ay == by, 1).otherwise(0).alias("ty"),
     )
-    t = p.groupBy("n").agg(
+    t = p.agg(
         F.sum("c").alias("c"),
         F.sum("d").alias("d"),
         F.sum("tx").alias("tx"),
         F.sum("ty").alias("ty"),
         F.count("*").alias("n0"),
-    )
+    ).crossJoin(F.broadcast(n_row))
     n0, tx, ty = F.col("n0"), F.col("tx"), F.col("ty")
     return t.select(
         "n",
@@ -2460,16 +2461,19 @@ def hbos_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hod"),
         F.dayofweek("ts").cast("long").alias("dow0"),
     ).withColumn("dow", F.col("dow0") - 1).drop("dow0")
-    wall = Window.partitionBy()
-    b = f.select(
+    # value range as a broadcast 1-row scalar — not a min/max window
+    # over raw events (empty partition spec = one WindowExec task;
+    # r9 plan-audit guard)
+    vr = f.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    b = f.crossJoin(F.broadcast(vr)).select(
         "event_id",
         "value",
         "hod",
         "dow",
         F.least(
             F.floor(
-                (F.col("value") - F.min("value").over(wall))
-                / (F.max("value").over(wall) - F.min("value").over(wall))
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
                 * _HBOS_BINS
             ).cast("long"),
             F.lit(_HBOS_BINS - 1),
