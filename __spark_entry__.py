@@ -210,6 +210,9 @@ _POST_FREEZE = [
     "burrows_delta_sources",
     "huber_trend_daily",
     "overdispersion_user_events",
+    # r9-new HLL register twin of dau_mau_stickiness (r8 verdict #5) —
+    # oracle-backed, awaiting a window slot
+    "dau_mau_stickiness_hll",
 ]
 
 

@@ -464,6 +464,8 @@ HEADLINE = [
     "value_histogram",
     "window_first_last_nth",
     "zscore_anomalies",
+    # round-9 (r8 verdict #5: HLL register path for the rolling distinct)
+    "dau_mau_stickiness_hll",
 ]
 
 
