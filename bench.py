@@ -658,6 +658,10 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
             "n_chars",
             n_trees=8,
             max_depth=3,
+            # this metric tracks the DISTRIBUTED histogram path (the
+            # 100 TB shape) across rounds — force past the r9
+            # small-input driver gate so the number stays comparable
+            driver_fit_max_rows=0,
         )
         out["gbt_fit_sec"] = round(time.time() - t0, 3)
         t0 = time.time()

@@ -192,19 +192,206 @@ class GBTModel:
 # ---------------------------------------------------------------------------
 
 
-def _bin_edges(df: DataFrame, features: list[str], n_bins: int) -> dict[str, tuple[float, float]]:
-    """Exact global (min, max) per feature — ONE aggregation. Equal-width
-    bins are deterministic (approxQuantile's GK merge is partition-order
-    sensitive, which would make training non-reproducible)."""
-    aggs = []
+def _bin_edges(
+    df: DataFrame, features: list[str], n_bins: int
+) -> tuple[dict[str, tuple[float, float]], int]:
+    """Exact global (min, max) per feature + row count — ONE aggregation.
+    Equal-width bins are deterministic (approxQuantile's GK merge is
+    partition-order sensitive, which would make training
+    non-reproducible). The count sizes the training frame's partitions
+    (fit_gbt coalesces tiny inputs so the 3-jobs-per-tree loop doesn't
+    schedule 64 tasks to histogram a few thousand rows)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for f in features:
         aggs += [F.min(f).alias(f"min_{f}"), F.max(f).alias(f"max_{f}")]
     row = df.agg(*aggs).collect()[0]
-    return {f: (float(row[f"min_{f}"]), float(row[f"max_{f}"])) for f in features}
+    edges = {
+        f: (float(row[f"min_{f}"]), float(row[f"max_{f}"])) for f in features
+    }
+    return edges, int(row["n_rows"])
 
 
 def _leaf(value: float) -> tuple[int, float, int, int, float]:
     return (-1, 0.0, 0, 0, value)
+
+
+def _select_level_splits(
+    hist: list[tuple[int, int, int, float, float, int]],
+    splits: dict[int, tuple[int, int]],
+    closed: set[int],
+    node_sums: dict[int, tuple[float, float, int]],
+    n_bins: int,
+    min_child_rows: int,
+    lam: float,
+) -> dict[int, tuple[int, int]]:
+    """Best-gain split per open node from one level's (node, feat, bin,
+    Σr, Σh, n) histogram — the driver-side half of the histogram
+    algorithm, SHARED verbatim by the distributed path and the
+    cardinality-gated driver path so both make bit-identical decisions.
+    Mutates ``closed`` (nodes with no valid split) and ``node_sums``
+    (parents + children born this level)."""
+    per_node: dict[int, dict[int, dict[int, tuple[float, float, int]]]] = {}
+    for node, feat, bin_, s, hs, n in hist:
+        per_node.setdefault(node, {}).setdefault(feat, {})[bin_] = (s, hs, n)
+    level_splits: dict[int, tuple[int, int]] = {}
+    for nid, by_feat in per_node.items():
+        if nid in closed or nid in splits:
+            continue
+        # sorted bin order: totals are reproducible regardless of
+        # collect row order (leaf values derive from them)
+        any_f = by_feat[min(by_feat)]
+        s_tot = sum(any_f[b][0] for b in sorted(any_f))
+        h_tot = sum(any_f[b][1] for b in sorted(any_f))
+        n_tot = sum(any_f[b][2] for b in sorted(any_f))
+        node_sums[nid] = (s_tot, h_tot, n_tot)
+        best_gain, best = 0.0, None
+        parent = s_tot * s_tot / (h_tot + lam) if n_tot else 0.0
+        # ascending feature order: equal-gain ties break to the lowest
+        # feature index, independent of dict/collect order
+        for fi in sorted(by_feat):
+            bins = by_feat[fi]
+            s_l = 0.0
+            h_l = 0.0
+            n_l = 0
+            for b in range(n_bins - 1):
+                if b in bins:
+                    s_l += bins[b][0]
+                    h_l += bins[b][1]
+                    n_l += bins[b][2]
+                n_r = n_tot - n_l
+                if n_l < min_child_rows or n_r < min_child_rows:
+                    continue
+                h_r = h_tot - h_l
+                gain = (
+                    s_l * s_l / (h_l + lam)
+                    + (s_tot - s_l) ** 2 / (h_r + lam)
+                    - parent
+                )
+                if gain > best_gain + 1e-12:
+                    best_gain, best = gain, (fi, b)
+        if best is None:
+            closed.add(nid)
+        else:
+            level_splits[nid] = best
+            fi, bt = best
+            picked = [b for b in sorted(by_feat[fi]) if b <= bt]
+            s_l = sum(by_feat[fi][b][0] for b in picked)
+            h_l = sum(by_feat[fi][b][1] for b in picked)
+            n_l = sum(by_feat[fi][b][2] for b in picked)
+            node_sums[2 * nid + 1] = (s_l, h_l, n_l)
+            node_sums[2 * nid + 2] = (s_tot - s_l, h_tot - h_l, n_tot - n_l)
+    return level_splits
+
+
+def _fit_gbt_driver(
+    df: DataFrame,
+    features: list[str],
+    label: str,
+    edges: dict[str, tuple[float, float]],
+    width: dict[str, float],
+    n_trees: int,
+    max_depth: int,
+    n_bins: int,
+    learning_rate: float,
+    min_child_rows: int,
+    objective: str,
+    reg_lambda: float,
+) -> GBTModel:
+    """Small-input escape hatch: the SAME histogram GBDT loop run on
+    driver numpy arrays — ONE collect job instead of n_trees×max_depth
+    aggregation jobs (the cardinality-gated pattern of
+    dedup.connected_components; r8 verdict #7 measured the per-job
+    floor at ~0.24 s even for a 1-task 3.5 k-row frame, so 36 jobs =
+    ~9 s of pure scheduling). Decision parity with the distributed
+    path: split selection is the shared :func:`_select_level_splits`;
+    histogram sums accumulate via ``np.add.at`` in row order — the same
+    sequential per-group adds a single-partition Spark aggregate does
+    (below the gate the distributed frame coalesces to 1 partition), so
+    sums are bit-identical for the regression objective (binary differs
+    only by exp() ulps between numpy and the JVM); pinned in
+    tests/test_gbt.py."""
+    m = len(features)
+    rows = df.select(
+        F.col(label).cast("double").alias("y"),
+        *[F.col(f).cast("double").alias(f) for f in features],
+    ).collect()
+    n = len(rows)
+    y = np.fromiter((r["y"] for r in rows), dtype=np.float64, count=n)
+    B = np.empty((n, m), dtype=np.int64)
+    for i, f in enumerate(features):
+        x = np.fromiter((r[f] for r in rows), dtype=np.float64, count=n)
+        if np.isnan(x).any():
+            raise ValueError(
+                f"fit_gbt: feature {f!r} contains NaN — drop or impute "
+                "before training (matches the distributed path, which "
+                "rejects null bins)"
+            )
+        # identical IEEE ops to the distributed bin expression
+        B[:, i] = np.minimum(
+            n_bins - 1,
+            np.maximum(
+                0, np.floor((x - edges[f][0]) / width[f]).astype(np.int64)
+            ),
+        )
+    y_bar = sum(map(float, y)) / n if n else 0.0  # sequential, as Spark's 1-partition avg
+    if objective == "binary":
+        p0 = min(max(y_bar, 1e-12), 1 - 1e-12)
+        base_score = math.log(p0 / (1 - p0))
+    else:
+        base_score = y_bar
+    model = GBTModel(features=list(features), base_score=base_score)
+    margin = np.full(n, base_score, dtype=np.float64)
+    lam = reg_lambda
+    for _ in range(n_trees):
+        if objective == "binary":
+            p = 1.0 / (1.0 + np.exp(-margin))
+            r_arr, h_arr = y - p, p * (1.0 - p)
+        else:
+            r_arr, h_arr = y - margin, np.ones(n, dtype=np.float64)
+        splits: dict[int, tuple[int, int]] = {}
+        closed: set[int] = set()
+        node_sums: dict[int, tuple[float, float, int]] = {}
+        node = np.zeros(n, dtype=np.int64)
+        for _level in range(max_depth):
+            n_nodes = int(node.max()) + 1 if n else 1
+            hist: list[tuple[int, int, int, float, float, int]] = []
+            for fi in range(m):
+                s_acc = np.zeros((n_nodes, n_bins), dtype=np.float64)
+                h_acc = np.zeros((n_nodes, n_bins), dtype=np.float64)
+                c_acc = np.zeros((n_nodes, n_bins), dtype=np.int64)
+                np.add.at(s_acc, (node, B[:, fi]), r_arr)
+                np.add.at(h_acc, (node, B[:, fi]), h_arr)
+                np.add.at(c_acc, (node, B[:, fi]), 1)
+                for nid, b in zip(*np.nonzero(c_acc)):
+                    hist.append(
+                        (int(nid), fi, int(b), float(s_acc[nid, b]),
+                         float(h_acc[nid, b]), int(c_acc[nid, b]))
+                    )
+            level_splits = _select_level_splits(
+                hist, splits, closed, node_sums, n_bins, min_child_rows, lam
+            )
+            if not level_splits:
+                break
+            splits.update(level_splits)
+            for nid, (fi, bt) in level_splits.items():
+                mask = node == nid
+                node[mask] = np.where(
+                    B[mask, fi] <= bt, 2 * nid + 1, 2 * nid + 2
+                )
+        leaf_val = {
+            nid: learning_rate * s / (h + lam)
+            for nid, (s, h, cnt) in node_sums.items()
+            if nid not in splits and cnt > 0
+        }
+        model.trees.append(
+            _tree_from_splits(splits, leaf_val, features, edges, width, n_bins)
+        )
+        if leaf_val and n:
+            lut = np.zeros(max(leaf_val) + 1, dtype=np.float64)
+            for nid, v in leaf_val.items():
+                lut[nid] = v
+            margin = margin + lut[np.minimum(node, len(lut) - 1)]
+    return model
 
 
 def fit_gbt(
@@ -218,6 +405,7 @@ def fit_gbt(
     min_child_rows: int = 5,
     objective: str = "regression",
     reg_lambda: float = 0.0,
+    driver_fit_max_rows: int = 200_000,
 ) -> GBTModel:
     """Histogram GBDT fit where only (nodes × features × bins) gradient
     sums ever reach the driver.
@@ -246,8 +434,19 @@ def fit_gbt(
     if objective not in ("regression", "binary"):
         raise ValueError(f"unknown objective {objective!r}")
     m = len(features)
-    edges = _bin_edges(df, features, n_bins)
+    edges, n_rows = _bin_edges(df, features, n_bins)
     width = {f: max((hi - lo), 1e-12) / n_bins for f, (lo, hi) in edges.items()}
+
+    # Cardinality gate (dedup.connected_components pattern): below the
+    # gate the whole fit runs on driver numpy from ONE collect — the
+    # n_trees×max_depth job loop is pure scheduling overhead at this
+    # size (~0.24 s/job floor measured on a 1-task frame). Above the
+    # gate, the distributed histogram path below is the 100 TB shape.
+    if n_rows <= driver_fit_max_rows:
+        return _fit_gbt_driver(
+            df, features, label, edges, width, n_trees, max_depth,
+            n_bins, learning_rate, min_child_rows, objective, reg_lambda,
+        )
 
     bin_cols = [
         F.least(
@@ -260,6 +459,18 @@ def fit_gbt(
         for i, f in enumerate(features)
     ]
     base = df.select(F.col(label).cast("double").alias("y"), *bin_cols)
+    # size partitions to the data: the training loop schedules
+    # n_trees x max_depth histogram jobs against this frame, and at
+    # fixture scale a few thousand rows spread over the shuffle's 32+
+    # partitions makes every job pay ~64 task launches for microseconds
+    # of work (r8 verdict #7: job overhead, not compute, was the
+    # forecast_gbt floor). coalesce is NARROW (no shuffle) and a
+    # deterministic function of the row count, so training stays
+    # reproducible; at scale ceil(n/256k) >= the existing partition
+    # count and this is a no-op.
+    target = max(1, math.ceil(n_rows / 262_144))
+    if target < base.rdd.getNumPartitions():
+        base = base.coalesce(target)
     base = base.localCheckpoint(eager=False)  # binning computed once; lineage cut
 
     y_bar = float(base.agg(F.avg("y")).collect()[0][0] or 0.0)
@@ -274,9 +485,17 @@ def fit_gbt(
 
     model = GBTModel(features=list(features), base_score=base_score)
     pred_exprs: list[Column] = []  # per-tree prediction expressed over bins
+    # margin folding: every _FOLD_EVERY trees the accumulated margin is
+    # materialized as a checkpointed column, so the residual expression
+    # each histogram job compiles stays O(_FOLD_EVERY) tree-maps deep
+    # instead of growing with the ensemble (measured: marginal tree cost
+    # crept 0.9 s -> 1.5 s by tree 12 from codegen alone). Costs one
+    # narrow re-materialization of (m+2) columns per fold.
+    _FOLD_EVERY = 4
+    margin_folded = False
 
-    for _ in range(n_trees):
-        pred = F.lit(base_score)
+    for _tree_i in range(n_trees):
+        pred = F.col("__margin") if margin_folded else F.lit(base_score)
         for e in pred_exprs:
             pred = pred + e
         if objective == "binary":
@@ -309,69 +528,25 @@ def fit_gbt(
         lam = reg_lambda
 
         for _level in range(max_depth):
-            hist = (
-                base.select(node_e.alias("node"), resid, hess, F.expr(stack_expr))
-                .groupBy("node", "feat", "bin")
-                .agg(
-                    F.sum("r").alias("s"),
-                    F.sum("h").alias("hs"),
-                    F.count("*").alias("n"),
+            hist = [
+                (row["node"], row["feat"], row["bin"],
+                 float(row["s"]), float(row["hs"]), int(row["n"]))
+                for row in (
+                    base.select(
+                        node_e.alias("node"), resid, hess, F.expr(stack_expr)
+                    )
+                    .groupBy("node", "feat", "bin")
+                    .agg(
+                        F.sum("r").alias("s"),
+                        F.sum("h").alias("hs"),
+                        F.count("*").alias("n"),
+                    )
+                    .collect()
                 )
-                .collect()
+            ]
+            level_splits = _select_level_splits(
+                hist, splits, closed, node_sums, n_bins, min_child_rows, lam
             )
-            # node → feat → bin → (s, h, n)
-            per_node: dict[int, dict[int, dict[int, tuple[float, float, int]]]] = {}
-            for row in hist:
-                per_node.setdefault(row["node"], {}).setdefault(row["feat"], {})[
-                    row["bin"]
-                ] = (float(row["s"]), float(row["hs"]), int(row["n"]))
-            level_splits: dict[int, tuple[int, int]] = {}
-            for nid, by_feat in per_node.items():
-                if nid in closed or nid in splits:
-                    continue
-                # sorted bin order: totals are reproducible regardless
-                # of collect row order (leaf values derive from them)
-                any_f = by_feat[min(by_feat)]
-                s_tot = sum(any_f[b][0] for b in sorted(any_f))
-                h_tot = sum(any_f[b][1] for b in sorted(any_f))
-                n_tot = sum(any_f[b][2] for b in sorted(any_f))
-                node_sums[nid] = (s_tot, h_tot, n_tot)
-                best_gain, best = 0.0, None
-                parent = s_tot * s_tot / (h_tot + lam) if n_tot else 0.0
-                # ascending feature order: equal-gain ties break to the
-                # lowest feature index, independent of dict/collect order
-                for fi in sorted(by_feat):
-                    bins = by_feat[fi]
-                    s_l = 0.0
-                    h_l = 0.0
-                    n_l = 0
-                    for b in range(n_bins - 1):
-                        if b in bins:
-                            s_l += bins[b][0]
-                            h_l += bins[b][1]
-                            n_l += bins[b][2]
-                        n_r = n_tot - n_l
-                        if n_l < min_child_rows or n_r < min_child_rows:
-                            continue
-                        h_r = h_tot - h_l
-                        gain = (
-                            s_l * s_l / (h_l + lam)
-                            + (s_tot - s_l) ** 2 / (h_r + lam)
-                            - parent
-                        )
-                        if gain > best_gain + 1e-12:
-                            best_gain, best = gain, (fi, b)
-                if best is None:
-                    closed.add(nid)
-                else:
-                    level_splits[nid] = best
-                    fi, bt = best
-                    picked = [b for b in sorted(by_feat[fi]) if b <= bt]
-                    s_l = sum(by_feat[fi][b][0] for b in picked)
-                    h_l = sum(by_feat[fi][b][1] for b in picked)
-                    n_l = sum(by_feat[fi][b][2] for b in picked)
-                    node_sums[2 * nid + 1] = (s_l, h_l, n_l)
-                    node_sums[2 * nid + 2] = (s_tot - s_l, h_tot - h_l, n_tot - n_l)
             if not level_splits:
                 break
             splits.update(level_splits)
@@ -402,6 +577,20 @@ def fit_gbt(
             *[F.lit(x) for nv in leaf_val.items() for x in nv]
         )
         pred_exprs.append(F.coalesce(leaf_map[node_e], F.lit(0.0)))
+
+        if (_tree_i + 1) % _FOLD_EVERY == 0 and _tree_i + 1 < n_trees:
+            new_margin = (
+                F.col("__margin") if margin_folded else F.lit(base_score)
+            )
+            for e in pred_exprs:
+                new_margin = new_margin + e
+            base = base.select(
+                "y",
+                *[f"b{i}" for i in range(m)],
+                new_margin.alias("__margin"),
+            ).localCheckpoint(eager=False)
+            pred_exprs = []
+            margin_folded = True
 
     return model
 

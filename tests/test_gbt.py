@@ -198,3 +198,55 @@ def test_fit_fewer_rows_than_min_child(spark):
     model = fit_gbt(df, ["x0"], "y", n_trees=2, max_depth=2, min_child_rows=5)
     assert model.base_score == pytest.approx(1.5)
     assert all(t.feature[0] == -1 for t in model.trees)
+
+
+def test_driver_fit_matches_distributed_exactly(spark):
+    """r9 (r8 verdict #7): below the cardinality gate fit_gbt runs the
+    whole histogram loop on driver numpy (1 collect instead of
+    n_trees*max_depth jobs). Split selection is the shared
+    _select_level_splits and histogram sums accumulate in row order
+    (np.add.at == a single-partition aggregate's sequential adds), so
+    the two paths must produce BIT-IDENTICAL models — regression and
+    binary — on the same frame."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (float(a), float(b), float(2.5 * a - b + rng.normal(0, 0.1)))
+        for a, b in rng.normal(0, 1, size=(400, 2))
+    ]
+    df = spark.createDataFrame(rows, "x0 double, x1 double, y double")
+    kw = dict(features=["x0", "x1"], label="y", n_trees=6, max_depth=3, n_bins=16)
+    m_drv = fit_gbt(df, **kw)  # 400 rows: under the default gate
+    m_dist = fit_gbt(df, **kw, driver_fit_max_rows=0)
+    assert m_drv.to_json() == m_dist.to_json()
+
+    rows_b = [
+        (float(a), float(b), float(1.0 if a + b > 0 else 0.0))
+        for a, b in rng.normal(0, 1, size=(400, 2))
+    ]
+    dfb = spark.createDataFrame(rows_b, "x0 double, x1 double, y double")
+    kwb = dict(
+        features=["x0", "x1"], label="y", n_trees=4, max_depth=2,
+        n_bins=16, objective="binary",
+    )
+    mb_drv = fit_gbt(dfb, **kwb)
+    mb_dist = fit_gbt(dfb, **kwb, driver_fit_max_rows=0)
+    # binary parity is structural + numeric-tolerance, not bit-exact:
+    # numpy exp() and JVM Math.exp() differ by ulps, which propagates
+    # into the Newton leaf values (split DECISIONS still agree — gain
+    # comparisons carry an 1e-12 epsilon)
+    for t_drv, t_dist in zip(mb_drv.trees, mb_dist.trees):
+        assert t_drv.feature == t_dist.feature
+        assert t_drv.threshold == t_dist.threshold
+        np.testing.assert_allclose(t_drv.value, t_dist.value, rtol=1e-9)
+    X = np.array([[x0, x1] for x0, x1, _ in rows_b])
+    np.testing.assert_allclose(
+        mb_drv.predict_proba(X), mb_dist.predict_proba(X), rtol=1e-9
+    )
+
+
+def test_driver_fit_rejects_nan_features(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (float("nan"), 2.0), (3.0, 3.0)], "x0 double, y double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        fit_gbt(df, ["x0"], "y", n_trees=1, max_depth=1)
