@@ -148,7 +148,148 @@ VARIANTS: list[tuple[str, dict]] = [
 ]
 
 
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def run_sustained(
+    rows: int, sf_dir: str, n_batches: int = 12
+) -> dict:
+    """Sustained multi-batch run (r8 verdict #4: the driver bench's
+    `batches: 1` measures one trigger; state accumulation in complete
+    mode and checkpoint growth need a curve). The input is split into
+    ``n_batches`` single-file chunks and the SAME three-query topology
+    consumes them under ``maxFilesPerTrigger=1`` + availableNow, so
+    each chunk is exactly one micro-batch. Per-batch trigger wall,
+    input rows and stateOperators row counts come from recentProgress;
+    checkpoint size is measured at the end (monotone by construction —
+    commit/offset logs append per batch)."""
+    from pyspark.sql import SparkSession
+
+    from big_data_pr_spark.streaming import pipeline
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stream-probe-sustained")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        # the r8 winning pair (SCALE.md round-8 curve)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        .getOrCreate()
+    )
+    work = tempfile.mkdtemp(prefix="probe_sustained_")
+    try:
+        staged = os.path.join(work, "staged")
+        n_rows = build_input(spark, sf_dir, rows, staged)
+        # re-chunk: one file per batch, so maxFilesPerTrigger=1 gives a
+        # deterministic batch count
+        full = spark.read.text(staged)
+        per = -(-n_rows // n_batches)
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        from pyspark.sql import functions as F
+
+        # SEQUENTIAL chunks (coalesce(1) makes the ids contiguous):
+        # each batch advances event time like a real stream — chunking
+        # by id % n would make every batch span the full time range, so
+        # the watermark set by batch 0 late-drops most of batches 1..n
+        chunked = full.coalesce(1).withColumn(
+            "__chunk",
+            F.least(
+                F.lit(n_batches - 1),
+                (F.monotonically_increasing_id() / per).cast("int"),
+            ),
+        )
+        for i in range(n_batches):
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.mode("overwrite").text(os.path.join(in_dir, f"b{i:03d}"))
+        # warm run (state-store/sink/codegen first-touch)
+        warm_in = os.path.join(work, "warm_in")
+        full.limit(1000).write.mode("overwrite").text(warm_in)
+        for q in pipeline.start_three_queries(
+            pipeline.file_source(spark, warm_in),
+            os.path.join(work, "warm_out"),
+            os.path.join(work, "warm_cp"),
+        ):
+            q.awaitTermination(300)
+        source = (
+            spark.readStream.schema("value STRING")
+            .format("text")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .load(in_dir)
+        )
+        cp = os.path.join(work, "cp")
+        t0 = time.time()
+        queries = pipeline.start_three_queries(
+            source, os.path.join(work, "out"), cp
+        )
+        for q in queries:
+            q.awaitTermination(1200)
+        wall = time.time() - t0
+        per_query: dict[str, dict] = {}
+        steady: list[float] = []
+        for q in queries:
+            batches = []
+            for p in q.recentProgress:
+                if p.get("numInputRows", 0) == 0 and not batches:
+                    continue  # leading empty batch
+                state = [
+                    so.get("numRowsTotal") for so in p.get("stateOperators", [])
+                ]
+                batches.append(
+                    {
+                        "batch": p["batchId"],
+                        "rows": p["numInputRows"],
+                        "trigger_ms": p["durationMs"].get("triggerExecution"),
+                        "addBatch_ms": p["durationMs"].get("addBatch"),
+                        "state_rows": state,
+                    }
+                )
+            name = batches and q.lastProgress and q.lastProgress["name"] or q.name
+            per_query[q.name] = {
+                "n_batches": len(batches),
+                "batches": batches,
+            }
+            steady += [
+                b["trigger_ms"] / 1000.0
+                for b in batches[2:]
+                if b["trigger_ms"] is not None
+            ]
+        steady_med = sorted(steady)[len(steady) // 2] if steady else None
+        return {
+            "variant": f"sustained_{n_batches}x{per}",
+            "rows": n_rows,
+            "n_batches": n_batches,
+            "wall_s": round(wall, 2),
+            "rows_per_sec": round(n_rows / wall, 1),
+            "steady_trigger_s_median": round(steady_med, 3) if steady_med else None,
+            "checkpoint_bytes": _dir_bytes(cp),
+            "per_query": per_query,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main() -> None:
+    if "--sustained" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--sustained"]
+        rows = int(args[0]) if args else 200_000
+        n_batches = int(args[1]) if len(args) > 1 else 12
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        print(json.dumps(run_sustained(rows, sf_dir, n_batches)), flush=True)
+        return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for name, confs in VARIANTS:
