@@ -670,6 +670,9 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
             ["n_tok", "avg_len", "stop_ratio"],
             "is_en",
             n_iters=30,
+            # track the DISTRIBUTED per-iteration-aggregation path (the
+            # 100 TB shape), as gbt_fit_sec does
+            driver_fit_max_rows=0,
         )
         out["logreg_fit_sec"] = round(time.time() - t0, 3)
     except Exception as exc:  # never fail the whole bench on training

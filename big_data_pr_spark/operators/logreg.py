@@ -68,9 +68,22 @@ def fit_logreg(
     n_iters: int = 30,
     lr: float = 0.5,
     l2: float = 0.0,
+    driver_fit_max_rows: int = 200_000,
 ) -> LogRegModel:
     """Full-batch GD on standardized features. Deterministic: no RNG,
-    weights start at 0, feature moments come from exact aggregates."""
+    weights start at 0, feature moments come from exact aggregates.
+
+    Cardinality gate (fit_gbt / connected_components pattern, r9):
+    below ``driver_fit_max_rows`` the n_iters aggregation jobs are pure
+    scheduling overhead (~0.24 s/job floor measured on a 1-task frame),
+    so the feature matrix is collected ONCE and the identical GD loop
+    runs on driver numpy — same standardization constants (from the
+    same Spark aggregate), same update formulas; gradients differ from
+    the distributed path only by float summation order / exp() ulps
+    (pinned within tolerance in tests/test_logreg.py). Above the gate,
+    each iteration is ONE m+1-sum aggregation over the corpus — the
+    100 TB shape. All fit_logreg registry consumers are rows-only (no
+    value-hash oracle), so ulp-level drift cannot flip a driver gate."""
     m = len(features)
     aggs = []
     for f in features:
@@ -84,6 +97,34 @@ def fit_logreg(
 
     model = LogRegModel(features=list(features), weights=[0.0] * m, bias=0.0,
                         mean=mean, std=std)
+    if n == 0:
+        return model
+
+    if n <= driver_fit_max_rows:
+        import numpy as np  # noqa: PLC0415
+
+        rows = df.select(
+            F.col(label).cast("double").alias("__y"),
+            *[F.col(f).cast("double") for f in features],
+        ).collect()
+        y_arr = np.fromiter((r["__y"] for r in rows), dtype=np.float64, count=n)
+        X = np.empty((n, m), dtype=np.float64)
+        for j, f in enumerate(features):
+            X[:, j] = np.fromiter(
+                (r[f] for r in rows), dtype=np.float64, count=n
+            )
+        Xs = (X - np.asarray(mean)) / np.asarray(std)
+        w = np.zeros(m, dtype=np.float64)
+        b = 0.0
+        for _ in range(n_iters):
+            p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+            err = p - y_arr
+            b -= lr * float(err.sum()) / n
+            w = w - lr * ((Xs.T @ err) / n + l2 * w)
+        model.bias = float(b)
+        model.weights = [float(x) for x in w]
+        return model
+
     y = F.col(label).cast("double")
     for _ in range(n_iters):
         p = score_expr(model)

@@ -85,3 +85,27 @@ def test_score_expr_no_python(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("simple")
     assert "Python" not in buf.getvalue()
+
+
+def test_driver_fit_matches_distributed_within_ulps(spark):
+    """r9: below the cardinality gate fit_logreg runs the GD loop on
+    driver numpy (1 collect instead of n_iters aggregation jobs). Both
+    paths share standardization constants and update formulas; the
+    gradients differ only by summation order / exp() ulps, so weights
+    must agree tightly — and the two paths' scores must rank rows
+    identically."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (float(a), float(b), float(1.0 if 2 * a - b > 0 else 0.0))
+        for a, b in rng.normal(0, 1, size=(500, 2))
+    ]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, y double")
+    m_drv = fit_logreg(df, ["f0", "f1"], "y", n_iters=20, lr=0.5)
+    m_dist = fit_logreg(
+        df, ["f0", "f1"], "y", n_iters=20, lr=0.5, driver_fit_max_rows=0
+    )
+    assert m_drv.mean == m_dist.mean and m_drv.std == m_dist.std
+    np.testing.assert_allclose(m_drv.weights, m_dist.weights, rtol=1e-9)
+    assert m_drv.bias == pytest.approx(m_dist.bias, rel=1e-9)
