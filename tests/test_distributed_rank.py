@@ -124,3 +124,50 @@ def test_r8_flagged_queries_have_no_raw_global_window(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     df.collect()
     assert global_window_violations(df) == []
+
+
+def test_distributed_rank_edge_cases(spark):
+    """Empty frame, single row, and a HEAVY-TIED leading column (ties
+    must never straddle buckets — bucket assignment is >= boundary on
+    the leading key, so secondary keys order within one bucket)."""
+    empty = spark.createDataFrame([], "k long, v long")
+    assert windows.distributed_row_number(empty, ["k"], out_col="r").count() == 0
+    assert (
+        windows.distributed_cumsum(empty, ["k"], "v", out_col="c").count() == 0
+    )
+
+    one = spark.createDataFrame([(7, 3)], "k long, v long")
+    row = windows.distributed_row_number(one, ["k"], out_col="r").collect()[0]
+    assert row["r"] == 1
+
+    # 1000 rows over just 3 distinct leading keys, unique tiebreaker
+    rows = [(i % 3, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, id long")
+    got = {
+        r["id"]: r["r"]
+        for r in windows.distributed_row_number(
+            df, ["k", "id"], out_col="r", num_buckets=8
+        ).collect()
+    }
+    want = {
+        id_: rank + 1
+        for rank, (_, id_) in enumerate(sorted(rows, key=lambda t: (t[0], t[1])))
+    }
+    assert got == want
+
+
+def test_distributed_cumsum_heavy_ties(spark):
+    rows = [(i % 2, i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    got = {
+        r["id"]: r["c"]
+        for r in windows.distributed_cumsum(
+            df, ["k", "id"], "v", out_col="c", num_buckets=8
+        ).collect()
+    }
+    run = 0
+    want = {}
+    for _, id_, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        run += v
+        want[id_] = run
+    assert got == want
