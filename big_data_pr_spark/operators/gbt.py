@@ -468,9 +468,11 @@ def fit_gbt(
     # deterministic function of the row count, so training stays
     # reproducible; at scale ceil(n/256k) >= the existing partition
     # count and this is a no-op.
+    # coalesce never INCREASES partition count, so no current-count
+    # probe is needed (and .rdd is banned — Spark Connect): at scale
+    # the target exceeds the existing parallelism and this is a no-op
     target = max(1, math.ceil(n_rows / 262_144))
-    if target < base.rdd.getNumPartitions():
-        base = base.coalesce(target)
+    base = base.coalesce(target)
     base = base.localCheckpoint(eager=False)  # binning computed once; lineage cut
 
     y_bar = float(base.agg(F.avg("y")).collect()[0][0] or 0.0)

@@ -1117,3 +1117,24 @@ def test_bench_headline_covers_full_registry():
 
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
     assert set(bench.HEADLINE) == set(REGISTRY)
+
+
+def test_plans_md_global_window_column_all_clear():
+    """r9 (r8 verdict #3): the regenerated PLANS.md must carry the
+    global-window column and record zero RAW-GLOBAL rows — the textual
+    pin that the single-task-window class stays extinct registry-wide
+    (the behavioral guard is test_distributed_rank.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        content = f.read()
+    assert "global-window" in content, "PLANS.md missing the audit column"
+    assert "RAW-GLOBAL" not in content, (
+        "PLANS.md records raw-scale unpartitioned WindowExec plans: "
+        + ", ".join(
+            line.split("|")[1].strip()
+            for line in content.splitlines()
+            if "RAW-GLOBAL" in line
+        )
+    )
