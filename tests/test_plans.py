@@ -724,9 +724,14 @@ def test_marketing_trio_shapes(q):
     plan = plan_str(q("multi_touch_attribution"), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+    # r9: the corpus max date moved from a raw-row global window (ONE
+    # WindowExec task over all orders — the r9 plan-audit class) to a
+    # broadcast 1-row scalar cross join. Trade: one extra column-pruned
+    # orders scan, fully parallel, vs a serial row-scale window.
     plan = plan_str(q("rfm_segmentation"), mode="simple")
-    assert plan.count("Scan parquet") == 1
-    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row refd scalar only
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     plan = plan_str(q("cohort_ltv_matrix"), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
