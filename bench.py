@@ -813,9 +813,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "value": total,
     }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as f:
+        # carry forward the sustained-streaming record (produced by
+        # tools/stream_probe.py --sustained, not by this harness)
+        try:
+            with open(local_path) as f:
+                prev = json.load(f)
+            if "streaming_sustained" in prev:
+                payload["streaming_sustained"] = prev["streaming_sustained"]
+        except (OSError, ValueError):
+            pass
+        with open(local_path, "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
     except OSError as exc:

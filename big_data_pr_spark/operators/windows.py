@@ -205,8 +205,22 @@ def rolling_median(
     )
 
 
+def md5_bounds(num_buckets: int = 32) -> list[str]:
+    """Static range boundaries for an md5-hex leading key: md5 is
+    uniform over [0, 16^32), so equal hex-prefix splits are balanced
+    WITHOUT a sampling job — pass as ``bounds=`` to
+    :func:`distributed_row_number` / :func:`distributed_cumsum` when
+    the leading order column is an md5 string (saves one plan-build
+    job per call)."""
+    step = 256 // num_buckets or 1
+    return [f"{i:02x}" for i in range(step, 256, step)]
+
+
 def _range_bucketed(
-    df: DataFrame, order_cols: Sequence[str], num_buckets: int | None
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_buckets: int | None,
+    bounds: Sequence | None = None,
 ) -> DataFrame:
     """Tag each row with an order-consistent range-bucket id derived
     from the LEADING order column's value.
@@ -236,19 +250,21 @@ def _range_bucketed(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     lead = order_cols[0]
-    sample = sorted(
-        r[0]
-        for r in df.select(lead)
-        .orderBy(F.xxhash64(F.col(lead)))
-        .limit(num_buckets * 40)
-        .collect()
-        if r[0] is not None
-    )
-    bounds: list = []
-    for i in range(1, num_buckets):
-        v = sample[min(len(sample) - 1, (i * len(sample)) // num_buckets)] if sample else None
-        if v is not None and (not bounds or v > bounds[-1]):
-            bounds.append(v)
+    if bounds is None:
+        sample = sorted(
+            r[0]
+            for r in df.select(lead)
+            .orderBy(F.xxhash64(F.col(lead)))
+            .limit(num_buckets * 40)
+            .collect()
+            if r[0] is not None
+        )
+        picked: list = []
+        for i in range(1, num_buckets):
+            v = sample[min(len(sample) - 1, (i * len(sample)) // num_buckets)] if sample else None
+            if v is not None and (not picked or v > picked[-1]):
+                picked.append(v)
+        bounds = picked
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + F.when(F.col(lead) >= F.lit(b), 1).otherwise(0)
@@ -260,6 +276,7 @@ def distributed_row_number(
     order_cols: Sequence[str],
     out_col: str = "r",
     num_buckets: int | None = None,
+    bounds: Sequence | None = None,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols)`` WITHOUT the
     single-task plan.
@@ -281,7 +298,7 @@ def distributed_row_number(
     straddle a range boundary, making per-row ranks boundary-dependent.
     Materialize expression keys (e.g. ``md5(text)``) as columns first.
     """
-    bucketed = _range_bucketed(df, order_cols, num_buckets)
+    bucketed = _range_bucketed(df, order_cols, num_buckets, bounds)
     per = bucketed.groupBy("_rb_bucket").agg(F.count(F.lit(1)).alias("_rb_n"))
     w_off = Window.orderBy("_rb_bucket").rowsBetween(
         Window.unboundedPreceding, -1
@@ -307,6 +324,7 @@ def distributed_cumsum(
     value_col: str,
     out_col: str = "cum",
     num_buckets: int | None = None,
+    bounds: Sequence | None = None,
 ) -> DataFrame:
     """Global running ``sum(value_col) OVER (ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING)`` as a two-pass distributed prefix sum.
@@ -317,7 +335,7 @@ def distributed_cumsum(
     classic parallel scan — no raw-row single-partition WindowExec.
     ``order_cols`` must be tie-free (see distributed_row_number).
     """
-    bucketed = _range_bucketed(df, order_cols, num_buckets)
+    bucketed = _range_bucketed(df, order_cols, num_buckets, bounds)
     per = bucketed.groupBy("_rb_bucket").agg(
         F.sum(value_col).alias("_rb_sum")
     )

@@ -2131,7 +2131,12 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         windows.distributed_cumsum(
-            docs, ["_h", "doc_id"], "n_chars", out_col="cum_chars"
+            docs,
+            ["_h", "doc_id"],
+            "n_chars",
+            out_col="cum_chars",
+            # md5 leading key: static hex-prefix boundaries, no sample job
+            bounds=windows.md5_bounds(),
         )
         .filter(F.col("cum_chars") <= 80000)
         .select("doc_id", "n_chars", "cum_chars")
