@@ -19,7 +19,10 @@ runs as:
 
 At 100 TB the distinct-word state is still cluster-sized, never
 driver-sized: only the single winning pair (a 2-string row) is ever
-collected per iteration.
+collected per iteration. Below ``driver_train_max_words`` (r9
+cardinality gate) the whole word table collects once and the merge
+loop runs in Python — integer pair counts + the same tie-break make
+the learned rules bit-identical to the distributed path's.
 """
 
 from __future__ import annotations
@@ -83,17 +86,67 @@ def _pair_counts(state: DataFrame) -> DataFrame:
     )
 
 
+def _merge_seq(seq: list[str], a: str, b: str) -> list[str]:
+    """One greedy left-to-right merge pass — the exact logic
+    :func:`_merge_udf` runs per row, shared so the driver-gated trainer
+    makes bit-identical decisions."""
+    out: list[str] = []
+    i, n = 0, len(seq)
+    while i < n:
+        if i < n - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
     min_freq: int = 2,
+    driver_train_max_words: int = 200_000,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merge rules; returns
     ``[(left, right, freq), ...]`` in merge order. Stops early when no
-    pair reaches ``min_freq``."""
-    state = word_state(df, text_col).localCheckpoint()
+    pair reaches ``min_freq``.
+
+    Cardinality gate (fit_gbt / connected_components pattern, r9): the
+    training state is the DISTINCT-WORD table — already compressed, and
+    at fixture scale each merge round spends ~2 Spark jobs (pair-count
+    top-1 + state re-materialization) of pure scheduling overhead on a
+    few-thousand-row frame. Below the gate the word table collects once
+    and the merge loop runs in Python: pair frequencies are INTEGER
+    sums and the tie-break replicates ``ORDER BY freq DESC, pair ASC``
+    on the same SEP-joined pair string, so the learned rules are
+    bit-identical to the distributed path's (and to the DuckDB oracle
+    that replays them). Above the gate the per-round jobs below are the
+    100 TB shape — only the winning 2-string pair crosses the driver."""
+    state = word_state(df, text_col)
+    n_words = state.count()
     merges: list[tuple[str, str, int]] = []
+    if n_words <= driver_train_max_words:
+        words: list[tuple[int, list[str]]] = [
+            (int(r["n"]), list(r["sym"])) for r in state.collect()
+        ]
+        for _ in range(n_merges):
+            freq: dict[str, int] = {}
+            for cnt, sym in words:
+                for x, y in zip(sym, sym[1:]):
+                    key = x + SEP + y
+                    freq[key] = freq.get(key, 0) + cnt
+            if not freq:
+                break
+            best = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_freq:
+                break
+            a, b = best[0].split(SEP)
+            merges.append((a, b, int(best[1])))
+            words = [(cnt, _merge_seq(sym, a, b)) for cnt, sym in words]
+        return merges
+    state = state.localCheckpoint()
     for _ in range(n_merges):
         top = (
             _pair_counts(state)

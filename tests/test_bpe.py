@@ -44,3 +44,21 @@ def test_bpe_min_freq_stops(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "id long, text string")
     # every pair occurs once -> below min_freq=2 -> no merges learned
     assert train_bpe(df, n_merges=10, min_freq=2) == []
+
+
+def test_driver_train_matches_distributed_exactly(spark):
+    """r9: below the word-count gate train_bpe runs the merge loop on
+    the driver. Pair counts are integer sums and the tie-break
+    replicates ORDER BY freq DESC, pair ASC, so the rule list must be
+    BIT-IDENTICAL between paths."""
+    rows = [
+        ("the cat sat on the mat",),
+        ("the cat ate the rat",),
+        ("a cat and a rat and a mat",),
+        ("low lower lowest",),
+    ] * 5
+    df = spark.createDataFrame(rows, "text string")
+    drv = train_bpe(df, n_merges=12, min_freq=2)
+    dist = train_bpe(df, n_merges=12, min_freq=2, driver_train_max_words=0)
+    assert drv == dist
+    assert len(drv) > 3
