@@ -1200,8 +1200,11 @@ def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVFPQ_COARSE_K = 16
 _IVFPQ_PROBE = 4
+# Full-dim squared distance; the dimension is the same _PQ_M * _PQ_DSUB
+# product the PQ codebook queries slice, so a constant change propagates
+# here too instead of silently computing over the wrong prefix.
 _IVFPQ_SQD64 = (
-    "list_sum(list_transform(generate_series(1, 64), d -> "
+    f"list_sum(list_transform(generate_series(1, {_PQ_M * _PQ_DSUB}), d -> "
     "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE)) * "
     "(CAST({a}.embedding[d] AS DOUBLE) - CAST({b}[d] AS DOUBLE))))"
 )
