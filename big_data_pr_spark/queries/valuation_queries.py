@@ -458,29 +458,53 @@ def _kcenter_oracle(k: int) -> str:
 def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     first = emb.filter(F.col("vec_id") == 0).head()
-    centers = [[float(v) for v in first["embedding"]]]
     chosen = [0]
     rows: list[tuple[int, int, float | None]] = [(0, 0, None)]
-    for step in range(1, _KC_K):
-        dcols = [
-            F.round(
-                1
-                - similarity.cosine(
-                    F.col("embedding"), F.array(*[F.lit(v) for v in c])
-                ),
-                6,
-            )
-            for c in centers
-        ]
-        mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
-        pick = (
-            emb.filter(~F.col("vec_id").isin(chosen))
-            .select("vec_id", "embedding", mind.alias("mind"))
-            .orderBy(F.desc("mind"), "vec_id")
-            .limit(1)
-            .head()
+
+    def dist_to(center: list[float]):
+        return F.round(
+            1
+            - similarity.cosine(
+                F.col("embedding"), F.array(*[F.lit(v) for v in center])
+            ),
+            6,
         )
-        chosen.append(pick["vec_id"])
-        centers.append([float(v) for v in pick["embedding"]])
-        rows.append((step, int(pick["vec_id"]), float(pick["mind"])))
+
+    # Incremental farthest-first: carry the running min distance per
+    # point, so step i evaluates ONE cosine against the newest center
+    # (least(mind, d_new)) instead of re-deriving all i distances —
+    # k-1 vector evals per row total, not k^2/2, and ONE parquet scan
+    # (state persisted per step; rounding before least keeps the
+    # per-step values bit-identical to the all-centers form the oracle
+    # CTE chain replays). Driver state stays k centers; each step is
+    # still a narrow map + TakeOrderedAndProject 1-heap.
+    state = emb.select(
+        "vec_id",
+        "embedding",
+        dist_to([float(v) for v in first["embedding"]]).alias("mind"),
+    ).persist()
+    try:
+        for step in range(1, _KC_K):
+            pick = (
+                state.filter(~F.col("vec_id").isin(chosen))
+                .orderBy(F.desc("mind"), "vec_id")
+                .limit(1)
+                .head()
+            )
+            chosen.append(pick["vec_id"])
+            rows.append((step, int(pick["vec_id"]), float(pick["mind"])))
+            if step < _KC_K - 1:
+                nxt = state.select(
+                    "vec_id",
+                    "embedding",
+                    F.least(
+                        F.col("mind"),
+                        dist_to([float(v) for v in pick["embedding"]]),
+                    ).alias("mind"),
+                ).persist()
+                nxt.count()  # materialize before dropping the parent
+                state.unpersist()
+                state = nxt
+    finally:
+        state.unpersist()
     return spark.createDataFrame(rows, "step long, vec_id long, radius double")

@@ -1143,3 +1143,56 @@ def test_plans_md_global_window_column_all_clear():
             if "RAW-GLOBAL" in line
         )
     )
+
+
+def test_single_partition_guard_flags_raw_and_clears_compressed(
+    spark, sf_dir
+):
+    """r9: the sibling class of the raw global window — an Exchange
+    SinglePartition (repartition(1)) or CoalesceExec(1) over raw-scale
+    input funnels every row through ONE task. The guard must flag both
+    deliberate offenders and clear the sanctioned compressed forms
+    (global aggregate above a partial agg, GlobalLimit above a
+    LocalLimit, coalesce over an aggregate)."""
+    from tools.plan_audit import single_partition_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    bad = ev.repartition(1).select("event_id")
+    bad.collect()
+    assert single_partition_violations(bad) == ["ShuffleExchangeExec"]
+
+    worse = ev.coalesce(1).select("event_id")
+    worse.collect()
+    assert single_partition_violations(worse) == ["CoalesceExec"]
+
+    scalar = ev.agg(F.sum("value").alias("s"))
+    scalar.collect()
+    assert single_partition_violations(scalar) == []
+
+    lim = ev.orderBy("event_id").limit(5)
+    lim.collect()
+    assert single_partition_violations(lim) == []
+
+    folded = ev.groupBy("event_type").count().coalesce(1)
+    folded.collect()
+    assert single_partition_violations(folded) == []
+
+
+def test_plans_md_single_partition_column_all_clear():
+    """Textual pin that the one-task-funnel class stays extinct
+    registry-wide, exactly like the global-window pin above."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        content = f.read()
+    assert "single-partition" in content, "PLANS.md missing the column"
+    assert "RAW-SP" not in content, (
+        "PLANS.md records raw-scale single-partition plans: "
+        + ", ".join(
+            line.split("|")[1].strip()
+            for line in content.splitlines()
+            if "RAW-SP" in line
+        )
+    )

@@ -206,6 +206,47 @@ def global_window_violations(df) -> list[str]:
     return out
 
 
+def single_partition_violations(df) -> list[str]:
+    """ShuffleExchangeExec nodes with SinglePartition output whose input
+    is raw-scale — the sibling of the global-window class: every raw row
+    funnels through ONE shuffle partition and the downstream operator
+    runs as one task (``repartition(1)``/``coalesce(1)`` on data,
+    single-partition sorts). Legitimate SinglePartition exchanges sit
+    above a compress stop by construction (GlobalLimit above LocalLimit,
+    final aggregate above partial aggregate), so raw-reachable ones are
+    plan defects. The DataFrame must already have been executed (audits
+    the finalized AQE plan)."""
+    out: list[str] = []
+
+    def walk(node):
+        node = _unwrap(node)
+        name = _simple_name(node)
+        if name == "ShuffleExchangeExec":
+            try:
+                single = (
+                    node.outputPartitioning().toString() == "SinglePartition"
+                )
+            except Exception:
+                single = False
+            if single and _raw_leaf_reachable(node.children().apply(0)):
+                out.append(name)
+        elif name == "CoalesceExec":
+            # coalesce(1) is WORSE than repartition(1): no shuffle, so
+            # the entire upstream stage collapses to one task
+            try:
+                single = node.numPartitions() == 1
+            except Exception:
+                single = False
+            if single and _raw_leaf_reachable(node.children().apply(0)):
+                out.append(name)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def audit(df) -> dict:
     # AQE only finalizes (and codegen-annotates) the plan on execution;
     # run the query so the audit reflects the plan that actually ran —
@@ -246,6 +287,11 @@ def audit(df) -> dict:
     topk = "TakeOrderedAndProject" in plan
     viol = bnlj_violations(df) if ("NestedLoop" in plan or "CartesianProduct" in plan) else []
     gw = global_window_violations(df) if "Window" in plan else []
+    sp = (
+        single_partition_violations(df)
+        if ("Exchange SinglePartition" in plan or "Coalesce" in plan)
+        else []
+    )
     return {
         "bnlj_bounded": (
             "UNBOUNDED " + ";".join(f"{l}x{r}" for _, l, r in viol)
@@ -254,6 +300,9 @@ def audit(df) -> dict:
         ),
         "global_window": (
             f"RAW-GLOBAL x{len(gw)}" if gw else "ok"
+        ),
+        "single_partition": (
+            f"RAW-SP x{len(sp)}" if sp else "ok"
         ),
         "joins": ",".join(short[j] for j in joins) or "—",
         "exchanges": n_exchange,
@@ -298,8 +347,13 @@ def main() -> None:
         "windows.distributed_row_number / distributed_cumsum instead);",
         "windows over aggregates/limits/fixed dimension tables are ok.",
         "",
-        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj | global-window |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "`single-partition` flags Exchange SinglePartition whose input is",
+        "raw-scale (same one-task funnel via repartition(1)/coalesce(1) or",
+        "a single-partition sort); SinglePartition above a partial",
+        "aggregate or LocalLimit is the normal compressed form and ok.",
+        "",
+        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj | global-window | single-partition |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -308,7 +362,7 @@ def main() -> None:
         lines.append(
             f"| {name} | {a['joins']} | {a['exchanges']} | {a['scans']} | "
             f"{a['pushed']} | {a['codegen']} | {a['python']} | {a['topk_heap']} | "
-            f"{a['bnlj_bounded']} | {a['global_window']} |"
+            f"{a['bnlj_bounded']} | {a['global_window']} | {a['single_partition']} |"
         )
     lines.append("")
     with open(out_md, "w") as f:
