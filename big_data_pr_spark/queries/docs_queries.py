@@ -2407,6 +2407,46 @@ def ann_ivf_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_eval_metrics(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Precision/recall of an approximate pair decision vs exact
+    ground-truth pairs in ONE pass: tag-union the two (already
+    distinct) pair sets, one shuffle on the pair key folds the
+    membership flags, one scalar aggregate yields the counts. The
+    naive intersect + three-count form evaluates EACH pair pipeline
+    twice inside the same plan (the agg subtree and the intersect
+    subtree share no exchange), doubling the expensive shingle/LSH
+    work; rounding via F.round (DuckDB-matching half-away semantics —
+    Python round() is banker's)."""
+    tagged = exact.select(
+        "id_a", "id_b", F.lit(1).alias("in_exact"), F.lit(0).alias("in_approx")
+    ).unionAll(
+        approx.select(
+            "id_a", "id_b", F.lit(0).alias("in_exact"), F.lit(1).alias("in_approx")
+        )
+    )
+    per_pair = tagged.groupBy("id_a", "id_b").agg(
+        F.max("in_exact").alias("e"), F.max("in_approx").alias("a")
+    )
+    counts = per_pair.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("n_approx"),
+        F.coalesce(F.sum(F.col("e") * F.col("a")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return counts.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_approx"), F.lit(1)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
+            "recall"
+        ),
+    )
+
+
 @register(
     "minhash_eval_metrics",
     # composed from the two ALREADY-CERTIFIED oracle bodies: exact
@@ -2446,25 +2486,7 @@ def minhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     approx = REGISTRY["dedup_minhash_md5"].fn(spark, sf_dir).select("id_a", "id_b")
-    hit = exact.intersect(approx)
-    # ONE plan: three scalar counts cross-joined, rounding via F.round
-    # (DuckDB-matching half-away semantics — Python round() is banker's)
-    counts = (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    )
-    return counts.select(
-        "n_exact",
-        "n_approx",
-        "n_hit",
-        F.round(F.col("n_hit") / F.greatest(F.col("n_approx"), F.lit(1)), 6).alias(
-            "precision"
-        ),
-        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
-            "recall"
-        ),
-    )
+    return _pair_eval_metrics(exact, approx)
 
 
 @register(
@@ -2500,23 +2522,7 @@ def simhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     approx = REGISTRY["dedup_simhash_md5"].fn(spark, sf_dir).select("id_a", "id_b")
-    hit = exact.intersect(approx)
-    counts = (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
-    )
-    return counts.select(
-        "n_exact",
-        "n_approx",
-        "n_hit",
-        F.round(F.col("n_hit") / F.greatest(F.col("n_approx"), F.lit(1)), 6).alias(
-            "precision"
-        ),
-        F.round(F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6).alias(
-            "recall"
-        ),
-    )
+    return _pair_eval_metrics(exact, approx)
 
 
 @register(
