@@ -215,9 +215,22 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return e.groupBy(F.col("s1").alias("sk")).agg(F.count("*").alias("d"))
 
+    # EARLY EXIT (r9): the alive sets form a monotone shrinking chain
+    # (a part dropped by one peel round can never regain degree), so
+    # equal counts in successive rounds => equal sets => fixpoint =>
+    # every remaining unrolled round is a literal no-op. The count()
+    # per round is ~free — it forces the lazy checkpoint that the next
+    # round would materialize anyway — and convergence is measured at
+    # 5 rounds at sf0.01/sf0.1, so this skips 3 of 9 full-edge degree
+    # scans plus the duplicate final scan. Output is identical to the
+    # oracle's fixed 8 rounds by the fixpoint property, and reaching
+    # the fixpoint at round i <= 8 implies |e7| == |e8|, i.e. the
+    # oracle's `converged` column is literally true.
     alive: DataFrame | None = None
     deg = None
     prev_deg = None
+    prev_n: int | None = None
+    converged_early = False
     for _ in range(_KCORE_ROUNDS):
         prev_deg = deg
         deg = induced_degrees(alive)
@@ -226,6 +239,23 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("sk")
             .localCheckpoint(eager=False)
         )
+        n = alive.count()
+        if prev_n is not None and n == prev_n:
+            converged_early = True
+            break
+        prev_n = n
+    if converged_early:
+        # alive_i == alive_{i-1}, so deg (degrees in the subgraph
+        # induced by alive_{i-1}) IS the final degree table and every
+        # row already has d >= k
+        final_deg = deg
+        core = final_deg.select(
+            F.col("sk").alias("partkey"),
+            F.col("d").cast("bigint").alias("core_degree"),
+        )
+        return core.select(
+            "partkey", "core_degree", F.lit(True).alias("converged")
+        ).orderBy(F.desc("core_degree"), F.asc("partkey"))
     final_deg = induced_degrees(alive)
     core = final_deg.select(
         F.col("sk").alias("partkey"), F.col("d").cast("bigint").alias("core_degree")
