@@ -2715,9 +2715,18 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n0 = e.count()
+    # EARLY EXIT (r9, same proof as kcore_parts): the edge set is a
+    # monotone shrinking chain under peeling, so an unchanged count
+    # after a round means an unchanged SET — a fixpoint — and every
+    # remaining unrolled round would re-enumerate the same triangles
+    # to drop nothing. The oracle replays all rounds; post-fixpoint
+    # rounds are identity, so results match. Counts are already paid
+    # per round (the convergence certificate needs them); this also
+    # drops the redundant loop-head recount of the checkpointed set.
+    n_cur = n0
     prev_n = n0
     for _ in range(_TRUSS_ROUNDS):
-        prev_n = e.count()
+        prev_n = n_cur
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
             e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
@@ -2742,7 +2751,10 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s1", "s2")
         )
         e = e.join(sup, ["s1", "s2"], "left_semi").localCheckpoint(eager=True)
-    n_final = e.count()
+        n_cur = e.count()
+        if n_cur == prev_n:
+            break
+    n_final = n_cur
     n_sup = (
         e.select(F.col("s1").alias("sk"))
         .unionAll(e.select(F.col("s2").alias("sk")))
