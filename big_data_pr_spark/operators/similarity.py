@@ -318,12 +318,14 @@ def with_banded_lsh(
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
         bits = (mat @ planes.T) > 0  # (batch, bands*planes)
         weights = (1 << np.arange(planes_per_band)).astype(np.int64)
-        out = [
-            [int(bits[i, b * planes_per_band : (b + 1) * planes_per_band] @ weights)
-             for b in range(n_bands)]
-            for i in range(mat.shape[0])
-        ]
-        return pd.Series(out)
+        # one reshaped matmul folds every band's bits to its bucket id
+        # — (batch, bands, r) @ (r,) -> (batch, bands) — instead of a
+        # per-row x per-band Python loop (the loop dominated the UDF
+        # at 96 bands: ~192k int() calls per 2k-row batch)
+        codes = (
+            bits.reshape(mat.shape[0], n_bands, planes_per_band) @ weights
+        ).astype("int32")
+        return pd.Series(list(codes))
 
     return df.select(
         "*", F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket")
