@@ -789,10 +789,16 @@ def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("name_a"))
     b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("name_b"))
+    # thresholded levenshtein (Spark 3.5+): banded O(len·k) DP that
+    # bails to -1 once the distance exceeds k, vs the full O(len²)
+    # matrix per pair — the verify step of a blocked linkage pipeline
+    # is exactly where this matters (every candidate pair pays it).
+    # Kept rows carry the identical distance value, so the oracle's
+    # unthresholded levenshtein(...) <= 1 output is unchanged.
     return (
         a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 1)
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 1))
+        .filter(F.col("dist") >= 0)
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
