@@ -184,6 +184,34 @@ def cmd_forecast(args: argparse.Namespace) -> int:
 
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Reference app.py serving facade over parquet tables (stdlib
+    http.server; see ohlcv/serving_http.py for the route contract)."""
+    from http.server import ThreadingHTTPServer
+
+    from .ohlcv.serving_http import ServingBackend, make_handler
+    from .session import get_spark
+
+    spark = get_spark("serving-http")
+    read = lambda p: spark.read.parquet(p) if p else None  # noqa: E731
+    backend = ServingBackend(
+        hist=read(args.hist),
+        latest=read(args.latest),
+        stats=read(args.stats),
+        chart=read(args.chart),
+        artifacts_dir=args.artifacts,
+    )
+    srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(backend))
+    print(f"serving on http://0.0.0.0:{args.port} (Ctrl-C to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+    return 0
+
+
 def cmd_rag(args: argparse.Namespace) -> int:
     from .pipelines import build_rag_index, rag_query
     from .tables import load
@@ -477,6 +505,21 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--steps", type=int, default=24)
     fc.add_argument("--hist", help="candles parquet (symbol/timestamp_dt/close); omitted -> synthetic mid-range window")
     fc.set_defaults(fn=cmd_forecast)
+
+    sv = sub.add_parser(
+        "serve",
+        help="stdlib HTTP serving facade: the reference app.py routes "
+        "(/ /historical /api/realtime_stats /api/chart_data_1m "
+        "/api/historical_data /api/predict_xgboost) over parquet "
+        "serving tables — no Flask/ES dependency",
+    )
+    sv.add_argument("--hist", help="historical candles parquet (symbol/timeframe/timestamp_dt/close/sma_7/sma_30)")
+    sv.add_argument("--latest", help="latest-snapshot parquet (symbol keyed)")
+    sv.add_argument("--stats", help="windowed-stats parquet (symbol/window_end)")
+    sv.add_argument("--chart", help="1m chart parquet (symbol/event_timestamp/close)")
+    sv.add_argument("--artifacts", default="/root/reference/trained_models")
+    sv.add_argument("--port", type=int, default=5000)
+    sv.set_defaults(fn=cmd_serve)
 
     rg = sub.add_parser(
         "rag",
