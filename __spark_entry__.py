@@ -37,93 +37,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries in dict order (observed r2-r8). _FRONT is the per-round
 # ROTATION of the verified window: DRIVER_LEDGER.json records every
 # query that has ever received a driver-green row (through r8: 261;
-# registry frozen at 422, 405 oracle-backed). The round-9 window spends
-# 49 slots on never-driver-verified oracle-backed queries — one
-# never-verified representative per family first, then _POST_FREEZE
-# declaration order — plus the flagship. Family insurance stays RELAXED
-# (r7 verdict #1/#2): a family whose members are all already
-# driver-green is covered by the ledger, not a re-verification slot
-# (guard: tests/test_queries_oracle.py::
+# registry frozen at 423, 406 oracle-backed). The round-10 window spends
+# 49 slots on never-driver-verified oracle-backed queries (including
+# the r9 driver-red `multimodal_features`, re-slotted after its
+# long-form reshape — r9 verdict #1) plus the flagship. Family
+# insurance stays RELAXED (r7 verdict #1/#2): a family whose members
+# are all already driver-green is covered by the ledger, not a
+# re-verification slot (guard: tests/test_queries_oracle.py::
 # test_driver_window_family_coverage, which also pins len == 50).
 # Queries outside the window remain covered by the local oracle suite
 # (tests/test_queries_oracle.py at sf0.001).
 _FRONT = [
-    # flagship (driver-green r2-r8, re-verified every round)
+    # flagship (driver-green r2-r9, re-verified every round)
     "ohlcv_candles_sma",
-    # --- never-driver-verified: one per family, then _POST_FREEZE
-    # declaration order (guard: tests/test_queries_oracle.py) ---
-    "stochastic_oscillator_14",
-    "weekday_hour_heatmap",
-    "embedding_norm_profile",
-    "token_coverage_curve",
-    "multimodal_features",
-    "welch_ttest_purchase_vs_view",
-    "triangle_count_suppliers",
-    "conformal_interval_coverage",
-    "rfm_segmentation",
-    "order_total_reconciliation",
-    "join_size_profile",
-    "linreg_value_trend",
-    "market_basket_pairs",
-    "max_drawdown",
-    "minhash_eval_metrics",
-    "multimodal_resize",
-    "naive_bayes_confusion",
-    "orc_roundtrip_stats",
-    "pmi_collocations",
-    "price_realization_by_brand",
-    "priority_mix_over_time",
-    "psi_value_drift",
-    "revenue_concentration",
-    "rolling_7d_active_users",
-    "score_calibration_bins",
-    "seasonal_hourly_factors",
-    "segment_nation_share",
-    "ship_latency_percentiles",
-    "simhash_eval_metrics",
-    "supplier_skyline_2d",
-    "theil_sen_trend",
-    "user_event_entropy",
-    "wow_growth_by_type",
-    "zorder_layout_stats",
-    "dp_noisy_counts",
-    "dp_noisy_revenue",
-    "k_anonymity_audit",
-    "target_encode_kfold",
-    "woe_value_deciles",
-    "late_arrival_profile",
-    "hll_set_op_certificate",
-    "pseudonymize_users",
-    "ks_test_purchase_vs_view",
-    "mannwhitney_value_shift",
-    "kruskal_wallis_value_by_type",
-    "spearman_qty_price_corr",
-    "kendall_tau_sampled",
-    "benjamini_hochberg_types",
-    "cusum_changepoint_daily",
-]
-
-# Oracle-backed queries awaiting a driver window slot after the
-# round-9 rotation (49 slots went to never-verified queries; 98 remain
-# vs 147 entering the round — net debt burn 49, registry frozen). The
-# guard test tests/test_queries_oracle.py::test_driver_ledger_consistent
-# pins (never-driver-verified − window) == exactly this list, so the
-# exemption can never silently absorb forgotten queries. At ~49
-# slots/round this list clears in 2 more rounds; COVERAGE.md records
-# which already-green twins certify the same operator decision.
-_POST_FREEZE = [
+    # --- never-driver-verified, _POST_FREEZE declaration order
+    # (guard: tests/test_queries_oracle.py) ---
     "pettitt_changepoint",
+    "lexical_semantic_agreement",
+    "lang_id_confusion",
+    "multimodal_features",
+    "mann_kendall_trend",
     "jaccard_supplier_pairs",
+    "seasonal_naive_mase",
+    "multi_touch_attribution",
+    "duplicate_order_pairs",
+    "range_partition_boundaries",
     "ewma_volatility",
     "stl_decompose_daily",
-    "mann_kendall_trend",
     "bootstrap_mean_ci",
     "hurst_rs_daily",
     "ljung_box_hourly",
     "runs_test_daily",
     "friedman_type_ranks",
-    "seasonal_naive_mase",
-    "multi_touch_attribution",
     "cohort_ltv_matrix",
     "sharpe_sortino_calmar",
     "var_cvar_historical",
@@ -145,7 +90,6 @@ _POST_FREEZE = [
     "periodogram_top_periods",
     "cv_rmse_linreg_daily",
     "bloom_fpr_certificate",
-    "duplicate_order_pairs",
     "order_priority_transitions",
     "weekend_purchase_contrast",
     "dunn_posthoc_pairwise",
@@ -155,20 +99,30 @@ _POST_FREEZE = [
     "degree_assortativity_suppliers",
     "pareto_share_curve",
     "spend_band_migration",
-    "range_partition_boundaries",
     "fk_containment_profile",
     "regression_diagnostics_daily",
+]
+
+# Oracle-backed queries awaiting a driver window slot after the
+# round-10 rotation (49 slots went to never-verified queries; 65
+# never-verified remain vs 114 entering the round (51 oracle-backed
+# listed here + 14 rows-only covered by md5-certified twins) — net debt burn 49, registry
+# frozen). The guard test tests/test_queries_oracle.py::
+# test_driver_ledger_consistent pins (never-driver-verified − window)
+# == exactly this list, so the exemption can never silently absorb
+# forgotten queries. The r11 window clears the rest; COVERAGE.md
+# records which already-green twins certify the same operator
+# decisions meanwhile.
+_POST_FREEZE = [
     "engle_granger_cointegration",
     "newey_west_trend_test",
     "breusch_pagan_daily",
-    "lang_id_confusion",
     "process_capability_ship_latency",
     "xbar_control_chart_weekly",
     "youden_optimal_threshold",
     "price_index_fisher_yearly",
     "token_burstiness_top",
     "lad_trend_profile",
-    "lexical_semantic_agreement",
     "embedding_anisotropy_probe",
     "yule_walker_ar2",
     "spectral_entropy_daily",
@@ -210,8 +164,6 @@ _POST_FREEZE = [
     "burrows_delta_sources",
     "huber_trend_daily",
     "overdispersion_user_events",
-    # r9-new HLL register twin of dau_mau_stickiness (r8 verdict #5) —
-    # oracle-backed, awaiting a window slot
     "dau_mau_stickiness_hll",
 ]
 

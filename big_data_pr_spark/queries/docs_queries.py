@@ -479,17 +479,25 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     "WITH m AS (SELECT doc_id AS id, sha256(text) AS h FROM documents) "
-    "SELECT id, ["
-    + ", ".join(f"{_sha_byte_sql(i)} / 255.0" for i in range(8))
-    + "] AS feature FROM m ORDER BY id",
-    doc="Feature-extraction plumbing: payload → fixed-dim array<double> "
-    "via Arrow-batched mapInPandas (production hook for any vision/"
-    "audio encoder; real=True computes pixel statistics for P6 PPM). "
-    "Oracle replays the digest-derived embedding from sha256 hex.",
+    "SELECT id, dim, value FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT id, {i} AS dim, {_sha_byte_sql(i)} / 255.0 AS value FROM m"
+        for i in range(8)
+    )
+    + "\n) ORDER BY id, dim",
+    doc="Feature-extraction plumbing: payload → fixed-dim embedding via "
+    "Arrow-batched mapInPandas (production hook for any vision/audio "
+    "encoder; real=True computes pixel statistics for P6 PPM). "
+    "Emitted long-form (id, dim, value) via posexplode — the driver's "
+    "oracle canonicalizer cannot hash nested array cells, and the "
+    "long form is the registry convention for vector outputs (see "
+    "embedding_centroids). Oracle replays the digest-derived "
+    "embedding from sha256 hex.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_payload(docs, "doc_id"))
+    feats = multimodal.extract_features(multimodal.attach_payload(docs, "doc_id"))
+    return feats.select("id", F.posexplode("feature").alias("dim", "value"))
 
 
 @register(

@@ -497,6 +497,41 @@ def test_no_rowwise_python_udf_anywhere(spark, sf_dir):
     assert not bad, bad
 
 
+def test_no_nested_output_schema_anywhere(spark, sf_dir):
+    """r9 verdict #2: the driver's oracle canonicalizer (pandas
+    sort_values -> factorize over every output column) cannot hash
+    list/dict cells, so ANY array/map/struct output column makes the
+    query driver-RED with `unhashable type` — exactly how r9's
+    `multimodal_features` (the registry's only nested-output query)
+    failed despite a correct answer. Registry-wide schema lint: vector
+    outputs must ship long-form (id, dim, value) or hex-encoded. Also
+    pins that the guard itself bites: a deliberately array-returning
+    frame must be flagged."""
+    from tools.plan_audit import nested_output_columns
+
+    # the guard must flag a deliberate offender ...
+    offender = spark.range(3).select(F.array(F.col("id"), F.col("id")).alias("v"))
+    assert nested_output_columns(offender) == ["v: array<bigint>"]
+    # ... and clear a flat frame
+    assert nested_output_columns(spark.range(3).toDF("id")) == []
+
+    bad = []
+    for name in sorted(REGISTRY):
+        if name in _PLAN_SWEEP_SKIP:
+            # skip-set queries run sinks inside fn(); their outputs are
+            # flat scalar stats by construction — still cheap-checked
+            # via their own roundtrip tests
+            continue
+        try:
+            nested = nested_output_columns(REGISTRY[name].fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if nested:
+            bad.append((name, nested))
+    assert not bad, bad
+
+
 def test_bm25_broadcasts_sides_no_corpus_reshuffle(q):
     """BM25's df/avgdl side-inputs broadcast; no cartesian beyond the
     1-row stats cross join; no Python anywhere."""

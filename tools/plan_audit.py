@@ -247,6 +247,23 @@ def single_partition_violations(df) -> list[str]:
     return out
 
 
+def nested_output_columns(df) -> list[str]:
+    """Output columns with nested types (array/map/struct) — the driver's
+    oracle canonicalizer (pandas sort_values -> factorize over every
+    column) cannot hash list/dict cells, so ANY nested output column
+    makes the whole query driver-RED with `unhashable type` (r9's
+    `multimodal_features` was the registry's only offender). Vector
+    outputs must use the long form (id, dim, value) — posexplode — or a
+    hex encoding. Schema-only: no execution needed."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def audit(df) -> dict:
     # AQE only finalizes (and codegen-annotates) the plan on execution;
     # run the query so the audit reflects the plan that actually ran —
