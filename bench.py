@@ -677,6 +677,32 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
         out["logreg_fit_sec"] = round(time.time() - t0, 3)
     except Exception as exc:  # never fail the whole bench on training
         print(f"training bench failed: {exc}", file=sys.stderr)
+    # r9 verdict #5: the remaining gates-off distributed paths — BPE
+    # merge training (per-round pair-count jobs) and pointer-jumping
+    # connected components — were parity-tested but never TIMED (the
+    # sf0.1 bench routes them through the driver gates). Track them
+    # like gbt_fit_sec so a regression in the 100 TB shape is visible.
+    out.update({"bpe_fit_sec": None, "cc_fit_sec": None})
+    try:
+        from big_data_pr_spark.operators import dedup
+        from big_data_pr_spark.operators.bpe import train_bpe
+        from big_data_pr_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        t0 = time.time()
+        train_bpe(docs, n_merges=10, driver_train_max_words=0)
+        out["bpe_fit_sec"] = round(time.time() - t0, 3)
+
+        # pairs materialized (and counted) BEFORE the clock so the
+        # number isolates the component loop, not LSH pair generation
+        pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5).persist()
+        pairs.count()
+        t0 = time.time()
+        dedup.connected_components(pairs, driver_cc_max_edges=0).count()
+        out["cc_fit_sec"] = round(time.time() - t0, 3)
+        pairs.unpersist()
+    except Exception as exc:  # never fail the whole bench on training
+        print(f"distributed-fit bench failed: {exc}", file=sys.stderr)
     return out
 
 

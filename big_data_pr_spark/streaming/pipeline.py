@@ -375,14 +375,35 @@ def start_three_queries(
     out_dir: str,
     checkpoint_dir: str,
     triggers: dict[str, str] | None = None,
+    bootstrap_watermark: str | None = None,
 ) -> list[StreamingQuery]:
     """T3-T8: launch the three concurrent queries on one source.
 
     Output modes are the canonical trio (complete / update / append);
     each query gets its own checkpoint (T5). ``triggers`` maps query
     name → processingTime string; absent → availableNow (test mode).
-    """
+
+    ``bootstrap_watermark`` (timestamp string, e.g. ``"2024-01-05
+    00:00:00"``) is the 100 TB stream-bootstrap rule (SCALE.md
+    round-9 sustained probe) as code: starting a stream over a
+    historical file set otherwise materializes batch-0 state
+    proportional to the HISTORY's time span, because no watermark
+    exists before the first trigger completes and every event-time
+    window in the backlog is live (measured: ~116 k state rows for a
+    4-day replay, purged to ~22 by batch 1). Spark exposes no public
+    "seed the starting watermark" knob, so the equivalent contract is
+    an event-time cutoff on the stream: rows older than the bootstrap
+    point are the BATCH backfill's responsibility
+    (``ohlcv/batch.py``; reference batch_processor.py is the same
+    split), the stream owns ``event_timestamp >= bootstrap_watermark``
+    only. This bounds batch-0 state by the post-cutoff span AND keeps
+    the append sink duplicate-free when the backfill already wrote
+    the history."""
     parsed = parse_stream(raw)
+    if bootstrap_watermark is not None:
+        parsed = parsed.filter(
+            F.col("event_timestamp") >= F.lit(bootstrap_watermark).cast("timestamp")
+        )
     trig = triggers or {}
 
     def trigger_kwargs(name: str) -> dict:

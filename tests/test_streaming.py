@@ -539,3 +539,65 @@ def test_dlq_quarantines_malformed_without_failing(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out_dir / "good")).count() == 4
     assert spark.read.parquet(str(out_dir / "dlq")).count() == 3
+
+
+def test_bootstrap_watermark_bounds_batch0_state(spark, tmp_path):
+    """r9 verdict #6: replaying a historical file set through the
+    stateful stream materializes batch-0 window state proportional to
+    the HISTORY span (no watermark exists before the first trigger
+    completes, so every event-time window in the backlog is live).
+    ``bootstrap_watermark`` turns the SCALE.md bootstrap rule into
+    code: the stream owns only events at/after the cutoff — older
+    rows are the batch backfill's job — so batch-0 state is bounded
+    by the post-cutoff span regardless of how much history the file
+    set carries."""
+    minutes = 600  # 10 h of 1-minute candles in ONE replayed file
+    cutoff_min = minutes - 10
+
+    def run(sub: str, bootstrap: str | None):
+        input_dir = tmp_path / sub / "in"
+        input_dir.mkdir(parents=True)
+        _write_batch(
+            input_dir,
+            "history.json",
+            [_msg("BTC/USDT", m, 100.0 + (m % 7)) for m in range(minutes)],
+        )
+        raw = pipeline.file_source(spark, str(input_dir))
+        queries = pipeline.start_three_queries(
+            raw,
+            str(tmp_path / sub / "out"),
+            str(tmp_path / sub / "cp"),
+            bootstrap_watermark=bootstrap,
+        )
+        for q in queries:
+            q.awaitTermination(180)
+        stats_q = queries[1]  # window_stats — the sliding-window state
+        batch0 = stats_q.recentProgress[0]
+        return sum(
+            so["numRowsTotal"] for so in batch0["stateOperators"]
+        )
+
+    import datetime as dt
+
+    cutoff_str = dt.datetime.fromtimestamp(
+        (T0_MS + cutoff_min * 60_000) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+    replay_state = run("replay", None)
+    boot_state = run("boot", cutoff_str)
+
+    # full replay: every 1-min-slide window over 600 minutes is live
+    assert replay_state > 300, replay_state
+    # bootstrapped: only the 10-minute tail's windows (~10+10 keys)
+    assert boot_state < 40, boot_state
+
+    # the stream's outputs cover ONLY the post-cutoff span (older rows
+    # are the batch backfill's responsibility — and would otherwise be
+    # double-written when the backfill already ran)
+    chart = spark.read.parquet(str(tmp_path / "boot" / "out" / "chart"))
+    assert chart.count() == minutes - cutoff_min
+    assert chart.agg(pipeline.F.min("@timestamp")).collect()[0][0] >= (
+        dt.datetime.fromtimestamp((T0_MS + cutoff_min * 60_000) / 1000)
+    ).replace(tzinfo=None)
+    latest = spark.read.parquet(str(tmp_path / "boot" / "out" / "latest")).collect()
+    assert len(latest) == 1 and latest[0]["timestamp_ms"] == T0_MS + (minutes - 1) * 60_000

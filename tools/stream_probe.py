@@ -160,7 +160,10 @@ def _dir_bytes(path: str) -> int:
 
 
 def run_sustained(
-    rows: int, sf_dir: str, n_batches: int = 12
+    rows: int,
+    sf_dir: str,
+    n_batches: int = 12,
+    bootstrap_tail_minutes: int | None = None,
 ) -> dict:
     """Sustained multi-batch run (r8 verdict #4: the driver bench's
     `batches: 1` measures one trigger; state accumulation in complete
@@ -170,7 +173,16 @@ def run_sustained(
     each chunk is exactly one micro-batch. Per-batch trigger wall,
     input rows and stateOperators row counts come from recentProgress;
     checkpoint size is measured at the end (monotone by construction —
-    commit/offset logs append per batch)."""
+    commit/offset logs append per batch).
+
+    ``bootstrap_tail_minutes`` exercises the r9 bootstrap rule as code
+    (pipeline.start_three_queries(bootstrap_watermark=...)): the
+    stream owns only the last N event-time minutes of the replayed
+    history — everything older is the batch backfill's job — so the
+    batch-0 state spike (state ∝ history span when chunks span the
+    whole time range) must disappear. Throughput is reported over
+    SCANNED rows, so compare state curves, not rows/s, across the
+    bootstrap and plain variants."""
     from pyspark.sql import SparkSession
 
     from big_data_pr_spark.streaming import pipeline
@@ -230,9 +242,25 @@ def run_sustained(
             .load(in_dir)
         )
         cp = os.path.join(work, "cp")
+        bootstrap = None
+        if bootstrap_tail_minutes is not None:
+            max_ts = (
+                full.select(
+                    F.get_json_object("value", "$.timestamp")
+                    .cast("long")
+                    .alias("t")
+                )
+                .agg(F.max("t"))
+                .collect()[0][0]
+            )
+            import datetime as dt
+
+            bootstrap = dt.datetime.fromtimestamp(
+                max_ts / 1000 - bootstrap_tail_minutes * 60, dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
         t0 = time.time()
         queries = pipeline.start_three_queries(
-            source, os.path.join(work, "out"), cp
+            source, os.path.join(work, "out"), cp, bootstrap_watermark=bootstrap
         )
         for q in queries:
             q.awaitTermination(1200)
@@ -268,7 +296,15 @@ def run_sustained(
             ]
         steady_med = sorted(steady)[len(steady) // 2] if steady else None
         return {
-            "variant": f"sustained_{n_batches}x{per}",
+            "variant": (
+                f"sustained_{n_batches}x{per}"
+                + (
+                    f"_bootstrap{bootstrap_tail_minutes}m"
+                    if bootstrap_tail_minutes is not None
+                    else ""
+                )
+            ),
+            "bootstrap_watermark": bootstrap,
             "rows": n_rows,
             "n_batches": n_batches,
             "wall_s": round(wall, 2),
@@ -284,11 +320,18 @@ def run_sustained(
 
 def main() -> None:
     if "--sustained" in sys.argv:
+        tail = None
+        if "--bootstrap" in sys.argv:
+            i = sys.argv.index("--bootstrap")
+            tail = int(sys.argv[i + 1])
+            del sys.argv[i : i + 2]
         args = [a for a in sys.argv[1:] if a != "--sustained"]
         rows = int(args[0]) if args else 200_000
         n_batches = int(args[1]) if len(args) > 1 else 12
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        print(json.dumps(run_sustained(rows, sf_dir, n_batches)), flush=True)
+        print(
+            json.dumps(run_sustained(rows, sf_dir, n_batches, tail)), flush=True
+        )
         return
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
