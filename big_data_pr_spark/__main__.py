@@ -201,8 +201,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
         chart=read(args.chart),
         artifacts_dir=args.artifacts,
     )
-    srv = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(backend))
-    print(f"serving on http://0.0.0.0:{args.port} (Ctrl-C to stop)")
+    srv = ThreadingHTTPServer((args.host, args.port), make_handler(backend))
+    print(f"serving on http://{args.host}:{args.port} (Ctrl-C to stop)")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -517,7 +517,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--latest", help="latest-snapshot parquet (symbol keyed)")
     sv.add_argument("--stats", help="windowed-stats parquet (symbol/window_end)")
     sv.add_argument("--chart", help="1m chart parquet (symbol/event_timestamp/close)")
-    sv.add_argument("--artifacts", default="/root/reference/trained_models")
+    # no machine-specific default: with no artifacts dir the predict
+    # endpoint answers 404 "No artifacts directory configured."
+    sv.add_argument("--artifacts", default=None)
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 to expose externally)")
     sv.add_argument("--port", type=int, default=5000)
     sv.set_defaults(fn=cmd_serve)
 

@@ -26,7 +26,12 @@ Design notes (documented divergences, all behavior-preserving):
   model artifact's ``n_features_in_`` instead of the reference's
   hardcoded per-symbol table (app.py:203-206) — same values for the
   shipped artifacts (BTC=5, ETH=24), but any new artifact serves
-  without a code change; a missing artifact is the reference's 404.
+  without a code change. The reference's CONFIG gate stays first in
+  the error order (app.py:206 returns 400 "No specific XGBoost window
+  size configured" before ever touching the filesystem): here the
+  configured set is "symbols with any artifact file present", so a
+  symbol with no artifacts is the same 400, while a configured symbol
+  whose model/scaler file is missing is the reference's 404.
 - Symbols are canonical slash form ("BTC/USDT") in the tables; URL
   forms ("BTC-USDT", "BTC_USDT") are decoded endpoint-side exactly
   like the reference (app.py:94 ``replace('-','/')``; the historical
@@ -39,12 +44,13 @@ Design notes (documented divergences, all behavior-preserving):
 
 from __future__ import annotations
 
+import html
 import json
 import os
 import threading
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -147,7 +153,9 @@ class ServingBackend:
         timeframe = parts[-1]
         symbol = "_".join(parts[:-1]).replace("_", "/")
         if self.hist is None:
-            return {"labels": [], "datasets": []}, 200
+            # app.py:190: this route 404s on NotFoundError (missing ES
+            # index) — unlike realtime/chart, which return empty shapes
+            return {"error": "historical table not found."}, 404
         rows = serving.historical_data(
             self.hist, symbol, timeframe, _RANGE_DAYS.get(range_str)
         ).collect()
@@ -186,6 +194,21 @@ class ServingBackend:
             }, 400
         if not self.artifacts_dir:
             return {"error": "No artifacts directory configured."}, 404
+        # app.py:203-206: the per-symbol window-size CONFIG check runs
+        # before any filesystem lookup and is a 400, not a 404. The
+        # configured set here is "symbols with any artifact present".
+        try:
+            configured = any(
+                f.startswith(f"{symbol_req}_")
+                for f in os.listdir(self.artifacts_dir)
+            )
+        except OSError:
+            configured = False
+        if not configured:
+            return {
+                "error": "No specific XGBoost window size configured "
+                f"for symbol {symbol_req}."
+            }, 400
         model_pkl = os.path.join(
             self.artifacts_dir, f"{symbol_req}_xgboost_model.pkl"
         )
@@ -225,7 +248,9 @@ class ServingBackend:
 
     # -- HTML pages (app.py:86-90, 138-151) -----------------------------
     def realtime_page(self) -> str:
-        syms = self.symbols()
+        # symbols come from data and are escaped like the reference's
+        # auto-escaping Jinja templates would render them
+        syms = [html.escape(s, quote=True) for s in self.symbols()]
         initial = syms[0] if syms else None
         opts = "".join(f'<option value="{s}">{s}</option>' for s in syms)
         return (
@@ -240,7 +265,12 @@ class ServingBackend:
         initial = "ETH_USDT_1h" if "ETH_USDT_1h" in tfs else (
             tfs[0] if tfs else None
         )
-        opts = "".join(f'<option value="{s}">{s}</option>' for s in tfs)
+        initial = html.escape(initial, quote=True) if initial else None
+        opts = "".join(
+            f'<option value="{html.escape(s, quote=True)}">'
+            f"{html.escape(s, quote=True)}</option>"
+            for s in tfs
+        )
         return (
             "<!doctype html><html><head><title>Historical OHLCV</title></head>"
             f"<body><h1>Historical data</h1><select id=symbol_tf>{opts}"
@@ -274,18 +304,18 @@ def make_handler(backend: ServingBackend):
                 elif path == "/historical":
                     self._send(200, backend.historical_page(), "text/html")
                 elif path.startswith("/api/realtime_stats/"):
-                    enc = path.rsplit("/", 1)[1]
+                    enc = unquote(path.rsplit("/", 1)[1])
                     self._send(200, backend.realtime_stats(enc))
                 elif path.startswith("/api/chart_data_1m/"):
-                    enc = path.rsplit("/", 1)[1]
+                    enc = unquote(path.rsplit("/", 1)[1])
                     self._send(200, backend.chart_data_1m(enc))
                 elif path.startswith("/api/historical_data/"):
-                    sym_tf = path.rsplit("/", 1)[1]
+                    sym_tf = unquote(path.rsplit("/", 1)[1])
                     rng = parse_qs(parsed.query).get("range", ["all"])[0]
                     payload, code = backend.historical_data(sym_tf, rng)
                     self._send(code, payload)
                 elif path.startswith("/api/predict_xgboost/"):
-                    sym_tf = path.rsplit("/", 1)[1]
+                    sym_tf = unquote(path.rsplit("/", 1)[1])
                     payload, code = backend.predict(sym_tf)
                     self._send(code, payload)
                 else:

@@ -140,10 +140,12 @@ def test_predict_error_contract(server):
     # invalid format → 400 (app.py:198)
     code, body, _ = _get(server, "/api/predict_xgboost/plain")
     assert code == 400
-    # unknown artifact → 404 (app.py:210)
+    # unconfigured symbol → 400 BEFORE any filesystem check (app.py:206
+    # rejects symbols outside the window-size config table with 400;
+    # the 404s are reserved for configured symbols with missing files)
     code, body, _ = _get(server, "/api/predict_xgboost/DOGE_USDT_1h")
-    assert code == 404
-    assert "not found" in json.loads(body)["error"]
+    assert code == 400
+    assert "No specific XGBoost window size configured" in json.loads(body)["error"]
 
 
 def test_predict_real_artifacts_24_steps(server, spark):
@@ -189,3 +191,59 @@ def test_predict_insufficient_history_found_need(server, spark):
 def test_unknown_route_404(server):
     code, body, _ = _get(server, "/api/nope")
     assert code == 404
+
+def test_percent_encoded_symbol_decoded(server):
+    # Flask percent-decodes path segments before routing (r9 advice):
+    # BTC%2DUSDT must hit the same lookup as BTC-USDT
+    code, body, _ = _get(server, "/api/realtime_stats/BTC%2DUSDT")
+    assert code == 200
+    assert json.loads(body)["latest"]["close"] == 81250.0
+    code, body, _ = _get(server, "/api/chart_data_1m/BTC%2DUSDT")
+    assert code == 200 and len(json.loads(body)) == 36
+    code, body, _ = _get(server, "/api/historical_data/BTC%5FUSDT_1h?range=all")
+    assert code == 200 and len(json.loads(body)["labels"]) == 8
+
+
+def test_historical_data_missing_table_404(spark):
+    # app.py:190: NotFoundError on this route is a 404, unlike the
+    # realtime/chart routes' empty shapes (r9 advice)
+    backend = ServingBackend(hist=None)
+    srv, port = start_server(backend)
+    try:
+        code, body, _ = _get(port, "/api/historical_data/BTC_USDT_1h")
+        assert code == 404
+        assert "not found" in json.loads(body)["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_predict_configured_symbol_missing_model_404(spark, tmp_path):
+    # a symbol WITH artifacts present but a missing model file keeps the
+    # reference's 404 (app.py:209) — the 400 config gate must not
+    # swallow it
+    (tmp_path / "BTC_USDT_scaler.pkl").write_bytes(b"x")
+    backend = ServingBackend(artifacts_dir=str(tmp_path))
+    srv, port = start_server(backend)
+    try:
+        code, body, _ = _get(port, "/api/predict_xgboost/BTC_USDT_1h")
+        assert code == 404
+        assert "Model for BTC_USDT not found" in json.loads(body)["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_pages_escape_markup_in_symbols(spark):
+    # the reference renders via auto-escaping Jinja templates; a symbol
+    # containing markup must not be reflected verbatim (r9 advice)
+    evil = spark.createDataFrame(
+        [('<script>alert(1)</script>', 1.0)], "symbol string, close double"
+    )
+    backend = ServingBackend(latest=evil)
+    srv, port = start_server(backend)
+    try:
+        code, body, _ = _get(port, "/")
+        assert code == 200
+        assert "<script>" not in body
+        assert "&lt;script&gt;" in body
+    finally:
+        srv.shutdown()
