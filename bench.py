@@ -848,8 +848,9 @@ def main() -> None:
         try:
             with open(local_path) as f:
                 prev = json.load(f)
-            if "streaming_sustained" in prev:
-                payload["streaming_sustained"] = prev["streaming_sustained"]
+            for key in ("streaming_sustained", "streaming_sustained_bootstrap"):
+                if key in prev:
+                    payload[key] = prev[key]
         except (OSError, ValueError):
             pass
         with open(local_path, "w") as f:
