@@ -332,6 +332,9 @@ def audit(df) -> dict:
             else "map/agg-InPandas" if python_eval else "none"
         ),
         "topk_heap": "yes" if topk else "—",
+        "nested_output": (
+            "NESTED " + ";".join(nested) if (nested := nested_output_columns(df)) else "ok"
+        ),
     }
 
 
@@ -369,8 +372,14 @@ def main() -> None:
         "a single-partition sort); SinglePartition above a partial",
         "aggregate or LocalLimit is the normal compressed form and ok.",
         "",
-        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj | global-window | single-partition |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "`nested` flags array/map/struct OUTPUT columns — the driver's",
+        "oracle canonicalizer cannot hash nested cells, so any such",
+        "column driver-reds the query (vector outputs ship long-form",
+        "(id, dim, value) or hex; guard:",
+        "tests/test_plans.py::test_no_nested_output_schema_anywhere).",
+        "",
+        "| query | joins | exchanges | scans | pushed | codegen | python | top-k heap | bnlj | global-window | single-partition | nested |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -379,7 +388,8 @@ def main() -> None:
         lines.append(
             f"| {name} | {a['joins']} | {a['exchanges']} | {a['scans']} | "
             f"{a['pushed']} | {a['codegen']} | {a['python']} | {a['topk_heap']} | "
-            f"{a['bnlj_bounded']} | {a['global_window']} | {a['single_partition']} |"
+            f"{a['bnlj_bounded']} | {a['global_window']} | {a['single_partition']} | "
+            f"{a['nested_output']} |"
         )
     lines.append("")
     with open(out_md, "w") as f:
