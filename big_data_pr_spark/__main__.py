@@ -50,7 +50,10 @@ def cmd_stream(args: argparse.Namespace) -> int:
         if args.trigger_latest
         else None  # None → availableNow (drain-and-stop test mode)
     )
-    queries = P.start_three_queries(raw, args.out, args.checkpoint, triggers=triggers)
+    queries = P.start_three_queries(
+        raw, args.out, args.checkpoint, triggers=triggers,
+        bootstrap_watermark=args.bootstrap_watermark,
+    )
     if triggers is None:
         for q in queries:
             q.awaitTermination()
@@ -396,6 +399,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--trigger-latest", default=None, help="e.g. '15 seconds'; absent -> availableNow")
     s.add_argument("--trigger-stats", default="1 minute")
     s.add_argument("--trigger-chart", default="15 seconds")
+    s.add_argument(
+        "--bootstrap-watermark", default=None, metavar="TS",
+        help="event-time cutoff ('YYYY-MM-DD HH:MM:SS'): rows older than "
+        "this belong to the batch backfill; bounds batch-0 state when "
+        "starting over a historical file set (SCALE.md bootstrap rule)",
+    )
     s.set_defaults(fn=cmd_stream)
 
     r = sub.add_parser("retention", help="drop chart partitions outside the keep window")

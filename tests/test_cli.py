@@ -276,3 +276,38 @@ def test_cli_forecast_hist_too_short_reports_found_need(spark, tmp_path, capsys)
     assert rc == 1
     err = capsys.readouterr().err
     assert "found 2, need 5" in err
+
+
+def test_stream_bootstrap_watermark_flag(spark, tmp_path, capsys):
+    """The stream subcommand forwards --bootstrap-watermark: replaying
+    a 3-day history with a cutoff at the last day leaves only the
+    post-cutoff rows in the append sink (availableNow drain mode)."""
+    import json as _json
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base_ms = 1_700_000_400_000  # 2023-11-14 22:20:00 UTC
+    day_ms = 86_400_000
+    msgs = []
+    for d in range(3):
+        for m in range(5):
+            ts = base_ms + d * day_ms + m * 60_000
+            msgs.append(_json.dumps({
+                "timestamp": ts, "symbol": "BTC/USDT", "timeframe": "1m",
+                "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+                "volume": 1.0, "datetime_str": "x",
+            }))
+    (in_dir / "history.json").write_text("\n".join(msgs) + "\n")
+    import datetime as dt
+
+    cutoff = dt.datetime.fromtimestamp(
+        (base_ms + 2 * day_ms) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    out = tmp_path / "out"
+    assert main([
+        "stream", "--source", "file", "--path", str(in_dir),
+        "--out", str(out), "--checkpoint", str(tmp_path / "cp"),
+        "--bootstrap-watermark", cutoff,
+    ]) == 0
+    chart = spark.read.parquet(str(out / "chart"))
+    assert chart.count() == 5  # only day 2's rows survive the cutoff
