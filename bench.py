@@ -696,11 +696,13 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
         # pairs materialized (and counted) BEFORE the clock so the
         # number isolates the component loop, not LSH pair generation
         pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5).persist()
-        pairs.count()
-        t0 = time.time()
-        dedup.connected_components(pairs, driver_cc_max_edges=0).count()
-        out["cc_fit_sec"] = round(time.time() - t0, 3)
-        pairs.unpersist()
+        try:
+            pairs.count()
+            t0 = time.time()
+            dedup.connected_components(pairs, driver_cc_max_edges=0).count()
+            out["cc_fit_sec"] = round(time.time() - t0, 3)
+        finally:
+            pairs.unpersist()
     except Exception as exc:  # never fail the whole bench on training
         print(f"distributed-fit bench failed: {exc}", file=sys.stderr)
     return out

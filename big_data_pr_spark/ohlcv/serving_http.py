@@ -81,10 +81,11 @@ def _ts_ms(dt: datetime) -> int:
 class ServingBackend:
     """The five endpoint computations over the serving DataFrames.
 
-    Any table may be None (endpoint then answers with its empty shape,
-    like the reference does for a missing ES index). ``now_fn`` yields
-    the chart window's "now" Column — ``F.current_timestamp()`` in
-    production, a literal in tests for determinism.
+    Any table may be None: the realtime/chart endpoints then answer
+    with their empty shapes, but ``historical_data`` 404s (its
+    upstream route 404s on a missing ES index — app.py:190). ``now_fn``
+    yields the chart window's "now" Column — ``F.current_timestamp()``
+    in production, a literal in tests for determinism.
     """
 
     def __init__(
@@ -196,12 +197,16 @@ class ServingBackend:
             return {"error": "No artifacts directory configured."}, 404
         # app.py:203-206: the per-symbol window-size CONFIG check runs
         # before any filesystem lookup and is a 400, not a 404. The
-        # configured set here is "symbols with any artifact present".
+        # configured set here is "symbols with any artifact present" —
+        # derived EXACTLY by stripping the two artifact suffixes, not a
+        # prefix match (BTC must not ride on BTC_USDT's artifacts).
         try:
-            configured = any(
-                f.startswith(f"{symbol_req}_")
+            known = {
+                f.removesuffix("_xgboost_model.pkl").removesuffix("_scaler.pkl")
                 for f in os.listdir(self.artifacts_dir)
-            )
+                if f.endswith(("_xgboost_model.pkl", "_scaler.pkl"))
+            }
+            configured = symbol_req in known
         except OSError:
             configured = False
         if not configured:

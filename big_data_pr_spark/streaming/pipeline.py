@@ -401,6 +401,18 @@ def start_three_queries(
     the history."""
     parsed = parse_stream(raw)
     if bootstrap_watermark is not None:
+        # fail fast on an unparseable cutoff: under non-ANSI Spark the
+        # cast would yield NULL and `ts >= NULL` silently drops EVERY
+        # row — the worst possible failure mode for this flag
+        from datetime import datetime as _dt
+
+        try:
+            _dt.strptime(bootstrap_watermark, "%Y-%m-%d %H:%M:%S")
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                "bootstrap_watermark must be 'YYYY-MM-DD HH:MM:SS', got "
+                f"{bootstrap_watermark!r}"
+            ) from exc
         parsed = parsed.filter(
             F.col("event_timestamp") >= F.lit(bootstrap_watermark).cast("timestamp")
         )

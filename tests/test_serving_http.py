@@ -247,3 +247,18 @@ def test_pages_escape_markup_in_symbols(spark):
         assert "&lt;script&gt;" in body
     finally:
         srv.shutdown()
+
+
+def test_predict_prefix_symbol_not_treated_as_configured(spark, tmp_path):
+    # 'BTC' must not ride on BTC_USDT's artifacts via a prefix match —
+    # it is outside the configured set, so the reference's 400 applies
+    (tmp_path / "BTC_USDT_xgboost_model.pkl").write_bytes(b"x")
+    (tmp_path / "BTC_USDT_scaler.pkl").write_bytes(b"x")
+    backend = ServingBackend(artifacts_dir=str(tmp_path))
+    srv, port = start_server(backend)
+    try:
+        code, body, _ = _get(port, "/api/predict_xgboost/BTC_1h")
+        assert code == 400
+        assert "No specific XGBoost window size configured" in json.loads(body)["error"]
+    finally:
+        srv.shutdown()

@@ -601,3 +601,17 @@ def test_bootstrap_watermark_bounds_batch0_state(spark, tmp_path):
     ).replace(tzinfo=None)
     latest = spark.read.parquet(str(tmp_path / "boot" / "out" / "latest")).collect()
     assert len(latest) == 1 and latest[0]["timestamp_ms"] == T0_MS + (minutes - 1) * 60_000
+
+
+def test_bootstrap_watermark_rejects_unparseable_cutoff(spark, tmp_path):
+    """An unparseable cutoff must fail fast: under non-ANSI Spark the
+    cast yields NULL and `ts >= NULL` would silently drop every row."""
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    _write_batch(input_dir, "b.json", [_msg("BTC/USDT", 0, 1.0)])
+    raw = pipeline.file_source(spark, str(input_dir))
+    with pytest.raises(ValueError, match="bootstrap_watermark"):
+        pipeline.start_three_queries(
+            raw, str(tmp_path / "out"), str(tmp_path / "cp"),
+            bootstrap_watermark="2024/01/05",
+        )

@@ -319,10 +319,14 @@ def run_sustained(
 
 
 def main() -> None:
+    if "--bootstrap" in sys.argv and "--sustained" not in sys.argv:
+        sys.exit("usage: --bootstrap N requires --sustained")
     if "--sustained" in sys.argv:
         tail = None
         if "--bootstrap" in sys.argv:
             i = sys.argv.index("--bootstrap")
+            if i + 1 >= len(sys.argv) or not sys.argv[i + 1].isdigit():
+                sys.exit("usage: --bootstrap <tail-minutes> (integer)")
             tail = int(sys.argv[i + 1])
             del sys.argv[i : i + 2]
         args = [a for a in sys.argv[1:] if a != "--sustained"]
