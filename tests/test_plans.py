@@ -1231,3 +1231,16 @@ def test_plans_md_single_partition_column_all_clear():
             if "RAW-SP" in line
         )
     )
+
+
+def test_nested_output_guard_flags_map_and_struct(spark):
+    """The guard covers ALL nested kinds, not just arrays — map and
+    struct cells are equally unhashable for the driver canonicalizer."""
+    from tools.plan_audit import nested_output_columns
+
+    m = spark.range(2).select(
+        F.create_map(F.lit("k"), F.col("id")).alias("mv")
+    )
+    assert nested_output_columns(m) == ["mv: map<string,bigint>"]
+    st = spark.range(2).select(F.struct(F.col("id").alias("a")).alias("sv"))
+    assert nested_output_columns(st) == ["sv: struct<a:bigint>"]

@@ -615,3 +615,30 @@ def test_bootstrap_watermark_rejects_unparseable_cutoff(spark, tmp_path):
             raw, str(tmp_path / "out"), str(tmp_path / "cp"),
             bootstrap_watermark="2024/01/05",
         )
+
+
+def test_bootstrap_watermark_boundary_inclusive(spark, tmp_path):
+    """The cutoff is inclusive (>=): a row timestamped exactly at the
+    bootstrap point belongs to the STREAM, not the backfill — the
+    split is [backfill < cutoff <= stream], no row lost or doubled."""
+    import datetime as dt
+
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    # minutes 0,1,2 — cutoff exactly at minute 1
+    _write_batch(
+        input_dir, "b.json", [_msg("BTC/USDT", m, 100.0 + m) for m in range(3)]
+    )
+    cutoff = dt.datetime.fromtimestamp(
+        (T0_MS + 1 * 60_000) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    raw = pipeline.file_source(spark, str(input_dir))
+    queries = pipeline.start_three_queries(
+        raw, str(tmp_path / "out"), str(tmp_path / "cp"),
+        bootstrap_watermark=cutoff,
+    )
+    for q in queries:
+        q.awaitTermination(120)
+    chart = spark.read.parquet(str(tmp_path / "out" / "chart"))
+    kept = sorted(r["timestamp_ms"] for r in chart.collect())
+    assert kept == [T0_MS + 60_000, T0_MS + 2 * 60_000]
