@@ -694,7 +694,13 @@ def training_fit_seconds(spark, sf_dir: str) -> dict[str, float | None]:
         out["bpe_fit_sec"] = round(time.time() - t0, 3)
 
         # pairs materialized (and counted) BEFORE the clock so the
-        # number isolates the component loop, not LSH pair generation
+        # number excludes LSH pair generation. NOTE (r10 advice):
+        # connected_components still does its own localCheckpoint() +
+        # count() of the input inside the timed region, so cc_fit_sec
+        # = one pair-set materialization + the propagation loop; it
+        # reads slightly high and scales with pair-set size — compare
+        # rounds at the same SF, and don't attribute a delta here to
+        # the loop without first checking the pair count.
         pairs = dedup.minhash_lsh_pairs(docs, min_est_jaccard=0.5).persist()
         try:
             pairs.count()

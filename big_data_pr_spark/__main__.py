@@ -401,9 +401,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--trigger-chart", default="15 seconds")
     s.add_argument(
         "--bootstrap-watermark", default=None, metavar="TS",
-        help="event-time cutoff ('YYYY-MM-DD HH:MM:SS'): rows older than "
-        "this belong to the batch backfill; bounds batch-0 state when "
-        "starting over a historical file set (SCALE.md bootstrap rule)",
+        help="event-time cutoff in UTC ('YYYY-MM-DD HH:MM:SS'; the "
+        "session timezone is pinned UTC): rows older than this belong "
+        "to the batch backfill; bounds batch-0 state when starting "
+        "over a historical file set (SCALE.md bootstrap rule)",
     )
     s.set_defaults(fn=cmd_stream)
 

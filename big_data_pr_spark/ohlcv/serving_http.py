@@ -197,18 +197,26 @@ class ServingBackend:
             return {"error": "No artifacts directory configured."}, 404
         # app.py:203-206: the per-symbol window-size CONFIG check runs
         # before any filesystem lookup and is a 400, not a 404. The
-        # configured set here is "symbols with any artifact present" —
-        # derived EXACTLY by stripping the two artifact suffixes, not a
-        # prefix match (BTC must not ride on BTC_USDT's artifacts).
-        try:
-            known = {
-                f.removesuffix("_xgboost_model.pkl").removesuffix("_scaler.pkl")
-                for f in os.listdir(self.artifacts_dir)
-                if f.endswith(("_xgboost_model.pkl", "_scaler.pkl"))
-            }
-            configured = symbol_req in known
-        except OSError:
-            configured = False
+        # reference's config is STATIC and a SUBSTRING match
+        # (`if "BTC_USDT" in symbol_req` / `"ETH_USDT" in symbol_req`),
+        # so BTC_USDT and ETH_USDT — and e.g. BTC_USDT_PERP — are
+        # always configured and fall through to the 404 file check even
+        # with no artifacts on disk. We honor that contract exactly,
+        # and ADDITIONALLY treat any symbol with an artifact present as
+        # configured (exact suffix strip, not a prefix match — BTC must
+        # not ride on BTC_USDT's artifacts), so extra shipped artifacts
+        # stay servable.
+        configured = "BTC_USDT" in symbol_req or "ETH_USDT" in symbol_req
+        if not configured:
+            try:
+                known = {
+                    f.removesuffix("_xgboost_model.pkl").removesuffix("_scaler.pkl")
+                    for f in os.listdir(self.artifacts_dir)
+                    if f.endswith(("_xgboost_model.pkl", "_scaler.pkl"))
+                }
+                configured = symbol_req in known
+            except OSError:
+                configured = False
         if not configured:
             return {
                 "error": "No specific XGBoost window size configured "

@@ -15,6 +15,11 @@ insensitive value hash):
   alias everything on both sides;
 - float aggregates are rounded (4-6 dp) on BOTH sides so
   accumulation-order differences between engines can't flip the hash;
+- rounded float outputs that can be NEGATIVE near zero are
+  sign-normalized on BOTH sides (``roundz`` here / ``+ 0.0`` in the
+  oracle SQL): a value like -3.8e-7 rounds to IEEE -0.0 in DuckDB but
+  +0.0 in Spark — numerically equal, hash-DIFFERENT under the driver's
+  typed-bytes hash (round-10 red row ``sharpe_sortino_calmar``);
 - every LIMIT/top-k is preceded by a total order (unique tie-break
   column) so the selected row set is deterministic.
 """
@@ -37,6 +42,22 @@ class QuerySpec:
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+
+def roundz(col, scale: int = 6):
+    """Sign-normalized round for float output columns.
+
+    ``round()`` of a tiny negative (e.g. -3.8e-7) yields IEEE **-0.0**
+    in DuckDB but **+0.0** under Spark's ``F.round`` — numerically
+    equal, but the driver hashes typed bytes and the sign bit differs
+    (round-10 driver-red ``sharpe_sortino_calmar``). Adding literal
+    +0.0 canonicalizes: IEEE round-to-nearest gives -0.0 + 0.0 = +0.0,
+    and every other value is unchanged. The oracle twin must apply the
+    same normalization: ``round(x, n) + 0.0``.
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(col, scale) + F.lit(0.0)
 
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import register, roundz
 
 # Shared daily-revenue CTE: |days|-sized, one scan of orders.
 _DAILY_REV = """
@@ -72,21 +72,23 @@ def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT CAST(count(r) AS BIGINT) AS n_days,
-           round(avg(r), 6) AS mean_ret,
-           round(stddev_samp(r), 6) AS sd_ret,
-           round(avg(r) / stddev_samp(r), 6) AS sharpe,
+           round(avg(r), 6) + 0.0 AS mean_ret,
+           round(stddev_samp(r), 6) + 0.0 AS sd_ret,
+           round(avg(r) / stddev_samp(r), 6) + 0.0 AS sharpe,
            round(avg(r) / sqrt(avg(CASE WHEN r < 0 THEN r * r
                                         WHEN r IS NULL THEN NULL
-                                        ELSE 0.0 END)), 6) AS sortino,
-           round(max(ddown), 6) AS max_drawdown_log,
-           round(avg(r) / max(ddown), 6) AS calmar
+                                        ELSE 0.0 END)), 6) + 0.0 AS sortino,
+           round(max(ddown), 6) + 0.0 AS max_drawdown_log,
+           round(avg(r) / max(ddown), 6) + 0.0 AS calmar
     FROM dd
     """,
     doc="Risk-adjusted-return panel over daily revenue log-returns: "
     "Sharpe (mean/sd), Sortino (mean/downside deviation, full-sample "
     "denominator), and Calmar (mean/max log drawdown). One orders scan "
     "-> |days| table; lag + running-sum + running-max windows ride the "
-    "compressed daily domain; final single-row aggregate. "
+    "compressed daily domain; final single-row aggregate. Rounded "
+    "outputs sign-normalized (roundz): calmar legitimately rounds to "
+    "zero from below (r10 driver-red: DuckDB -0.0 vs Spark +0.0). "
     "Reference: batch_processor.py daily revenue rollup, report §8.",
 )
 def sharpe_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,12 +104,12 @@ def sharpe_sortino_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return dd.agg(
         F.count("r").cast("long").alias("n_days"),
-        F.round(F.avg("r"), 6).alias("mean_ret"),
-        F.round(F.stddev_samp("r"), 6).alias("sd_ret"),
-        F.round(F.avg("r") / F.stddev_samp("r"), 6).alias("sharpe"),
-        F.round(F.avg("r") / F.sqrt(F.avg(downside)), 6).alias("sortino"),
-        F.round(F.max("ddown"), 6).alias("max_drawdown_log"),
-        F.round(F.avg("r") / F.max("ddown"), 6).alias("calmar"),
+        roundz(F.avg("r")).alias("mean_ret"),
+        roundz(F.stddev_samp("r")).alias("sd_ret"),
+        roundz(F.avg("r") / F.stddev_samp("r")).alias("sharpe"),
+        roundz(F.avg("r") / F.sqrt(F.avg(downside))).alias("sortino"),
+        roundz(F.max("ddown")).alias("max_drawdown_log"),
+        roundz(F.avg("r") / F.max("ddown")).alias("calmar"),
     )
 
 

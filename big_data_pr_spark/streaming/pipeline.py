@@ -383,8 +383,12 @@ def start_three_queries(
     each query gets its own checkpoint (T5). ``triggers`` maps query
     name → processingTime string; absent → availableNow (test mode).
 
-    ``bootstrap_watermark`` (timestamp string, e.g. ``"2024-01-05
-    00:00:00"``) is the 100 TB stream-bootstrap rule (SCALE.md
+    ``bootstrap_watermark`` (**UTC** timestamp string, e.g.
+    ``"2024-01-05 00:00:00"`` — the cast runs in the session timezone,
+    pinned UTC in ``session.py``; a local-time value would place the
+    batch/stream split at the wrong instant and silently drop or
+    double-write up to a TZ-offset of rows vs the backfill) is the
+    100 TB stream-bootstrap rule (SCALE.md
     round-9 sustained probe) as code: starting a stream over a
     historical file set otherwise materializes batch-0 state
     proportional to the HISTORY's time span, because no watermark

@@ -515,12 +515,48 @@ def test_no_nested_output_schema_anywhere(spark, sf_dir):
     # ... and clear a flat frame
     assert nested_output_columns(spark.range(3).toDF("id")) == []
 
+    import os
+
+    import duckdb
+    import pyarrow as pa
+
+    from big_data_pr_spark.tables import TABLE_NAMES
+
+    def _nested_arrow(schema: pa.Schema) -> list[str]:
+        return [
+            f"{f.name}: {f.type}"
+            for f in schema
+            if pa.types.is_list(f.type)
+            or pa.types.is_large_list(f.type)
+            or pa.types.is_fixed_size_list(f.type)
+            or pa.types.is_struct(f.type)
+            or pa.types.is_map(f.type)
+        ]
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
     bad = []
     for name in sorted(REGISTRY):
         if name in _PLAN_SWEEP_SKIP:
-            # skip-set queries run sinks inside fn(); their outputs are
-            # flat scalar stats by construction — still cheap-checked
-            # via their own roundtrip tests
+            # skip-set queries run fits/sinks inside fn(), so building
+            # the Spark frame is too expensive here — but the lint must
+            # not rest on a comment. The driver hashes the ORACLE
+            # result with the same canonicalizer, and oracle column
+            # kinds must match Spark's for the row to be green, so the
+            # oracle's LIMIT-0 Arrow schema is an equivalent check for
+            # every oracle-backed skip query. Rows-only skip queries
+            # (the 4 training fits) are never hashed by the driver at
+            # all — genuinely exempt.
+            if REGISTRY[name].oracle is not None:
+                osch = con.execute(
+                    f"SELECT * FROM ({REGISTRY[name].oracle}) LIMIT 0"
+                ).fetch_arrow_table().schema
+                if _nested_arrow(osch):
+                    bad.append((name, _nested_arrow(osch)))
             continue
         try:
             nested = nested_output_columns(REGISTRY[name].fn(spark, sf_dir))

@@ -218,3 +218,37 @@ def test_verifier_catches_hugeint(spark, duck, sf_dir):
         del REGISTRY[name]
     assert not ok
     assert "decimal" in msg, msg
+
+
+def test_verifier_catches_signed_zero(spark, duck, sf_dir):
+    """Regression (round-10 lesson): the comparator must FAIL on IEEE
+    -0.0 vs +0.0 — numerically equal, but the driver hashes typed bytes
+    and the sign bit differs (`sharpe_sortino_calmar` r10 driver-red).
+    The previous `repr(v + 0.0)` normalization collapsed exactly this
+    class. Oracle emits -0.0 via IEEE `-1.0 * 0.0`; Spark emits +0.0."""
+    from big_data_pr_spark.queries.registry import QuerySpec
+    from tools import verify_oracle
+
+    def fn(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        return spark.range(1).select(F.lit(0.0).alias("z"))
+
+    name = "__signed_zero_regression__"
+    REGISTRY[name] = QuerySpec(
+        fn=fn, oracle="SELECT -1.0 * CAST(0.0 AS DOUBLE) AS z", doc="test-only"
+    )
+    try:
+        ok, msg = verify_oracle.compare(name, spark, duck, sf_dir)
+        # and the sign-normalized form (the roundz/+0.0 contract) passes
+        REGISTRY[name] = QuerySpec(
+            fn=fn,
+            oracle="SELECT -1.0 * CAST(0.0 AS DOUBLE) + 0.0 AS z",
+            doc="test-only",
+        )
+        ok_fixed, msg_fixed = verify_oracle.compare(name, spark, duck, sf_dir)
+    finally:
+        del REGISTRY[name]
+    assert not ok, "comparator must distinguish -0.0 from +0.0"
+    assert "values differ" in msg, msg
+    assert ok_fixed, f"+0.0 normalization should restore the match: {msg_fixed}"

@@ -148,6 +148,22 @@ def test_predict_error_contract(server):
     assert "No specific XGBoost window size configured" in json.loads(body)["error"]
 
 
+def test_predict_static_config_contract(tmp_path):
+    """app.py:204-206 — the window-size config is STATIC and a
+    SUBSTRING match: BTC_USDT/ETH_USDT (and e.g. BTC_USDT_PERP) are
+    configured even with NO artifact files on disk, so a missing file
+    is a 404 'Model ... not found', never the 400 config error."""
+    backend = ServingBackend(artifacts_dir=str(tmp_path))
+    for sym in ("ETH_USDT_1h", "BTC_USDT_1h", "BTC_USDT_PERP_1h"):
+        payload, code = backend.predict(sym)
+        assert code == 404, (sym, payload)
+        assert "not found" in payload["error"], (sym, payload)
+    # outside the static config AND no artifact on disk → 400
+    payload, code = backend.predict("DOGE_USDT_1h")
+    assert code == 400
+    assert "No specific XGBoost window size configured" in payload["error"]
+
+
 def test_predict_real_artifacts_24_steps(server, spark):
     if not os.path.isdir("/root/reference/trained_models"):
         pytest.skip("reference artifacts not present")

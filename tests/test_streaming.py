@@ -642,3 +642,85 @@ def test_bootstrap_watermark_boundary_inclusive(spark, tmp_path):
     chart = spark.read.parquet(str(tmp_path / "out" / "chart"))
     kept = sorted(r["timestamp_ms"] for r in chart.collect())
     assert kept == [T0_MS + 60_000, T0_MS + 2 * 60_000]
+
+
+def test_lambda_reconciliation_batch_plus_stream(spark, tmp_path):
+    """r10 verdict #5: the documented 100 TB bootstrap pattern
+    end-to-end — the batch backfill owns history (< cutoff), the
+    bootstrapped stream owns the tail (>= cutoff), and the two meet at
+    the cutoff with NO gap and NO overlap: backfill ∪ stream-chart ==
+    the full-history batch result on the shared (timestamp, close,
+    volume) projection. This is the reference's Lambda reconciliation
+    contract (batch_processor.py historical CSVs + stream_processor.py
+    live feed writing the same serving store)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.ohlcv import batch
+
+    minutes, cutoff_min = 120, 90
+    closes = [100.0 + (m % 7) for m in range(minutes)]
+
+    def write_candle_csv(path, rng):
+        with open(path, "w") as f:
+            f.write("timestamp,open,high,low,close,volume,datetime_str\n")
+            for m in rng:
+                c = closes[m]
+                f.write(
+                    f"{T0_MS + m * 60_000},{c - 0.5},{c + 1},{c - 1},{c},1.0,t{m}\n"
+                )
+
+    # ground truth: one batch run over the FULL history
+    full_dir = tmp_path / "csv_full"
+    full_dir.mkdir()
+    write_candle_csv(str(full_dir / "BTC_USDT_1m.csv"), range(minutes))
+    batch.run_batch(
+        spark, [str(full_dir) + "/*.csv"], str(tmp_path / "tbl_full")
+    )
+
+    # the split: backfill batch owns [0, cutoff) ...
+    pre_dir = tmp_path / "csv_pre"
+    pre_dir.mkdir()
+    write_candle_csv(str(pre_dir / "BTC_USDT_1m.csv"), range(cutoff_min))
+    batch.run_batch(spark, [str(pre_dir) + "/*.csv"], str(tmp_path / "tbl_pre"))
+
+    # ... and the stream replays the WHOLE feed but bootstraps at the
+    # cutoff, so it owns only [cutoff, end)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _write_batch(
+        in_dir,
+        "history.json",
+        [_msg("BTC/USDT", m, closes[m]) for m in range(minutes)],
+    )
+    cutoff_str = dt.datetime.fromtimestamp(
+        (T0_MS + cutoff_min * 60_000) / 1000, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    queries = pipeline.start_three_queries(
+        pipeline.file_source(spark, str(in_dir)),
+        str(tmp_path / "out"),
+        str(tmp_path / "cp"),
+        bootstrap_watermark=cutoff_str,
+    )
+    for q in queries:
+        q.awaitTermination(180)
+
+    def proj(df, ts_ms_col):
+        return {
+            (r[0], r[1], r[2])
+            for r in df.select(ts_ms_col, "close", "volume").collect()
+        }
+
+    ts_from_s = (F.col("timestamp_s") * 1000).cast("long").alias("ts")
+    full = proj(spark.read.parquet(str(tmp_path / "tbl_full")).select(
+        ts_from_s, "close", "volume"), "ts")
+    pre = proj(spark.read.parquet(str(tmp_path / "tbl_pre")).select(
+        ts_from_s, "close", "volume"), "ts")
+    tail = proj(spark.read.parquet(str(tmp_path / "out" / "chart")),
+                "timestamp_ms")
+
+    assert len(full) == minutes
+    assert not (pre & tail), "cutoff overlap: a row written by BOTH layers"
+    assert pre | tail == full, "gap: batch ∪ stream misses history rows"
+    assert len(pre) == cutoff_min and len(tail) == minutes - cutoff_min

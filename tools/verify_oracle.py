@@ -19,8 +19,8 @@ Usage: python tools/verify_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import os
+import struct
 import sys
 import time
 
@@ -78,10 +78,14 @@ def _norm(v):
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 / 0.0 and represent with enough digits
-        return repr(v + 0.0)
+        # IEEE-754 bit pattern — driver parity (round-10 lesson): the
+        # driver hashes TYPED bytes, so -0.0 vs +0.0 (sign bit) and any
+        # NaN-payload divergence are driver hash-fails even though they
+        # compare numerically equal. The previous version collapsed
+        # -0.0/+0.0 with `repr(v + 0.0)` and masked exactly that class:
+        # sharpe_sortino_calmar's calmar rounded to -0.0 in DuckDB and
+        # +0.0 in Spark, passed here, failed the r10 driver row.
+        return struct.pack("<d", v).hex()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
