@@ -391,7 +391,7 @@ _PCA_PROBE_DIMS = 8  # covariance probe: upper triangle of the leading 8×8 bloc
              CAST(e.embedding[p.i] AS DOUBLE) AS x,
              CAST(e.embedding[p.j] AS DOUBLE) AS y
       FROM embeddings e JOIN pairs p ON TRUE)
-    SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) AS cov
+    SELECT i, j, round(avg(x * y) - avg(x) * avg(y), 6) + 0.0 AS cov
     FROM cells GROUP BY i, j
     ORDER BY i, j
     """,
@@ -408,8 +408,14 @@ def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     n, s, g = pca.gram_stats(emb, "embedding", dim=64)
     m = [si / n for si in s]
+    # + 0.0 sign-normalizes Python's round (a tiny negative covariance
+    # rounds to -0.0) — registry.py signed-zero contract, r10 lesson
     rows = [
-        (i + 1, j + 1, round(float(g[i][j]) / n - float(m[i]) * float(m[j]), 6))
+        (
+            i + 1,
+            j + 1,
+            round(float(g[i][j]) / n - float(m[i]) * float(m[j]), 6) + 0.0,
+        )
         for i in range(_PCA_PROBE_DIMS)
         for j in range(i, _PCA_PROBE_DIMS)
     ]

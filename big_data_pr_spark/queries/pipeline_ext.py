@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..operators import layout, privacy
 from ..tables import load
 from ..timeutil import epoch_micros
-from .registry import register
+from .registry import register, roundz
 
 # ---------------------------------------------------------------- layout
 
@@ -444,10 +444,10 @@ def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(n_pos) AS p, sum(n_neg) AS q FROM per_bin)
     SELECT decile, n_pos, n_neg,
            round(ln(((n_pos + 0.5) / (p + 5.0))
-                    / ((n_neg + 0.5) / (q + 5.0))), 6) AS woe,
+                    / ((n_neg + 0.5) / (q + 5.0))), 6) + 0.0 AS woe,
            round(((n_pos + 0.5) / (p + 5.0) - (n_neg + 0.5) / (q + 5.0))
                  * ln(((n_pos + 0.5) / (p + 5.0))
-                      / ((n_neg + 0.5) / (q + 5.0))), 6) AS iv_term
+                      / ((n_neg + 0.5) / (q + 5.0))), 6) + 0.0 AS iv_term
     FROM per_bin CROSS JOIN tot ORDER BY decile
     """,
     doc="Weight-of-evidence value binning vs the purchase label: cut "
@@ -497,9 +497,12 @@ def woe_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "n_pos",
             "n_neg",
-            F.round(F.log(pos_rate / neg_rate), 6).alias("woe"),
-            F.round(
-                (pos_rate - neg_rate) * F.log(pos_rate / neg_rate), 6
+            # roundz: woe/iv_term are signed and legitimately near
+            # zero — sign-normalize so a -0.0 can never hash-diverge
+            # (registry.py signed-zero contract, r10 lesson)
+            roundz(F.log(pos_rate / neg_rate)).alias("woe"),
+            roundz(
+                (pos_rate - neg_rate) * F.log(pos_rate / neg_rate)
             ).alias("iv_term"),
         )
         .orderBy("decile")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import register, roundz
 
 # ---------------------------------------------------------------------------
 # Shared rank helper: avg rank per distinct value via sorted prefix sums
@@ -546,7 +546,7 @@ def benjamini_hochberg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                - row_number() OVER (ORDER BY day) * mu AS cusum
       FROM d, m
     )
-    SELECT day, x, round(cusum, 6) AS cusum,
+    SELECT day, x, round(cusum, 6) + 0.0 AS cusum,
            abs(cusum) = max(abs(cusum)) OVER () AS is_peak
     FROM c ORDER BY day
     """,
@@ -555,7 +555,10 @@ def benjamini_hochberg_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "max-likelihood single changepoint under a mean-shift model) "
     "flagged. Integer daily counts make the statistic bit-deterministic "
     "across engines. The series is one grouped scan; the window runs "
-    "over n_days rows only.",
+    "over n_days rows only. The LAST row's cusum is mathematically "
+    "zero (sum - n*mu) but its float sign is accumulation-order "
+    "dependent (-0.0 in DuckDB at sf0.001) — sign-normalized via "
+    "roundz / + 0.0 (registry.py signed-zero contract).",
 )
 def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -575,7 +578,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "day",
         "x",
-        F.round("cusum", 6).alias("cusum"),
+        roundz(F.col("cusum")).alias("cusum"),
         (F.abs("cusum") == F.max(F.abs("cusum")).over(wall)).alias("is_peak"),
     ).orderBy("day")
 

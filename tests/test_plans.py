@@ -515,12 +515,9 @@ def test_no_nested_output_schema_anywhere(spark, sf_dir):
     # ... and clear a flat frame
     assert nested_output_columns(spark.range(3).toDF("id")) == []
 
-    import os
-
-    import duckdb
     import pyarrow as pa
 
-    from big_data_pr_spark.tables import TABLE_NAMES
+    from tools.verify_oracle import duck_connect
 
     def _nested_arrow(schema: pa.Schema) -> list[str]:
         return [
@@ -533,38 +530,38 @@ def test_no_nested_output_schema_anywhere(spark, sf_dir):
             or pa.types.is_map(f.type)
         ]
 
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+    con = duck_connect(sf_dir)
     bad = []
-    for name in sorted(REGISTRY):
-        if name in _PLAN_SWEEP_SKIP:
-            # skip-set queries run fits/sinks inside fn(), so building
-            # the Spark frame is too expensive here — but the lint must
-            # not rest on a comment. The driver hashes the ORACLE
-            # result with the same canonicalizer, and oracle column
-            # kinds must match Spark's for the row to be green, so the
-            # oracle's LIMIT-0 Arrow schema is an equivalent check for
-            # every oracle-backed skip query. Rows-only skip queries
-            # (the 4 training fits) are never hashed by the driver at
-            # all — genuinely exempt.
-            if REGISTRY[name].oracle is not None:
-                osch = con.execute(
-                    f"SELECT * FROM ({REGISTRY[name].oracle}) LIMIT 0"
-                ).fetch_arrow_table().schema
-                if _nested_arrow(osch):
-                    bad.append((name, _nested_arrow(osch)))
-            continue
-        try:
-            nested = nested_output_columns(REGISTRY[name].fn(spark, sf_dir))
-        except Exception as e:  # noqa: BLE001
-            bad.append((name, f"plan build failed: {e}"))
-            continue
-        if nested:
-            bad.append((name, nested))
+    try:
+        for name in sorted(REGISTRY):
+            if name in _PLAN_SWEEP_SKIP:
+                # skip-set queries run fits/sinks inside fn(), so
+                # building the Spark frame is too expensive here — but
+                # the lint must not rest on a comment. The driver
+                # hashes the ORACLE result with the same canonicalizer,
+                # and oracle column kinds must match Spark's for the
+                # row to be green, so the oracle's LIMIT-0 Arrow schema
+                # is an equivalent check for every oracle-backed skip
+                # query. Rows-only skip queries (the 4 training fits)
+                # are never hashed by the driver at all — genuinely
+                # exempt.
+                if REGISTRY[name].oracle is not None:
+                    osch = con.execute(
+                        f"SELECT * FROM ({REGISTRY[name].oracle}) LIMIT 0"
+                    ).fetch_arrow_table().schema
+                    nested_o = _nested_arrow(osch)
+                    if nested_o:
+                        bad.append((name, nested_o))
+                continue
+            try:
+                nested = nested_output_columns(REGISTRY[name].fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001
+                bad.append((name, f"plan build failed: {e}"))
+                continue
+            if nested:
+                bad.append((name, nested))
+    finally:
+        con.close()
     assert not bad, bad
 
 

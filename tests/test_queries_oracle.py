@@ -5,22 +5,16 @@ from __future__ import annotations
 
 import os
 
-import duckdb
 import pytest
 
 from big_data_pr_spark.queries import REGISTRY
-from big_data_pr_spark.tables import TABLE_NAMES
 
-from tools.verify_oracle import compare
+from tools.verify_oracle import compare, duck_connect
 
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+    con = duck_connect(sf_dir)
     yield con
     con.close()
 
@@ -187,6 +181,43 @@ def test_no_decimal_oracle_columns(duck, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_no_negative_zero_oracle_cells(duck, sf_dir):
+    """Registry-wide signed-zero lint (round-10 lesson, the companion
+    of test_no_decimal_oracle_columns): a float output cell of IEEE
+    -0.0 means the query rounds a signed quantity that lands at zero
+    from below — exactly the configuration where Spark's F.round
+    yields +0.0 and the driver's typed hash flips
+    (sharpe_sortino_calmar, r10's only red row). The convention is to
+    sign-normalize on BOTH sides (registry.roundz / oracle `+ 0.0`),
+    so NO oracle may emit a -0.0 at the fixture SFs. Data-dependent by
+    nature: the per-query compare gates catch an actual mismatch; this
+    lint catches the exposure before the data ever exercises it."""
+    import math
+
+    import pyarrow as pa
+
+    offenders = {}
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            continue
+        tbl = duck.execute(spec.oracle).fetch_arrow_table()
+        bad = [
+            f.name
+            for f in tbl.schema
+            if pa.types.is_floating(f.type)
+            and any(
+                v is not None and v == 0.0 and math.copysign(1.0, v) < 0
+                for v in tbl.column(f.name).to_pylist()
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle emits -0.0 (apply roundz / '+ 0.0'): {offenders}"
+    )
 
 
 def test_verifier_catches_hugeint(spark, duck, sf_dir):

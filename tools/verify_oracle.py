@@ -34,6 +34,19 @@ from big_data_pr_spark.session import get_spark  # noqa: E402
 from big_data_pr_spark.tables import TABLE_NAMES  # noqa: E402
 
 
+def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """DuckDB connection with every fixture table registered as a view —
+    the single bootstrap shared by this gate, the pytest oracle suite,
+    and the plan-audit lints (keep them byte-identical: a fixture-layout
+    change must hit every consumer at once)."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    return con
+
+
 def type_kind(t: pa.DataType) -> str:
     """Collapse an Arrow type to the kind the driver's typed hash keys on.
 
@@ -85,7 +98,10 @@ def _norm(v):
         # -0.0/+0.0 with `repr(v + 0.0)` and masked exactly that class:
         # sharpe_sortino_calmar's calmar rounded to -0.0 in DuckDB and
         # +0.0 in Spark, passed here, failed the r10 driver row.
-        return struct.pack("<d", v).hex()
+        # repr prefix keeps mismatch reports human-readable; the hex
+        # suffix carries the exact bits (repr alone already separates
+        # -0.0 from 0.0, but not NaN payloads).
+        return f"{v!r}:{struct.pack('<d', v).hex()}"
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
@@ -152,11 +168,7 @@ def main() -> int:
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args or sorted(REGISTRY)
     spark = get_spark("verify_oracle")
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+    con = duck_connect(sf_dir)
     failed = []
     for name in names:
         try:
