@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .registry import register
+from .registry import register, roundz
 
 _PERIODS = list(range(2, 31))
 
@@ -765,7 +765,7 @@ def breusch_pagan_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY f.i
     )
     SELECT CAST(i AS BIGINT) AS grid_i,
-           round(slope, 6) AS slope,
+           round(slope, 6) + 0.0 AS slope,
            round(pinball, 6) AS pinball_loss,
            pinball = min(pinball) OVER () AS is_best
     FROM loss ORDER BY grid_i
@@ -822,7 +822,10 @@ def lad_trend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return loss.select(
         F.col("i").cast("long").alias("grid_i"),
-        F.round("slope", 6).alias("slope"),
+        # roundz: grid_i=0 has slope = b_ols * 0, which is IEEE -0.0
+        # when b_ols < 0 — DuckDB preserves the sign, Spark's round
+        # canonicalizes (surfaced by the sf0.1 bit-exact sweep, r11)
+        roundz(F.col("slope")).alias("slope"),
         F.round("pinball", 6).alias("pinball_loss"),
         (F.col("pinball") == F.min("pinball").over(wall)).alias("is_best"),
     ).orderBy("grid_i")
