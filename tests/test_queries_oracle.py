@@ -220,6 +220,29 @@ def test_no_negative_zero_oracle_cells(duck, sf_dir):
     )
 
 
+def test_roundz_sign_normalization(spark):
+    """registry.roundz contract: -0.0 → +0.0 (the whole point), every
+    other value — positive, negative, NULL — passes through as plain
+    round(x, n) would. Checked by bit pattern, not numeric equality."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from big_data_pr_spark.queries.registry import roundz
+
+    cases = [-3.8e-7, -0.0, 0.0, 3.8e-7, -1.2345675, 1.2345675, None]
+    df = spark.createDataFrame([(v,) for v in cases], "x double")
+    got = [r["z"] for r in df.select(roundz(F.col("x")).alias("z")).collect()]
+    for v, z in zip(cases, got):
+        if v is None:
+            assert z is None
+            continue
+        want = round(v, 6) + 0.0  # Python round + the same normalization
+        assert struct.pack("<d", z) == struct.pack("<d", want), (v, z, want)
+        assert math.copysign(1.0, z) > 0 or z != 0.0, (v, z)
+
+
 def test_verifier_catches_hugeint(spark, duck, sf_dir):
     """Regression: the hardened Arrow-typed comparator must FAIL a
     deliberately un-CAST integer-sum oracle even though every value is

@@ -151,7 +151,13 @@ def load_state():
 
 
 def suggest(ledger, never) -> list[str]:
-    """A 50-name _FRONT for the next round."""
+    """A 50-name _FRONT for the next round.
+
+    Priority: flagship, then never-driver-verified oracle-backed
+    queries, then never-RUN rows-only queries (their weaker rows-only
+    driver check still needs a window slot to be recorded — the r11
+    spill plan seats the 14 of them in r12), then family insurance /
+    already-green top-up."""
     picks: list[str] = [FLAGSHIP]
     # never-verified in _POST_FREEZE declaration order (builder priority),
     # then any stragglers alphabetically — but names that are a family's
@@ -173,6 +179,18 @@ def suggest(ledger, never) -> list[str]:
             break
         if n not in picks:
             picks.append(n)
+    # never-RUN rows-only queries come next: the driver's rows-only
+    # check is weaker but it is still the only driver-side record these
+    # queries can ever get (each decision is also covered by a green
+    # md5/lit twin — COVERAGE.md)
+    rows_only_never = sorted(
+        n for n in REGISTRY
+        if REGISTRY[n].oracle is None and n not in ledger and n not in picks
+    )
+    for n in rows_only_never:
+        if len(picks) >= 50:
+            break
+        picks.append(n)
     # family insurance (r8 relaxation, per r7 verdict #1/#2: burn debt):
     # a family is covered if it has a window rep OR any driver-green
     # member in the ledger — fully-certified families no longer spend
