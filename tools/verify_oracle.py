@@ -15,6 +15,13 @@ FAIL (cast to BIGINT in the oracle SQL), and per-column type *kinds*
 (int/float/bool/string/binary/date/timestamp/list/struct) must agree.
 
 Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+
+Set ``SPARK_GRAFT_VANILLA=1`` to run under a bare
+``SparkSession.builder.master('local[8]')`` + UTC session instead of
+``session.get_spark`` — replicating the DRIVER's session (no AQE /
+Arrow / broadcast-threshold / shuffle-partition overrides). Config
+dependence is a proven divergence class (the nanosAsLong lesson);
+round 11 certified all 67 not-yet-driver-verified queries this way.
 """
 
 from __future__ import annotations
@@ -167,7 +174,18 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args or sorted(REGISTRY)
-    spark = get_spark("verify_oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify_oracle")
     con = duck_connect(sf_dir)
     failed = []
     for name in names:
