@@ -784,6 +784,55 @@ def ann_recall(spark, sf_dir: str) -> dict[str, float | None]:
     return out
 
 
+def assemble_payload(
+    timings: dict, medians: dict, stream_breakdown: dict, prev: dict,
+    *, stream_rps, fit_secs: dict, recalls: dict, load_start, total, sf,
+) -> dict:
+    """Build the bench JSON payload with the TAIL-SAFE key order.
+
+    Key order matters: the driver's log capture keeps only the TAIL of
+    stdout (BENCH_r05 lost the headline total because the large
+    per-query dicts pushed the leading scalars out of the window), so
+    the big dicts go FIRST and every summary scalar LAST. The per-query
+    dicts are emitted SORTED BY NAME (r6 verdict #6: HEADLINE-order
+    tails never overlap across rounds, which made cross-round
+    comparison impossible from the artifacts alone), and the full
+    payload is also written to BENCH_LOCAL.json in the repo so no
+    truncation can hide any number.
+
+    The carried-forward sustained-streaming record from *prev* (the
+    previous BENCH_LOCAL.json — produced by tools/stream_probe.py
+    --sustained, not by this harness) is inserted with the big dicts,
+    NOT appended after the scalars: appending it last defeated the r6
+    fix and left BENCH_r10/r11 driver tails ending inside this static
+    record, parsed as null (r11 verdict #2). Guard:
+    tests/test_bench_payload.py pins ``list(payload)[-1] == "value"``.
+    """
+    payload = {
+        "queries": dict(sorted(timings.items())),
+        "queries_median": dict(sorted(medians.items())),
+        "streaming_breakdown": stream_breakdown,
+    }
+    for key in ("streaming_sustained", "streaming_sustained_bootstrap"):
+        if key in prev:
+            payload[key] = prev[key]
+    payload.update({
+        "streaming_rows_per_sec": stream_rps,
+        "streaming_input_rows": STREAM_ROWS,
+        **fit_secs,
+        **recalls,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "repeats": REPEATS,
+        "n_queries": len(timings),
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value": total,
+    })
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -821,46 +870,24 @@ def main() -> None:
     stream_rps, stream_breakdown = streaming_rows_per_sec(spark, sf_dir)
     fit_secs = training_fit_seconds(spark, sf_dir)
     recalls = ann_recall(spark, sf_dir)
-    # Key order matters: the driver's log capture keeps only the TAIL of
-    # stdout (BENCH_r05 lost the headline total because the large
-    # per-query dicts pushed the leading scalars out of the window), so
-    # the big dicts go FIRST and every summary scalar LAST. The
-    # per-query dicts are emitted SORTED BY NAME (r6 verdict #6:
-    # HEADLINE-order tails never overlap across rounds, which made
-    # cross-round comparison impossible from the artifacts alone), and
-    # the full payload is also written to BENCH_LOCAL.json in the repo
-    # so no truncation can hide any number.
-    payload = {
-        "queries": dict(sorted(timings.items())),
-        "queries_median": dict(sorted(medians.items())),
-        "streaming_breakdown": stream_breakdown,
-        "streaming_rows_per_sec": stream_rps,
-        "streaming_input_rows": STREAM_ROWS,
-        **fit_secs,
-        **recalls,
-        "loadavg_start": load_start,
-        "loadavg_end": _loadavg(),
-        "repeats": REPEATS,
-        "n_queries": len(timings),
-        "metric": "headline_queries_total",
-        "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "value": total,
-    }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     try:
-        # carry forward the sustained-streaming record (produced by
-        # tools/stream_probe.py --sustained, not by this harness)
-        try:
-            with open(local_path) as f:
-                prev = json.load(f)
-            for key in ("streaming_sustained", "streaming_sustained_bootstrap"):
-                if key in prev:
-                    payload[key] = prev[key]
-        except (OSError, ValueError):
-            pass
+        with open(local_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    payload = assemble_payload(
+        timings, medians, stream_breakdown, prev,
+        stream_rps=stream_rps,
+        fit_secs=fit_secs,
+        recalls=recalls,
+        load_start=load_start,
+        total=total,
+        sf=sf,
+    )
+    try:
         with open(local_path, "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")

@@ -22,8 +22,11 @@ Usage: python tools/rotate_window.py [--suggest]
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
+import re
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -142,6 +145,141 @@ FAMILIES: dict[str, list[str]] = {
 }
 
 
+def _round_marker_commits() -> dict[int, str]:
+    """Map round number -> the 'round N: verdict/...' marker commit.
+
+    The driver commits one marker per judged round; a query whose
+    source file changed AFTER the marker of its last driver-green round
+    is 'dirty since green' (r11 verdict #3): the ledger certifies bytes
+    that no longer exist, so it should jump the re-verification queue.
+    """
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return {}
+    markers: dict[int, str] = {}
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            # git log is newest-first; keep the newest marker per round
+            markers.setdefault(int(m.group(1)), sha)
+    return markers
+
+
+def _changed_since(commit: str) -> set[str]:
+    """Repo-relative paths changed between *commit* and the worktree."""
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", commit],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return set()
+    return {p.strip() for p in out.splitlines() if p.strip()}
+
+
+def _def_block(source: str, name: str) -> str | None:
+    """Extract the top-level ``def name(...)`` block from *source*.
+
+    Registry query functions are top-level defs; the block runs from
+    its ``def`` line (plus decorators) to the next column-0 statement.
+    Returns None when the def is absent (new function → dirty).
+    """
+    lines = source.splitlines()
+    start = None
+    deco_start = None
+    for i, ln in enumerate(lines):
+        if not ln or ln[0].isspace():
+            continue  # blank / indented continuation: keeps deco block
+        if ln.startswith("@"):
+            if deco_start is None:
+                deco_start = i
+            continue
+        if re.match(rf"def {re.escape(name)}\s*\(", ln):
+            # include the @decorator block (inspect.getsource does)
+            start = deco_start if deco_start is not None else i
+            def_line = i
+            break
+        if not ln.startswith(")"):  # column-0 ')' closes a multi-line
+            deco_start = None       # decorator call — not a new stmt
+    if start is None:
+        return None
+    end = len(lines)
+    for j in range(def_line + 1, len(lines)):
+        ln = lines[j]
+        if ln and not ln[0].isspace() and not ln.startswith(")"):
+            end = j
+            break
+    return "\n".join(lines[start:end]).rstrip()
+
+
+def _blob_at(commit: str, rel: str) -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "show", f"{commit}:{rel}"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def staleness_rank(ledger) -> list[tuple[bool, int, str]]:
+    """Risk-ranked re-verification order for already-green queries.
+
+    Returns (dirty, last_green_round, name) triples sorted so that
+    queries whose registry source file changed after their last green
+    round come first (oldest green first within the dirty set), then
+    clean queries oldest-green-first. This is the r11 verdict's #3:
+    'modified since last green' is the one rotation signal that tracks
+    risk — alphabetical top-up re-verifies random already-safe queries.
+    """
+    markers = _round_marker_commits()
+    changed_cache: dict[int, set[str]] = {}
+    blob_cache: dict[tuple[int, str], str | None] = {}
+    ranked: list[tuple[bool, int, str]] = []
+    for name in ledger:
+        if name not in REGISTRY:
+            continue
+        last_green = max(e["round"] for e in ledger[name])
+        dirty = False
+        if last_green in markers:
+            if last_green not in changed_cache:
+                changed_cache[last_green] = _changed_since(markers[last_green])
+            try:
+                src = inspect.getsourcefile(REGISTRY[name].fn) or ""
+                rel = os.path.relpath(os.path.abspath(src), ROOT)
+            except (TypeError, ValueError):
+                rel = ""
+            if rel in changed_cache[last_green]:
+                # file changed since the green — refine to the query's
+                # own def block: appending OTHER queries to a shared
+                # file must not mark this one dirty (file-level flagged
+                # 217/406; function-level isolates real rewrites like
+                # r11's roundz edits to 3 ledger-green functions)
+                key = (last_green, rel)
+                if key not in blob_cache:
+                    blob_cache[key] = _blob_at(markers[last_green], rel)
+                old = blob_cache[key]
+                if old is None:
+                    dirty = True
+                else:
+                    try:
+                        now = inspect.getsource(REGISTRY[name].fn).rstrip()
+                    except (OSError, TypeError):
+                        now = ""
+                    fn_name = getattr(REGISTRY[name].fn, "__name__", name)
+                    then = _def_block(old, fn_name)
+                    dirty = then is None or then != now.rstrip()
+        ranked.append((dirty, last_green, name))
+    # dirty first (False sorts before True, so negate), then oldest green
+    ranked.sort(key=lambda t: (not t[0], t[1], t[2]))
+    return ranked
+
+
 def load_state():
     with open(os.path.join(ROOT, "DRIVER_LEDGER.json")) as f:
         ledger = json.load(f)["queries"]
@@ -182,7 +320,11 @@ def suggest(ledger, never) -> list[str]:
     # never-RUN rows-only queries come next: the driver's rows-only
     # check is weaker but it is still the only driver-side record these
     # queries can ever get (each decision is also covered by a green
-    # md5/lit twin — COVERAGE.md)
+    # md5/lit twin — COVERAGE.md). Seated ALPHABETICALLY by design
+    # (r11 ADVICE #3): rows-only picks have no oracle-risk ordering
+    # signal, and a deterministic name sort keeps partial spills
+    # reproducible; _POST_FREEZE declaration order applies only to
+    # oracle-backed picks, where registration order encodes priority.
     rows_only_never = sorted(
         n for n in REGISTRY
         if REGISTRY[n].oracle is None and n not in ledger and n not in picks
@@ -202,10 +344,14 @@ def suggest(ledger, never) -> list[str]:
         green = [n for n in names if n in ledger]
         if green and len(picks) < 50:
             picks.append(green[0])
-    # top up with already-green representatives if under 50
+    # top up with already-green representatives if under 50 —
+    # RISK-RANKED, not alphabetical (r11 verdict #3): queries whose
+    # source file changed after their last driver-green round first
+    # (their ledger green certifies bytes that no longer exist), then
+    # oldest-green-first rotation so stale certifications refresh.
     if len(picks) < 50:
-        for n in sorted(ledger):
-            if n in REGISTRY and n not in picks:
+        for dirty, last_green, n in staleness_rank(ledger):
+            if n not in picks:
                 picks.append(n)
             if len(picks) >= 50:
                 break
