@@ -546,9 +546,19 @@ def test_no_nested_output_schema_anywhere(spark, sf_dir):
                 # are never hashed by the driver at all — genuinely
                 # exempt.
                 if REGISTRY[name].oracle is not None:
-                    osch = con.execute(
-                        f"SELECT * FROM ({REGISTRY[name].oracle}) LIMIT 0"
-                    ).fetch_arrow_table().schema
+                    # strip trailing semicolons/whitespace before
+                    # wrapping (r11 ADVICE: a trailing ';' inside the
+                    # subquery is a DuckDB parse error that would
+                    # surface as a confusing lint crash instead of a
+                    # per-query report)
+                    osql = REGISTRY[name].oracle.strip().rstrip(";")
+                    try:
+                        osch = con.execute(
+                            f"SELECT * FROM ({osql}) LIMIT 0"
+                        ).fetch_arrow_table().schema
+                    except Exception as e:  # noqa: BLE001
+                        bad.append((name, f"oracle schema probe failed: {e}"))
+                        continue
                     nested_o = _nested_arrow(osch)
                     if nested_o:
                         bad.append((name, nested_o))

@@ -306,3 +306,63 @@ def test_verifier_catches_signed_zero(spark, duck, sf_dir):
     assert not ok, "comparator must distinguish -0.0 from +0.0"
     assert "values differ" in msg, msg
     assert ok_fixed, f"+0.0 normalization should restore the match: {msg_fixed}"
+
+
+def test_verifier_catches_spark_side_negative_zero(spark, duck, sf_dir):
+    """r11 ADVICE: the exposure lint must also see SPARK-side -0.0 —
+    a both-sides-unnormalized query (Spark -0.0, oracle -0.0) hashes
+    green today but flips the moment either engine, SF, or fold order
+    changes the sign. compare() now scans the Spark Arrow output for
+    IEEE -0.0 float cells and fails with an EXPOSURE message even when
+    the oracle matches bit-for-bit."""
+    from big_data_pr_spark.queries.registry import QuerySpec
+    from tools import verify_oracle
+
+    def fn(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        return spark.range(1).select(
+            (F.lit(-1.0) * F.lit(0.0)).alias("z")
+        )
+
+    name = "__spark_signed_zero_exposure__"
+    REGISTRY[name] = QuerySpec(
+        fn=fn, oracle="SELECT -1.0 * CAST(0.0 AS DOUBLE) AS z", doc="test-only"
+    )
+    try:
+        ok, msg = verify_oracle.compare(name, spark, duck, sf_dir)
+    finally:
+        del REGISTRY[name]
+    assert not ok, "both-sides -0.0 must register as exposure, not pass"
+    assert "SPARK EXPOSURE" in msg, msg
+
+
+def test_roundz_oracle_pairing_static():
+    """r11 ADVICE: the roundz/'+ 0.0' contract was enforced only by
+    data-dependent checks — a one-sided normalization stays green until
+    some SF produces a near-zero negative. Static pairing lint: every
+    oracle-backed query that sign-normalizes on the Spark side (a
+    ``roundz(`` call or a literal ``+ 0.0`` term in the function
+    source) must also normalize in its oracle (a ``+ 0.0`` term), and
+    vice versa. The regex rejects ``+ 0.01``-style false hits."""
+    import inspect
+    import re
+
+    plus0 = re.compile(r"\+ 0\.0(?![0-9])")
+    one_sided = {}
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        if spec.oracle is None:
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            src = ""
+        spark_norm = bool(re.search(r"\broundz\(", src) or plus0.search(src))
+        oracle_norm = bool(plus0.search(spec.oracle))
+        if spark_norm != oracle_norm:
+            one_sided[name] = {"spark": spark_norm, "oracle": oracle_norm}
+    assert not one_sided, (
+        f"one-sided signed-zero normalization (add roundz / '+ 0.0' "
+        f"to the missing side): {one_sided}"
+    )

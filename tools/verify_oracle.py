@@ -26,6 +26,7 @@ round 11 certified all 67 not-yet-driver-verified queries this way.
 
 from __future__ import annotations
 
+import math
 import os
 import struct
 import sys
@@ -153,6 +154,23 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
             )
         if sk != ok_:
             return False, f"TYPED: column {c!r} kind spark={sk} duckdb={ok_}"
+    # Spark-side -0.0 exposure scan (r11 ADVICE): the oracle-side lint
+    # (tests/test_queries_oracle.py::test_no_negative_zero_oracle_cells)
+    # sweeps only DuckDB output, so a Spark -0.0 on an unrounded float
+    # (raw sums/lags emitted without roundz — Spark preserves the sign
+    # outside F.round) stayed invisible until fixture data happened to
+    # diverge. Scanning the Spark Arrow table here covers every gate
+    # run (pytest sf0.001, the sf0.01 replica, SPARK_GRAFT_VANILLA)
+    # symmetrically.
+    for c in scols:
+        if pa.types.is_floating(stbl.schema.field(c).type) and any(
+            v is not None and v == 0.0 and math.copysign(1.0, v) < 0
+            for v in stbl.column(c).to_pylist()
+        ):
+            return False, (
+                f"SPARK EXPOSURE: column {c!r} emits IEEE -0.0 — "
+                "sign-normalize both sides (registry.roundz / oracle '+ 0.0')"
+            )
     # driver sorts columns by name before hashing — replicate
     order = sorted(scols)
     s_sorted = sorted(_arrow_rows(stbl, order), key=repr)
