@@ -367,12 +367,17 @@ def main() -> None:
 
     if "--suggest" in sys.argv:
         picks = suggest(ledger, never)
+        # a family is covered by a window pick OR any driver-green
+        # ledger member (the r8 relaxation the guard test enforces)
         missing_fams = [
-            f for f, ns in FAMILIES.items() if not any(n in picks for n in ns)
+            f for f, ns in FAMILIES.items()
+            if not any(n in picks for n in ns)
+            and not any(n in ledger for n in ns)
         ]
         print("# suggested _FRONT for the next round "
               f"({len([n for n in picks if n not in ledger])} never-verified, "
-              f"{len(picks)} total; uncovered families: {missing_fams or 'none'})")
+              f"{len(picks)} total; families uncovered by window+ledger: "
+              f"{missing_fams or 'none'})")
         print("_FRONT = [")
         for n in picks:
             print(f'    "{n}",')
