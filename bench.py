@@ -482,6 +482,28 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is
+    invisible to loadavg and to in-process timers, but it is exactly
+    the mechanism that makes a saturated local[32] run slow on a
+    'quiet' guest. Recorded start→end so the payload carries the
+    steal fraction the run actually experienced (round-12: three
+    same-tree clean-start runs spread 303.8→387.2 s; the canary pins
+    point-in-time host speed, this pins contention DURING the run)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = [int(x) for x in f.readline().split()[1:]]
+        return fields[7] if len(fields) > 7 else 0, sum(fields)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None, end: tuple[int, int] | None):
+    if not start or not end or end[1] <= start[1]:
+        return None
+    return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 3)
+
+
 def _progress_breakdown(queries) -> dict:
     """Per-query totals from StreamingQuery.recentProgress so a
     throughput shift is attributable to source scan vs planning vs
@@ -784,9 +806,43 @@ def ann_recall(spark, sf_dir: str) -> dict[str, float | None]:
     return out
 
 
+def host_canary() -> dict:
+    """Fixed pure-CPU micro-workloads, min of 3 reps — a HOST-SPEED
+    reference recorded alongside the query timings.
+
+    Round-12 lesson: two clean-start bench runs read 303.8/318.5 s
+    against the prior round's 217.5 s with a median per-query ratio of
+    1.35 ON TRIVIAL SINGLE-STAGE QUERIES — host drift, not plan drift,
+    but proving that required diffing hundreds of per-query fields.
+    These two scalars make the next such comparison one division:
+    ``canary_python_sec`` is single-core interpreter speed (pure
+    bytecode loop), ``canary_blas_sec`` is multi-core FP throughput
+    (1200² matmul through whatever BLAS numpy carries). Identical
+    inputs every round; no Spark, no I/O, no RNG in the timed path.
+    """
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(1200, 1200)
+    py, blas = [], []
+    for _ in range(3):
+        t0 = time.time()
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        py.append(time.time() - t0)
+        t0 = time.time()
+        (a @ a).sum()
+        blas.append(time.time() - t0)
+    return {
+        "canary_python_sec": round(min(py), 4),
+        "canary_blas_sec": round(min(blas), 4),
+    }
+
+
 def assemble_payload(
     timings: dict, medians: dict, stream_breakdown: dict, prev: dict,
     *, stream_rps, fit_secs: dict, recalls: dict, load_start, total, sf,
+    canary: dict | None = None,
 ) -> dict:
     """Build the bench JSON payload with the TAIL-SAFE key order.
 
@@ -821,6 +877,7 @@ def assemble_payload(
         "streaming_input_rows": STREAM_ROWS,
         **fit_secs,
         **recalls,
+        **(canary or {}),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "repeats": REPEATS,
@@ -837,6 +894,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_start = _loadavg()
+    ticks_start = _cpu_ticks()
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in REGISTRY]
     # warm the JVM + parquet footer caches once so per-query numbers
@@ -886,6 +944,10 @@ def main() -> None:
         load_start=load_start,
         total=total,
         sf=sf,
+        canary={
+            **host_canary(),
+            "steal_pct": _steal_pct(ticks_start, _cpu_ticks()),
+        },
     )
     try:
         with open(local_path, "w") as f:

@@ -61,3 +61,21 @@ def test_big_dicts_first_and_sorted():
     keys = list(payload)
     assert keys[:3] == ["queries", "queries_median", "streaming_breakdown"]
     assert list(payload["queries"]) == sorted(payload["queries"])
+
+
+def test_canary_keys_before_value():
+    payload = bench.assemble_payload(
+        {"q": 1.0}, {"q": 1.0}, {}, {},
+        stream_rps=1.0, fit_secs={}, recalls={},
+        load_start=0.0, total=1.0, sf="0.1",
+        canary={"canary_python_sec": 0.5, "canary_blas_sec": 0.1},
+    )
+    keys = list(payload)
+    assert keys[-1] == "value"
+    assert keys.index("canary_python_sec") < keys.index("loadavg_start")
+
+
+def test_host_canary_shape():
+    c = bench.host_canary()
+    assert set(c) == {"canary_python_sec", "canary_blas_sec"}
+    assert all(0 < v < 60 for v in c.values())
