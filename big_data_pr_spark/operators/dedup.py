@@ -768,32 +768,46 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, sum ±1 per bit
     over tokens, sign → bit. Entirely higher-order-function arithmetic
-    (aggregate over the token array) — no shuffle, no UDF."""
+    (aggregate over the token array) — no shuffle, no UDF.
+
+    Single-pass votes (round-12): the previous form ran one
+    ``F.aggregate`` fold PER BIT — 64 independent scans of the
+    token-hash array per row. One fold now carries a 64-wide vote
+    array (``zip_with`` against a literal bit-mask array), and the
+    sign→bit packing sums the disjoint masks (identical to the old
+    XOR-of-shifted-bits: masks are disjoint, so two's-complement sum
+    == bitwise OR, including the sign-bit mask for bit 63). Arithmetic
+    is unchanged token-for-token; only the iteration shape differs."""
     df = _fan_out(df)
+    # bit b's mask as a SIGNED long literal (bit 63 == long min)
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
 
     def build_sig(th: F.Column) -> F.Column:
-        # th is the BOUND token-hash array: without _bind, every one of
-        # the 64 per-bit aggregates re-evaluated split+distinct+hash
-        # over the raw text (O(64·tokens) splits per row)
-        def vote(b):
-            # closure factory (F.aggregate inspects lambda arity)
-            return F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-
-        sig = None
-        for b in range(bits):
-            bit = F.when(vote(b) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            term = F.shiftleft(bit, b)
-            sig = term if sig is None else sig.bitwiseXOR(term)
-        return sig
+        # th is the BOUND token-hash array: without _bind, the vote
+        # fold would re-evaluate split+distinct+hash over the raw text
+        votes = F.aggregate(
+            th,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a
+                + F.when(h.bitwiseAND(m) != F.lit(0).cast("long"), 1).otherwise(-1),
+            ),
+        )
+        terms = F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
 
     # per bit b: count of tokens with bit b set, vs total tokens
     th = F.transform(
