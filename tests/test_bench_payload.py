@@ -78,4 +78,6 @@ def test_canary_keys_before_value():
 def test_host_canary_shape():
     c = bench.host_canary()
     assert set(c) == {"canary_python_sec", "canary_blas_sec"}
-    assert all(0 < v < 60 for v in c.values())
+    # positivity + finiteness only — a hard wall-clock ceiling flakes
+    # on a heavily stolen/overloaded host (r12 ADVICE #5)
+    assert all(0 < v < float("inf") for v in c.values())

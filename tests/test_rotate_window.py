@@ -5,7 +5,14 @@ import json
 import os
 
 from big_data_pr_spark.queries import REGISTRY
-from tools.rotate_window import FLAGSHIP, _def_block, staleness_rank, suggest
+from tools.rotate_window import (
+    FLAGSHIP,
+    _callable_deps,
+    _def_block,
+    _norm_block,
+    staleness_rank,
+    suggest,
+)
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
@@ -46,6 +53,57 @@ def test_def_block_includes_decorators():
     assert _def_block("def f():\n    pass\n", "f").startswith("def f(")
     # absent def → None (new function reads as dirty)
     assert _def_block(src, "q_missing") is None
+
+
+def test_norm_block_strips_trailing_comment_noise():
+    """r12 ADVICE #2: _def_block extends to the next column-0 statement,
+    so indented trailing comments/blank lines after the body land in the
+    historical block but not in inspect.getsource — normalization must
+    make that difference invisible to the dirty comparison."""
+    body = "def f():\n    return 1"
+    with_noise = body + "\n\n    # trailing indented comment\n   \n"
+    assert _norm_block(with_noise) == _norm_block(body)
+    # a REAL trailing statement still differs
+    assert _norm_block(body + "\n    x = 2") != _norm_block(body)
+
+
+def test_callable_deps_sees_operator_and_registry_composition():
+    """r13 upgrade (r12 verdict #1 gap): staleness must track the
+    functions a query CALLS, not just its own def block — f3817f2
+    rewrote operators/dedup.py::simhash while every simhash query fn
+    stayed byte-identical. Two real channels are pinned here:
+    module-attr operator calls (dedup.simhash_pairs) and
+    REGISTRY["other"].fn composition (the eval-metrics family)."""
+    dep_names = {
+        (d.__module__, d.__name__)
+        for d in _callable_deps(REGISTRY["dedup_simhash"].fn)
+    }
+    assert ("big_data_pr_spark.operators.dedup", "simhash_pairs") in dep_names
+    # transitively (hop 2): simhash_pairs references simhash itself
+    hop2 = {
+        d.__name__
+        for dep in _callable_deps(REGISTRY["dedup_simhash"].fn)
+        for d in _callable_deps(dep)
+    }
+    assert "simhash" in hop2
+    # REGISTRY["..."].fn composition resolves to the composed query fns
+    eval_deps = {
+        d.__name__ for d in _callable_deps(REGISTRY["simhash_eval_metrics"].fn)
+    }
+    assert {"dedup_ngram_jaccard", "dedup_simhash_md5"} <= eval_deps
+
+
+def test_staleness_rank_missing_marker_falls_back():
+    """r12 ADVICE #3: a green round with no marker commit must not read
+    as silently clean — it falls back to the nearest OLDER marker
+    (superset diff, fails toward dirty), or dirty outright when no
+    older marker exists."""
+    fake = {next(iter(REGISTRY)): [{"round": 0, "kind": "hash"}]}
+    ranked = staleness_rank(fake)
+    assert len(ranked) == 1
+    dirty, last_green, _name = ranked[0]
+    assert last_green == 0
+    assert dirty, "round with no (older) marker must rank dirty, not clean"
 
 
 def test_staleness_rank_order_invariant():

@@ -22,12 +22,14 @@ Usage: python tools/rotate_window.py [--suggest]
 
 from __future__ import annotations
 
+import ast
 import inspect
 import json
 import os
 import re
 import subprocess
 import sys
+import types
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -217,6 +219,21 @@ def _def_block(source: str, name: str) -> str | None:
     return "\n".join(lines[start:end]).rstrip()
 
 
+def _norm_block(block: str) -> str:
+    """Normalize a def block for comparison (r12 ADVICE #2).
+
+    ``_def_block`` extends to the next column-0 statement, so indented
+    trailing comments / blank lines after a function's body land in the
+    historical block but are absent from ``inspect.getsource``. Strip
+    trailing lines that are blank or comment-only from BOTH sides so
+    that difference alone never flags a spurious 'dirty'.
+    """
+    lines = block.rstrip().splitlines()
+    while lines and (not lines[-1].strip() or lines[-1].lstrip().startswith("#")):
+        lines.pop()
+    return "\n".join(lines)
+
+
 def _blob_at(commit: str, rel: str) -> str | None:
     try:
         return subprocess.run(
@@ -225,6 +242,99 @@ def _blob_at(commit: str, rel: str) -> str | None:
         ).stdout
     except (OSError, subprocess.CalledProcessError):
         return None
+
+
+_DEPS_CACHE: dict = {}
+
+
+def _callable_deps(fn) -> tuple:
+    """Package functions that *fn*'s source references (one hop).
+
+    r12 gap: the query-fn def block alone misses operator rewrites —
+    f3817f2 rewrote ``operators/dedup.py::simhash`` while the simhash
+    query fns were byte-identical, so staleness_rank saw them clean.
+    Parse the def block for ``name(...)`` / ``module.attr`` references
+    and resolve through ``fn.__globals__`` to plain module-level
+    functions defined under big_data_pr_spark. Methods, lambdas and
+    closures are skipped — this is a dirtiness signal, not a call
+    graph; misses fail toward 'clean', which the oldest-green rotation
+    tier eventually covers anyway.
+    """
+    cached = _DEPS_CACHE.get(fn)
+    if cached is not None:
+        return cached
+    try:
+        tree = ast.parse(inspect.getsource(fn))
+    except (OSError, TypeError, SyntaxError, IndentationError):
+        _DEPS_CACHE[fn] = ()
+        return ()
+    g = getattr(fn, "__globals__", {})
+    deps: list = []
+    seen_ids: set[int] = set()
+    for node in ast.walk(tree):
+        obj = None
+        if isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+            mod = g.get(node.value.id)
+            if (isinstance(mod, types.ModuleType)
+                    and mod.__name__.startswith("big_data_pr_spark")):
+                obj = getattr(mod, node.attr, None)
+        elif (isinstance(node, ast.Attribute)
+                and isinstance(node.value, ast.Subscript)
+                and isinstance(node.value.value, ast.Name)
+                and isinstance(node.value.slice, ast.Constant)):
+            # query composition: REGISTRY["other_query"].fn(spark, sf)
+            # is a real dependency channel (the eval-metrics family)
+            container = g.get(node.value.value.id)
+            if isinstance(container, dict):
+                obj = getattr(container.get(node.value.slice.value), node.attr, None)
+        elif isinstance(node, ast.Name):
+            obj = g.get(node.id)
+        if (isinstance(obj, types.FunctionType) and obj is not fn
+                and id(obj) not in seen_ids
+                and getattr(obj, "__module__", "").startswith("big_data_pr_spark")):
+            seen_ids.add(id(obj))
+            deps.append(obj)
+    out = tuple(deps)
+    _DEPS_CACHE[fn] = out
+    return out
+
+
+def _fn_dirty(fn, commit: str, changed: set[str],
+              blob_cache: dict, seen: dict, depth: int = 3) -> bool:
+    """True when *fn* or any (transitive, ≤ depth hops) package
+    function it references changed between *commit* and the worktree."""
+    try:
+        src_file = inspect.getsourcefile(fn) or ""
+        rel = os.path.relpath(os.path.abspath(src_file), ROOT)
+    except (TypeError, ValueError):
+        return True
+    if rel.startswith(".."):
+        return False  # outside the repo (pyspark/stdlib) — not ours
+    key = (rel, getattr(fn, "__qualname__", fn.__name__))
+    if key in seen:
+        return seen[key]
+    seen[key] = False  # cycle guard while this node is in progress
+    dirty = False
+    if rel in changed:
+        if rel not in blob_cache:
+            blob_cache[rel] = _blob_at(commit, rel)
+        old = blob_cache[rel]
+        if old is None:
+            dirty = True
+        else:
+            try:
+                now = inspect.getsource(fn)
+            except (OSError, TypeError):
+                now = ""
+            then = _def_block(old, fn.__name__)
+            dirty = then is None or _norm_block(then) != _norm_block(now)
+    if not dirty and depth > 0:
+        for dep in _callable_deps(fn):
+            if _fn_dirty(dep, commit, changed, blob_cache, seen, depth - 1):
+                dirty = True
+                break
+    seen[key] = dirty
+    return dirty
 
 
 def staleness_rank(ledger) -> list[tuple[bool, int, str]]:
@@ -239,41 +349,37 @@ def staleness_rank(ledger) -> list[tuple[bool, int, str]]:
     """
     markers = _round_marker_commits()
     changed_cache: dict[int, set[str]] = {}
-    blob_cache: dict[tuple[int, str], str | None] = {}
+    blob_caches: dict[int, dict] = {}
+    seen_caches: dict[int, dict] = {}
     ranked: list[tuple[bool, int, str]] = []
     for name in ledger:
         if name not in REGISTRY:
             continue
         last_green = max(e["round"] for e in ledger[name])
-        dirty = False
-        if last_green in markers:
-            if last_green not in changed_cache:
-                changed_cache[last_green] = _changed_since(markers[last_green])
-            try:
-                src = inspect.getsourcefile(REGISTRY[name].fn) or ""
-                rel = os.path.relpath(os.path.abspath(src), ROOT)
-            except (TypeError, ValueError):
-                rel = ""
-            if rel in changed_cache[last_green]:
-                # file changed since the green — refine to the query's
-                # own def block: appending OTHER queries to a shared
-                # file must not mark this one dirty (file-level flagged
-                # 217/406; function-level isolates real rewrites like
-                # r11's roundz edits to 3 ledger-green functions)
-                key = (last_green, rel)
-                if key not in blob_cache:
-                    blob_cache[key] = _blob_at(markers[last_green], rel)
-                old = blob_cache[key]
-                if old is None:
-                    dirty = True
-                else:
-                    try:
-                        now = inspect.getsource(REGISTRY[name].fn).rstrip()
-                    except (OSError, TypeError):
-                        now = ""
-                    fn_name = getattr(REGISTRY[name].fn, "__name__", name)
-                    then = _def_block(old, fn_name)
-                    dirty = then is None or then != now.rstrip()
+        # r12 ADVICE #3: when the green round has no marker commit,
+        # fall back to the nearest OLDER marker (its diff is a superset
+        # of 'since the green' — fails toward dirty, the safe side);
+        # with no older marker at all, mark dirty outright.
+        marker_round = last_green
+        if marker_round not in markers:
+            older = [r for r in markers if r < last_green]
+            marker_round = max(older) if older else None
+        if marker_round is None:
+            ranked.append((True, last_green, name))
+            continue
+        if marker_round not in changed_cache:
+            changed_cache[marker_round] = _changed_since(markers[marker_round])
+            blob_caches[marker_round] = {}
+            seen_caches[marker_round] = {}
+        # function-level, dependency-aware (file-level flagged 217/406;
+        # def-block-only missed the f3817f2 operator rewrite): a query
+        # is dirty when its OWN def block or any package function it
+        # (transitively, ≤3 hops) references changed since the marker.
+        dirty = _fn_dirty(
+            REGISTRY[name].fn, markers[marker_round],
+            changed_cache[marker_round], blob_caches[marker_round],
+            seen_caches[marker_round],
+        )
         ranked.append((dirty, last_green, name))
     # dirty first (False sorts before True, so negate), then oldest green
     ranked.sort(key=lambda t: (not t[0], t[1], t[2]))
