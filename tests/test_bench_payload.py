@@ -75,6 +75,30 @@ def test_canary_keys_before_value():
     assert keys.index("canary_python_sec") < keys.index("loadavg_start")
 
 
+def test_host_adjusted_total():
+    """r12 verdict #3: the canary-normalized headline. Same-speed host
+    → identity; 2x-slower canaries → total halved; clamp keeps a
+    pathological canary from inverting the headline; missing canary →
+    None (and the raw value is untouched either way)."""
+    ref = dict(bench.CANARY_REF)
+    assert bench.host_adjusted_total(100.0, ref) == 100.0
+    slow = {k: v * 2 for k, v in ref.items()}
+    assert bench.host_adjusted_total(100.0, slow) == 50.0
+    absurd = {k: v * 100 for k, v in ref.items()}
+    assert bench.host_adjusted_total(100.0, absurd) == round(100.0 / 3.0, 3)
+    assert bench.host_adjusted_total(100.0, None) is None
+    assert bench.host_adjusted_total(100.0, {}) is None
+    payload = bench.assemble_payload(
+        {"q": 1.0}, {"q": 1.0}, {}, {},
+        stream_rps=1.0, fit_secs={}, recalls={},
+        load_start=0.0, total=100.0, sf="0.1",
+        canary={k: v * 2 for k, v in ref.items()},
+    )
+    keys = list(payload)
+    assert keys[-2:] == ["value_host_adj", "value"]
+    assert payload["value_host_adj"] == 50.0 and payload["value"] == 100.0
+
+
 def test_host_canary_shape():
     c = bench.host_canary()
     assert set(c) == {"canary_python_sec", "canary_blas_sec"}
