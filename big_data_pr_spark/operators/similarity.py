@@ -368,15 +368,36 @@ def lsh_pairs(
         .select("id_a", "id_b")
         .distinct()  # a pair may match in several bands — verify once
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # verify with PRE-NORMALIZED vectors (r13): at threshold 0.4 the
+    # band geometry intentionally passes ~1/3 of all pairs (recall
+    # 0.91 needs it — docstring above), so the exact-cosine verify
+    # dominates the operator. cosine() recomputes BOTH norms per
+    # candidate pair; normalizing once per VECTOR (n ops, not |cand|)
+    # leaves one dot product per pair — measured 4.5 → 2.6 s warm at
+    # sf0.1. try_divide keeps the zero-vector contract: null elements
+    # → null dot → dropped by the threshold filter, exactly as
+    # cosine()'s null. cos_sim can differ from the divide-last form in
+    # the last ulp; output is rows-only and the subset/recall pins in
+    # tests/test_dedup_similarity.py hold.
+    nv = df.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),  # own projection: one eval
+    ).select(
+        "__nid",
+        F.transform(
+            F.col("__v"), lambda x: F.try_divide(x.cast("double"), F.col("__n"))
+        ).alias("__nvec"),
+    )
+    va = nv.select(F.col("__nid").alias("id_a"), F.col("__nvec").alias("va"))
+    vb = nv.select(F.col("__nid").alias("id_b"), F.col("__nvec").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -2529,13 +2529,21 @@ def minhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparable, oracle-checked rows.",
 )
 def simhash_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared-tokenization composition (r12 verdict #4, measured): the
+    # exact-Jaccard side and the md5 vote side each re-split the corpus
+    # when composed through the standalone registry fns; deriving both
+    # from one persisted tokens_frame cut the sf0.1 warm floor
+    # 5.62 → 3.50 s with identical output. Same operator parameters as
+    # dedup_ngram_jaccard / dedup_simhash_md5 (minus their ORDER BY,
+    # which the metrics fold never observed).
+    docs = load(spark, sf_dir, "documents")
+    toks = dedup.tokens_frame(docs)
     exact = (
-        REGISTRY["dedup_ngram_jaccard"]
-        .fn(spark, sf_dir)
+        dedup.jaccard_pairs(docs, threshold=0.005, max_doc_freq=100, tokens_df=toks)
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
-    approx = REGISTRY["dedup_simhash_md5"].fn(spark, sf_dir).select("id_a", "id_b")
+    approx = dedup.simhash_pairs_md5(docs, tokens_df=toks).select("id_a", "id_b")
     return _pair_eval_metrics(exact, approx)
 
 
