@@ -47,6 +47,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Let AQE re-partition CACHED plan output (r13, found by the
+    # vanilla-ratio sweep): a persisted relation materialized through a
+    # shuffle pins its reducer layout, and under a session that leaves
+    # spark.sql.shuffle.partitions at the 200 default every
+    # track_cache'd signature/edge relation carries 200-partition
+    # stages that AQE is FORBIDDEN to coalesce while this conf is
+    # false (its default). Interleaved on/off at sf0.01 under the
+    # driver's bare session: jaccard_supplier_pairs 3.7→0.6 s,
+    # triangle_count_suppliers 5.7→0.8 s, source_overlap 5.2→0.5 s,
+    # lexical_semantic_agreement 7.0→1.3 s. Set here (like
+    # nanosAsLong) because every registry query funnels through load()
+    # and the driver builds its own session we cannot configure.
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
