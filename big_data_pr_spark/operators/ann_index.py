@@ -78,7 +78,7 @@ def probe_ivf_index(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = F.lit([float(x) for x in query_vec])
     idx = spark.read.parquet(os.path.join(index_dir, "vectors"))
     return (
         idx.filter(F.col("cell").isin(probe))

@@ -136,7 +136,7 @@ def project_expr(vec_col: Column | str, component: list[float], mean: list[float
     zero Python in the projection path."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     const = sum(mi * ci for mi, ci in zip(mean, component))
-    return dot(v, F.array(*[F.lit(float(c)) for c in component])) - F.lit(float(const))
+    return dot(v, F.lit([float(c) for c in component])) - F.lit(float(const))
 
 
 def project(

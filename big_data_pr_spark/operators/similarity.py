@@ -497,7 +497,7 @@ def ann_ivf_topk(
     for qid, qvec in [(r[0], np.asarray(r[1], dtype=np.float64)) for r in qrows]:
         qn = qvec / max(np.linalg.norm(qvec), 1e-12)
         probe = [int(c) for c in np.argsort(-(cents @ qn))[:n_probe]]
-        q = F.array(*[F.lit(float(x)) for x in qvec])
+        q = F.lit([float(x) for x in qvec])
         scored = (
             assigned.filter(F.col("__cell").isin(probe) & (F.col(id_col) != qid))
             .select(
@@ -626,11 +626,60 @@ def _sq_dist_to_literal(vec: Column, centroid: list[float]) -> Column:
     element order DuckDB's ``list_sum(list_transform(...))`` uses, so
     iteration-1 distances (raw-vector centroids) are bit-identical
     across engines."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    lit = F.expr("array(" + ",".join(_sql_double(c) for c in centroid) + ")")
     return F.aggregate(
         F.zip_with(vec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _sql_double(x: float) -> str:
+    """A Python float as an EXACT Spark SQL double literal: ``repr``
+    is the shortest decimal that round-trips, and both Java's
+    ``Double.parseDouble`` (Spark's ``...D`` literal) and Python's
+    ``float`` parse it back to the identical bits."""
+    return repr(float(x)) + "D"
+
+
+def _sql_matrix(cents: list[list[float]]) -> str:
+    """A driver-held centroid table as SQL array-of-array text. Parsed
+    once by the JVM (`F.expr`) this costs ~0.7 ms vs ~90 ms for the
+    equivalent ``F.lit(nested)``, which desugars to one py4j call per
+    element (r13 measurement: the literal-centroid query family was
+    DRIVER-bound on expression construction + analysis, not on
+    execution — see OPTIMIZATION_r13.md)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in c) + ")" for c in cents
+        )
+        + ")"
+    )
+
+
+def _lit_matrix(cents: list[list[float]]) -> Column:
+    """One nested-array literal Column for a driver-held table."""
+    return F.expr(_sql_matrix(cents))
+
+
+def _sq_dist_structs(vec_sql: str, cents: list[list[float]]) -> Column:
+    """``array<struct<dist,cid>>`` of squared L2 distances from the
+    vector SQL expression ``vec_sql`` to every centroid, as ONE parsed
+    expression. Per element the fold is the identical left-to-right
+    double accumulation of :func:`_sq_dist_to_literal`, and ``cid`` is
+    the 0-based centroid index, so ``array_min``/``array_sort`` over
+    the result reproduce the old per-centroid ``F.array(struct(dist,
+    lit(cid)))`` argmin bit-for-bit (callers with non-contiguous
+    cluster ids map the index back through an ``element_at`` on the
+    sorted id list, which preserves the tie-break order). Building the
+    whole thing as SQL text costs one parser call instead of ~k
+    zip_with/aggregate trees worth of py4j round-trips."""
+    return F.expr(
+        f"transform({_sql_matrix(cents)}, (c, i) -> named_struct("
+        f"'dist', aggregate(zip_with({vec_sql}, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, "
+        "(acc, x) -> acc + x), 'cid', i))"
     )
 
 
@@ -665,20 +714,16 @@ def kmeans_fit(
     }
 
     def assign(c: dict[int, list[float]]) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(F.col(vec_col), cent).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cent in sorted(c.items())
-            ]
-        )
-        best = F.array_min(pairs)  # struct order: dist, then cid (tie-break)
+        # one transform over a nested-array literal; cids ascend, so the
+        # (dist, index) argmin tie-break equals the old (dist, cid) one
+        # and element_at maps the index back to the (possibly
+        # non-contiguous after a cluster drop) cluster id
+        cids = sorted(c)
+        best = F.array_min(_sq_dist_structs(f"`{vec_col}`", [c[i] for i in cids]))
         return df.select(
             id_col,
             vec_col,
-            best["cid"].alias("cluster"),
+            F.element_at(F.lit(cids), best["cid"] + 1).alias("cluster"),
             best["dist"].alias("dist"),
         )
 
@@ -715,24 +760,25 @@ def kmeans_lloyd(
     return assigned.drop(vec_col)
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket_expr(vec_sql: str, planes: list[list[float]]) -> Column:
     """Hyperplane-LSH bucket as a PURE column expression (no Python):
     bit i is set iff plane_i · x > 0, dot folded left-to-right in
     double — the same element order as DuckDB ``list_sum``, so the
     bucket decision is engine-portable when the planes are literal
-    constants. Whole-stage-codegen'd; use for the oracle-certified LSH
-    path (the pandas-UDF `with_lsh_bucket` remains the at-scale batch
-    variant with numpy dot)."""
-    b: Column = F.lit(0)
-    for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return b
+    constants. One zip_with over (plane table, bit weights) + one int
+    fold — identical left-to-right bit accumulation to the old
+    per-plane chain, built as SQL text so construction is one parser
+    call (r13). ``vec_sql`` is the vector column as a SQL expression.
+    Use for the oracle-certified LSH path (the pandas-UDF
+    `with_lsh_bucket` remains the at-scale batch variant with numpy
+    dot)."""
+    weights = "array(" + ",".join(str(1 << i) for i in range(len(planes))) + ")"
+    return F.expr(
+        f"aggregate(zip_with({_sql_matrix(planes)}, {weights}, "
+        f"(p, w) -> CASE WHEN aggregate(zip_with({vec_sql}, p, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x) > 0 "
+        "THEN w ELSE 0 END), 0, (acc, x) -> acc + x)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -747,7 +793,7 @@ def _sq_dist_slice_to_literal(
     driver-held sub-centroid; same left-to-right double fold as
     :func:`_sq_dist_to_literal` so oracles replay it bit-identically."""
     sub = F.slice(vec, start + 1, length)  # F.slice is 1-based
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    lit = F.expr("array(" + ",".join(_sql_double(c) for c in centroid) + ")")
     return F.aggregate(
         F.zip_with(
             sub, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
@@ -803,7 +849,7 @@ def pq_train(
         codes = df.select(
             vec_col,
             *[
-                _pq_subspace_code(F.col(vec_col), j, dsub, books[j]).alias(
+                _pq_subspace_code(f"`{vec_col}`", j, dsub, books[j]).alias(
                     f"__c{j}"
                 )
                 for j in range(m)
@@ -843,21 +889,12 @@ def pq_train(
 
 
 def _pq_subspace_code(
-    vec: Column, j: int, dsub: int, book: list[list[float]]
+    vec_sql: str, j: int, dsub: int, book: list[list[float]]
 ) -> Column:
     """argmin over the subspace-j codebook (ties → lowest code id)."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _sq_dist_slice_to_literal(vec, j * dsub, dsub, c).alias(
-                    "dist"
-                ),
-                F.lit(ci).alias("cid"),
-            )
-            for ci, c in enumerate(book)
-        ]
-    )
-    return F.array_min(pairs)["cid"]
+    # SQL slice is 1-based, same as F.slice
+    sub = f"slice({vec_sql}, {j * dsub + 1}, {dsub})"
+    return F.array_min(_sq_dist_structs(sub, book))["cid"]
 
 
 def pq_encode(
@@ -877,7 +914,7 @@ def pq_encode(
         vec_col,
         F.array(
             *[
-                _pq_subspace_code(F.col(vec_col), j, dsub, codebooks[j])
+                _pq_subspace_code(f"`{vec_col}`", j, dsub, codebooks[j])
                 for j in range(m)
             ]
         ).alias("codes"),
@@ -911,18 +948,24 @@ def pq_adc_topk(
     m = len(codebooks)
     dsub = dim // m
     enc = pq_encode(df, dim, codebooks, id_col, vec_col)
-    dist = F.lit(0.0)
-    for j in range(m):
-        qsub = query_vec[j * dsub : (j + 1) * dsub]
-        # left-to-right fold, same order as the SQL replay
-        table = [
-            sum((q - c) * (q - c) for q, c in zip(qsub, code))
+    # per-subspace ADC lookup tables, computed on the driver with the
+    # same left-to-right fold as the SQL replay; the m lookups + adds
+    # fold left-to-right exactly like the old lit(0.0)+t0+...+t{m-1}
+    # chain, as one zip_with over (table matrix, codes)
+    tables = [
+        [
+            sum(
+                (q - c) * (q - c)
+                for q, c in zip(query_vec[j * dsub : (j + 1) * dsub], code)
+            )
             for code in codebooks[j]
         ]
-        dist = dist + F.element_at(
-            F.array(*[F.lit(float(t)) for t in table]),
-            F.col("codes")[j] + 1,
-        )
+        for j in range(m)
+    ]
+    dist = F.expr(
+        f"aggregate(zip_with({_sql_matrix(tables)}, codes, "
+        "(t, code) -> element_at(t, code + 1)), 0.0D, (acc, x) -> acc + x)"
+    )
     adc = (
         enc.select(id_col, F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
@@ -1000,7 +1043,7 @@ def pq_refine_round(
     codes = df.select(
         vec_col,
         *[
-            _pq_subspace_code(F.col(vec_col), j, dsub, books[j]).alias(
+            _pq_subspace_code(f"`{vec_col}`", j, dsub, books[j]).alias(
                 f"__c{j}"
             )
             for j in range(m)
@@ -1040,18 +1083,6 @@ def pq_refine_round(
 # ---------------------------------------------------------------------------
 
 
-def _dot_to_literal(vec: Column, centroid: list[float]) -> Column:
-    """vec · literal centroid, folded left-to-right in double (same
-    fold order as DuckDB ``list_sum``, same contract as
-    :func:`_sq_dist_to_literal`)."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _unit(v: list[float]) -> list[float]:
     """Driver-side L2 normalization with a SEQUENTIAL square-sum fold
     (python sum == DuckDB list_sum fold order, NOT numpy's pairwise
@@ -1089,20 +1120,21 @@ def spherical_kmeans_assign(
     }
 
     def assign(c: dict[int, list[float]]) -> DataFrame:
-        pairs = F.array(
-            *[
-                F.struct(
-                    (-_dot_to_literal(F.col(vec_col), cent)).alias("negdot"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cent in sorted(c.items())
-            ]
+        # same transform-over-literal compaction as kmeans_fit.assign
+        # (ascending cids ⇒ (negdot, index) argmin == (negdot, cid))
+        cids = sorted(c)
+        structs = F.expr(
+            f"transform({_sql_matrix([c[i] for i in cids])}, "
+            "(cent, i) -> named_struct("
+            f"'negdot', -aggregate(zip_with(`{vec_col}`, cent, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x), "
+            "'cid', i))"
         )
-        best = F.array_min(pairs)  # max dot, ties -> lowest cid
+        best = F.array_min(structs)  # max dot, ties -> lowest cid
         return df.select(
             id_col,
             vec_col,
-            best["cid"].alias("cluster"),
+            F.element_at(F.lit(cids), best["cid"] + 1).alias("cluster"),
             (-best["negdot"]).alias("dot"),
         )
 

@@ -2262,7 +2262,7 @@ def _lsh_bucket_sql(alias: str) -> str:
 def ann_lsh_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     b = emb.withColumn(
-        "bucket", similarity.lsh_bucket_expr(F.col("embedding"), _LSH_LIT_PLANES)
+        "bucket", similarity.lsh_bucket_expr("embedding", _LSH_LIT_PLANES)
     )
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -2397,17 +2397,10 @@ def ann_ivf_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = [sum((ci - qi) * (ci - qi) for ci, qi in zip(c, qvec)) for c in cents]
     probe = [cid for cid, _ in sorted(enumerate(d), key=lambda t: (t[1], t[0]))[:_IVF_LIT_PROBE]]
 
-    pairs = F.array(
-        *[
-            F.struct(
-                similarity._sq_dist_to_literal(F.col("embedding"), c).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(cents)
-        ]
+    cell = F.array_min(similarity._sq_dist_structs("embedding", cents))["cid"]
+    qlit = F.expr(
+        "array(" + ",".join(similarity._sql_double(x) for x in qvec) + ")"
     )
-    cell = F.array_min(pairs)["cid"]
-    qlit = F.array(*[F.lit(x) for x in qvec])
     return (
         emb.withColumn("cell", cell)
         .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))

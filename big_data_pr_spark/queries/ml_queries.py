@@ -623,20 +623,16 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     _, cents = similarity.kmeans_fit(emb, k=_KM_K, iters=2)
-    pairs = F.array(
-        *[
-            F.struct(
-                similarity._sq_dist_to_literal(F.col("embedding"), cent).alias(
-                    "dist"
-                ),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cent in sorted(cents.items())
-        ]
+    # one-transform compaction (similarity._sq_dist_structs): ascending
+    # cids make the (dist, index) struct sort identical to the old
+    # (dist, cid) sort; element_at maps the winning index back to the
+    # (possibly non-contiguous) cluster id
+    cids = sorted(cents)
+    srt = F.array_sort(
+        similarity._sq_dist_structs("embedding", [cents[i] for i in cids])
     )
-    srt = F.array_sort(pairs)  # struct order: dist, then cid (tie-break)
     per = emb.select(
-        srt[0]["cid"].alias("cluster"),
+        F.element_at(F.lit(cids), srt[0]["cid"] + 1).alias("cluster"),
         F.sqrt(srt[0]["dist"]).alias("a"),
         F.sqrt(srt[1]["dist"]).alias("b"),
     )

@@ -960,21 +960,15 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_init_codebooks(emb, dim=64, m=_PQ_M, k=_PQ_K)
     err_cols = []
     for j in range(_PQ_M):
-        pairs = F.array(
-            *[
-                F.struct(
-                    similarity._sq_dist_slice_to_literal(
-                        F.col("embedding"), j * _PQ_DSUB, _PQ_DSUB, c
-                    ).alias("dist"),
-                    F.lit(ci).alias("cid"),
-                )
-                for ci, c in enumerate(books[j])
-            ]
-        )
+        # min over the (dist, cid) structs == min dist (ties share the
+        # dist value), via the one-transform compaction
+        sub = f"slice(embedding, {j * _PQ_DSUB + 1}, {_PQ_DSUB})"
         err_cols.append(
             F.struct(
                 F.lit(j).alias("subspace"),
-                F.array_min(pairs)["dist"].alias("q_err"),
+                F.array_min(similarity._sq_dist_structs(sub, books[j]))[
+                    "dist"
+                ].alias("q_err"),
             )
         )
     exploded = emb.select(
@@ -1305,19 +1299,9 @@ def ivfpq_adc_topk_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
             :_IVFPQ_PROBE
         ]
     ]
-    pairs = F.array(
-        *[
-            F.struct(
-                similarity._sq_dist_to_literal(
-                    F.col("embedding"), c
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in enumerate(cents)
-        ]
-    )
+    cell = F.array_min(similarity._sq_dist_structs("embedding", cents))["cid"]
     cand = (
-        emb.withColumn("cell", F.array_min(pairs)["cid"])
+        emb.withColumn("cell", cell)
         .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .drop("cell")
     )

@@ -465,7 +465,7 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(
             1
             - similarity.cosine(
-                F.col("embedding"), F.array(*[F.lit(v) for v in center])
+                F.col("embedding"), F.lit([float(v) for v in center])
             ),
             6,
         )
@@ -483,6 +483,12 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         dist_to([float(v) for v in first["embedding"]]).alias("mind"),
     ).persist()
+    # r13: the pick's TakeOrderedAndProject scans every partition, so
+    # its head() materializes the freshly-persisted state in the same
+    # job — fusing what was a separate count() action per step (k-2
+    # driver round-trips saved); the parent cache is only released
+    # AFTER the child is materialized, same recompute-safety as before
+    prev: DataFrame | None = None
     try:
         for step in range(1, _KC_K):
             pick = (
@@ -491,10 +497,14 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .limit(1)
                 .head()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             chosen.append(pick["vec_id"])
             rows.append((step, int(pick["vec_id"]), float(pick["mind"])))
             if step < _KC_K - 1:
-                nxt = state.select(
+                prev = state
+                state = state.select(
                     "vec_id",
                     "embedding",
                     F.least(
@@ -502,9 +512,8 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                         dist_to([float(v) for v in pick["embedding"]]),
                     ).alias("mind"),
                 ).persist()
-                nxt.count()  # materialize before dropping the parent
-                state.unpersist()
-                state = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         state.unpersist()
     return spark.createDataFrame(rows, "step long, vec_id long, radius double")

@@ -87,10 +87,17 @@ def test_callable_deps_sees_operator_and_registry_composition():
     }
     assert "simhash" in hop2
     # REGISTRY["..."].fn composition resolves to the composed query fns
+    # (minhash_eval_metrics kept the REGISTRY composition; its simhash
+    # twin moved to the shared-tokenization operator prefix in 7c3503c,
+    # so it now pins the module-attr operator channel instead)
     eval_deps = {
+        d.__name__ for d in _callable_deps(REGISTRY["minhash_eval_metrics"].fn)
+    }
+    assert {"dedup_ngram_jaccard", "dedup_minhash_md5"} <= eval_deps
+    simhash_eval_deps = {
         d.__name__ for d in _callable_deps(REGISTRY["simhash_eval_metrics"].fn)
     }
-    assert {"dedup_ngram_jaccard", "dedup_simhash_md5"} <= eval_deps
+    assert {"tokens_frame", "jaccard_pairs", "simhash_pairs_md5"} <= simhash_eval_deps
 
 
 def test_staleness_rank_missing_marker_falls_back():
