@@ -529,10 +529,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     hash_cols = [f"h{i}" for i in range(num_hashes)]
+    # fan out BEFORE the cache — the band join's probe side keeps the
+    # cache's layout; AQE coalesces the tiny cached relation to ~1
+    # partition and local-reads probe-side repartitions away (see
+    # simhash_pairs_md5 for the measured rationale)
     sig = track_cache(
-        minhash_signatures(df, id_col, text_col, n, num_hashes)
-        .select(F.col(id_col).alias("sid"), F.array(*hash_cols).alias("sig"))
-        .cache()
+        _fan_out(
+            minhash_signatures(df, id_col, text_col, n, num_hashes)
+            .select(F.col(id_col).alias("sid"), F.array(*hash_cols).alias("sig"))
+        ).cache()
     )
     band_structs = [
         F.struct(
@@ -891,7 +896,11 @@ def simhash_pairs(
     recall guarantee."""
     chunk_bits = 64 // bands
     mask = (1 << chunk_bits) - 1
-    sig = track_cache(simhash(df, id_col, text_col).cache())
+    # fan out BEFORE the cache: the band join's probe side keeps the
+    # cache's layout, and AQE both coalesces the tiny cached relation
+    # to ~1 partition and local-reads any probe-side repartition away
+    # (see simhash_pairs_md5 for the measured rationale)
+    sig = track_cache(_fan_out(simhash(df, id_col, text_col)).cache())
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1048,11 +1057,14 @@ def minhash_lsh_pairs_md5(
         F.min(md5_56(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    # fan out BEFORE the cache (probe side keeps the cache's layout —
+    # see simhash_pairs_md5)
     sig = track_cache(
-        sh.groupBy("sid")
-        .agg(*aggs)
-        .select("sid", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        .cache()
+        _fan_out(
+            sh.groupBy("sid")
+            .agg(*aggs)
+            .select("sid", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        ).cache()
     )
     band_structs = [
         F.struct(
@@ -1133,7 +1145,36 @@ def simhash_pairs_md5(
             for b in range(bits)
         ]
     )
-    sig = track_cache(votes.select("sid", sigbits.alias("sig")).cache())
+    # pack: the 56 sig bits as ONE long, built alongside the array —
+    # the per-pair Hamming verify then runs as bit_count(xor), a
+    # codegen intrinsic, instead of an INTERPRETED 56-element
+    # zip_with+filter+size per candidate pair. Bit-identical: sig
+    # elements are exactly 0/1, so differing array positions ==
+    # differing bits of the packed longs (r13: the band join scans
+    # ~700k candidate pairs at sf0.1 and the HOF verify was 13.9 s of
+    # single-task CPU).
+    packbits = sum(
+        (
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ),
+        F.lit(0),
+    ).cast("long")
+    # Fan out BEFORE the cache: downstream consumers (probe side of the
+    # band join) inherit the cache's partitioning, and with
+    # canChangeCachedPlanOutputPartitioning=true AQE coalesces this tiny
+    # relation to ~1 partition — correct by bytes, catastrophic for the
+    # per-PAIR verify stage. A probe-side repartition cannot fix it:
+    # the broadcast join has no distribution requirement, so AQE's
+    # OptimizeShuffleWithLocalRead folds that shuffle back to the
+    # mapper layout (= 1). Widening the cached relation itself is the
+    # only layout the probe actually keeps (r13: 17.7 s → ~2 s at
+    # sf0.1; at 100 TB _fan_out is a no-op past the file-count gate).
+    sig = track_cache(
+        _fan_out(
+            votes.select("sid", sigbits.alias("sig"), packbits.alias("pack"))
+        ).cache()
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1142,15 +1183,10 @@ def simhash_pairs_md5(
         for b in range(bands)
     ]
     banded = sig.select(
-        "sid", "sig", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("sid", "sig", "bb.band", "bb.bkey")
+        "sid", "sig", "pack", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("sid", "pack", "bb.band", "bb.bkey")
     x, y = banded.alias("x"), banded.alias("y")
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.col("x.sig"), F.col("y.sig"), lambda a, b: a != b),
-            lambda ne: ne,
-        )
-    )
+    hamming = F.bit_count(F.col("x.pack").bitwiseXOR(F.col("y.pack")))
     return (
         x.join(y, ["band", "bkey"])
         .filter(F.col("x.sid") < F.col("y.sid"))
