@@ -93,46 +93,66 @@ def build_pretrain_corpus(
         obs[stage] = o
         return df.observe(o, F.count(F.lit(1)).alias("n"))
 
-    cur = observed(docs, "00_input")
+    def narrow_stages(cur: DataFrame, mark) -> DataFrame:
+        """Stages 0-3 (scrub -> gates -> exact dedup), identical for the
+        observed output chain and the unobserved dedup-operator feed.
+        ``mark`` is ``observed`` on the output branch and a no-op on the
+        branch handed to the LSH/CC operators: those operators cache and
+        run their own bounded actions, and a CollectMetrics node that
+        rides into a cached subtree can be reported EMPTY by whichever
+        internal action fires first (observed under
+        canChangeCachedPlanOutputPartitioning=true and under an explicit
+        repartition-before-cache), permanently poisoning the Observation
+        ('only the result of the first action is available'). Keeping
+        the observe nodes exclusive to the output branch means the first
+        query-end event that mentions them is the output action itself."""
+        cur = mark(cur, "00_input")
 
-    # 1. PII scrub — narrow map; downstream stages see redacted text
-    cur = (
-        text.redact_pii(cur, text_col)
-        .withColumn(text_col, F.col("redacted"))
-        .drop("redacted", "n_phone", "n_email")
-    )
+        # 1. PII scrub — narrow map; downstream stages see redacted text
+        cur = (
+            text.redact_pii(cur, text_col)
+            .withColumn(text_col, F.col("redacted"))
+            .drop("redacted", "n_phone", "n_email")
+        )
 
-    # 2. quality + repetition gates — narrow row-local filters first so
-    #    the shuffling dedup stages only see plausible keepers
-    cur = text.quality_score(cur, text_col).filter(F.col("quality") >= quality_min)
-    toks = F.split(F.col(text_col), " ")
-    n_grams = F.greatest(F.size(toks) - 2, F.lit(0))
-    n_uniq = F.size(dedup.shingle_array(text_col, 3))
-    cur = cur.filter(
-        (n_grams == 0) | (1 - n_uniq / n_grams <= repetition_max)
-    )
-    cur = observed(cur, "01_quality_gate")
+        # 2. quality + repetition gates — narrow row-local filters first
+        #    so the shuffling dedup stages only see plausible keepers
+        cur = text.quality_score(cur, text_col).filter(
+            F.col("quality") >= quality_min
+        )
+        toks = F.split(F.col(text_col), " ")
+        n_grams = F.greatest(F.size(toks) - 2, F.lit(0))
+        n_uniq = F.size(dedup.shingle_array(text_col, 3))
+        cur = cur.filter(
+            (n_grams == 0) | (1 - n_uniq / n_grams <= repetition_max)
+        )
+        cur = mark(cur, "01_quality_gate")
 
-    # 3. exact dedup: min-id survivor per content hash (one window
-    #    shuffle on the digest)
-    from pyspark.sql import Window
+        # 3. exact dedup: min-id survivor per content hash (one window
+        #    shuffle on the digest)
+        from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    cur = (
-        cur.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    cur = observed(cur, "02_exact_dedup")
+        w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+        cur = (
+            cur.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return mark(cur, "02_exact_dedup")
+
+    cur = narrow_stages(docs, observed)
+    # unobserved twin of the same plan for the dedup operators (see
+    # narrow_stages doc; same transformations, so the same rows)
+    plain = narrow_stages(docs, lambda df, _stage: df)
 
     # 4. near-dup: LSH candidates -> connected components -> survivors.
     #    The CC iteration runs its own bounded jobs (edge-sized state,
     #    localCheckpoint-truncated lineage); the corpus side is one join
     #    against the (small) non-survivor label set.
     pairs = dedup.minhash_lsh_pairs(
-        cur, id_col, text_col, min_est_jaccard=lsh_min_jaccard
+        plain, id_col, text_col, min_est_jaccard=lsh_min_jaccard
     )
-    clusters = dedup.dedup_clusters(cur, pairs, id_col)
+    clusters = dedup.dedup_clusters(plain, pairs, id_col)
     cur = (
         cur.join(
             clusters.filter(~F.col("is_survivor")).select(F.col(id_col).alias("__drop")),
