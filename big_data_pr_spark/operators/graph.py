@@ -25,8 +25,22 @@ per-iteration round.
 
 from __future__ import annotations
 
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Exact replica of Spark's ``round(double, d)``: Catalyst rounds
+    via ``BigDecimal.valueOf(x).setScale(d, HALF_UP)``, i.e. HALF_UP on
+    the shortest decimal representation — which is what
+    ``Decimal(repr(x)).quantize`` computes (verified value-for-value
+    including the 5e-7 halfway case, see OPTIMIZATION_r13.md)."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def pagerank(
@@ -38,6 +52,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 8,
     round_to: int = 6,
+    driver_max_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank by fixed-iteration power iteration over an edge list.
 
@@ -64,13 +79,72 @@ def pagerank(
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
     nodes = nodes.localCheckpoint(eager=False)
     agg = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    n = nodes.count()
+
+    # CARDINALITY-GATED DRIVER FAST PATH (r13 optimization; the
+    # hits_event_transitions precedent): once arcs are aggregated the
+    # state is |nodes| + |distinct arcs| — for a type-transition graph
+    # that is types², thousands of rows, while the distributed loop
+    # costs 8 iterations x (join + groupBy + anti-join + checkpoint)
+    # of driver-bound tiny-stage scheduling (measured 5.4 s build /
+    # 75 jobs at sf0.1 for ~10 nodes). Exact integers/doubles cross
+    # the boundary once; the recurrence replays the identical float
+    # expression with Spark-identical HALF_UP rounding per iteration
+    # (the same per-iteration round that already caps the DuckDB
+    # oracle's fold-order drift — the driver loop is a third engine
+    # under the same contract). The distributed loop below is the
+    # parity-pinned fallback (tests/test_graph.py) and the only path
+    # past the gates.
+    gate_nodes = driver_max_nodes if driver_max_nodes is not None else int(
+        os.environ.get("SPARK_GRAFT_PAGERANK_DRIVER_MAX", "4096")
+    )
+    if 0 < n <= gate_nodes:
+        arc_rows = agg.limit(1_048_577).collect()
+        node_rows = [r["node"] for r in nodes.collect()]
+        if len(arc_rows) <= 1_048_576 and all(
+            v is not None for v in node_rows
+        ) and all(
+            r["src"] is not None and r["dst"] is not None for r in arc_rows
+        ):
+            node_vals = sorted(node_rows)
+            w_by_arc = {(r["src"], r["dst"]): float(r["w"]) for r in arc_rows}
+            tot: dict = {}
+            for (s, _d), wv in sorted(w_by_arc.items()):
+                tot[s] = tot.get(s, 0.0) + wv
+            in_arcs: dict = {}
+            for (s, d), wv in sorted(w_by_arc.items()):
+                in_arcs.setdefault(d, []).append((s, wv / tot[s]))
+            n_f = float(n)
+            tele = 1.0 - damping
+            rank = {v: _round_half_up(1.0 / n_f, round_to) for v in node_vals}
+            for _ in range(n_iter):
+                m = sum(rank[v] for v in node_vals if v not in tot)
+                new = {}
+                for v in node_vals:
+                    s_in = 0.0
+                    for u, p in in_arcs.get(v, ()):  # insertion = sorted-arc order
+                        if u in rank:
+                            s_in += rank[u] * p
+                    new[v] = _round_half_up(
+                        tele / n_f + damping * (s_in + m / n_f), round_to
+                    )
+                rank = new
+            schema = T.StructType(
+                [
+                    nodes.schema["node"],
+                    T.StructField("rank", T.DoubleType(), nullable=True),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                [(v, rank[v]) for v in node_vals], schema
+            )
+
     outw = agg.groupBy("src").agg(F.sum("w").alias("tot")).localCheckpoint(eager=False)
     p_edges = (
         agg.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
         .localCheckpoint(eager=False)
     )
-    n = nodes.count()
     teleport = F.lit(1.0) - F.lit(damping)  # same expression as the SQL oracle
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0) / F.lit(float(n)), round_to))
     for _ in range(n_iter):

@@ -1605,6 +1605,11 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end")
         )
     )
+    # r13 NOTE: a localCheckpoint here (to share the session chain
+    # between the two overlap-join sides) was measured and REVERTED:
+    # 3.1 -> 5.2 s at sf0.1 — AQE's exchange/stage reuse already dedups
+    # the events shuffle at runtime, and the checkpoint only added a
+    # materialization barrier before the broadcast side could build.
     left = sess.select(
         F.col("user_id").alias("u1"),
         F.col("sess_start"),

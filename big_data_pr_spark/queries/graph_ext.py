@@ -202,7 +202,16 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcast_max = int(
         os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", str(5_000_000))
     )
-    use_broadcast = lo.select("pk").distinct().count() <= bcast_max
+    # r13: gate on the part DIMENSION row count (cheap metadata-sized
+    # count, no wide scan) instead of a full lineitem scan + distinct
+    # shuffle — |distinct l_partkey| <= |part| always, so the gate
+    # decision is conservative-identical and one data-sized job
+    # cheaper. The hint changes plan strategy only, never results.
+    # Fixture dirs without a part table (tests) keep the exact gate.
+    try:
+        use_broadcast = load(spark, sf_dir, "part").count() <= bcast_max
+    except Exception:
+        use_broadcast = lo.select("pk").distinct().count() <= bcast_max
 
     def induced_degrees(alive: DataFrame | None) -> DataFrame:
         e = edges

@@ -218,6 +218,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # r13 NOTE: a localCheckpoint on `items` (shared by three
+    # consumers) was measured and REVERTED: 2.4 -> 3.8 s at sf0.1 —
+    # AQE stage reuse already shares the distinct's exchange across
+    # the consumers, and the eager materialization barrier cost more
+    # than the duplicate plan text.
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
     ).distinct()

@@ -578,10 +578,14 @@ _DRM_SMOOTH = 0.2  # uniform smoothing mass c: w = (1-c)*softmax + c/k
 def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lm, _ = text.bigram_lm(docs)
-    bg = docs.select("doc_id", F.explode(text.bigrams("text")).alias("bigram"))
+    # r13: carry `source` with the exploded bigrams directly — it sits
+    # on the same input row as `text`, so the oracle's JOIN documents
+    # USING (doc_id) (re-attaching a unique-keyed row's own column) is
+    # a no-op relationally; dropping it removes one full documents
+    # scan + a per-bigram-instance broadcast-hash probe.
+    bg = docs.select("source", F.explode(text.bigrams("text")).alias("bigram"))
     srcnll = (
         bg.join(lm.select("bigram", "logp"), "bigram")
-        .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),

@@ -418,11 +418,16 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def char_entropy_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # r13: split-to-chars is O(len) per doc; the previous positional
+    # explode evaluated substring(text, p, 1) per position, and UTF-8
+    # position lookup walks the string from the start — O(len²) per
+    # doc. split(text, '') yields exactly the same per-position
+    # single-character strings (verified incl. multibyte chars), so
+    # the (doc_id, ch) multiset — and every count downstream — is
+    # identical.
     chars = docs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("p"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, p, 1)").alias("ch"))
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
     cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     ent = cnt.groupBy("doc_id").agg(
         (

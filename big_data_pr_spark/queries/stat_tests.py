@@ -25,6 +25,8 @@ by an explicit edge-weight threshold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2728,13 +2730,25 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops the redundant loop-head recount of the checkpointed set.
     n_cur = n0
     prev_n = n0
+    # r13: the per-round edge count is a DRIVER-KNOWN int (paid for the
+    # convergence certificate anyway) — use it to pick the join
+    # strategy deliberately (guide §3.1): below the gate the wedge
+    # extension and the closing-edge probe build broadcast hash tables
+    # (zero shuffles per round) instead of AQE guessing from
+    # checkpointed-RDD sizes it cannot estimate. Past the gate (true
+    # 100 TB edge sets) the hint is off and the joins shuffle as
+    # before; the hint changes strategy only, never rows.
+    bcast_edges_max = int(
+        os.environ.get("SPARK_GRAFT_TRUSS_BCAST_MAX", str(2_000_000))
+    )
     for _ in range(_TRUSS_ROUNDS):
         prev_n = n_cur
+        hint = F.broadcast if n_cur <= bcast_edges_max else (lambda df: df)
         e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
         tri = (
-            e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+            e1.join(hint(e2), F.col("e1.s2") == F.col("e2.s1"))
             .join(
-                e3,
+                hint(e3),
                 (F.col("e3.s1") == F.col("e1.s1"))
                 & (F.col("e3.s2") == F.col("e2.s2")),
             )
@@ -2753,7 +2767,9 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("sup") >= _TRUSS_K - 2)
             .select("s1", "s2")
         )
-        e = e.join(sup, ["s1", "s2"], "left_semi").localCheckpoint(eager=True)
+        e = e.join(hint(sup), ["s1", "s2"], "left_semi").localCheckpoint(
+            eager=True
+        )
         n_cur = e.count()
         if n_cur == prev_n:
             break

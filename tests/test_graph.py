@@ -69,3 +69,40 @@ def test_pagerank_default_node_universe(spark, toy):
     assert set(got) == {1, 2, 3, 4}
     want = _numpy_pagerank([(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)], [1, 2, 3, 4])
     assert got == want
+
+
+def test_pagerank_driver_fast_path_parity_with_distributed(spark, toy):
+    """The cardinality-gated driver loop (r13) and the distributed
+    power iteration are the same recurrence: identical output on a
+    graph exercising dangling mass, an isolated node, parallel arcs
+    (summed weights), and float weights."""
+    edges = [
+        (1, 2, 1.5), (1, 3, 0.5), (2, 3, 2.0), (3, 1, 1.0),
+        (2, 4, 0.25), (1, 2, 0.75),  # parallel arc: summed
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long, w double")
+    ndf = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    fast = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edf, ndf, weight="w").collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            edf, ndf, weight="w", driver_max_nodes=0
+        ).collect()
+    }
+    assert fast == dist
+    assert set(fast) == {1, 2, 3, 4, 5}
+
+
+def test_pagerank_distributed_path_matches_replica(spark, toy):
+    """The distributed fallback (gate forced off) still matches the
+    sequential replica — the fast path must never become the only
+    tested implementation."""
+    edges, edf, ndf = toy
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edf, ndf, driver_max_nodes=0).collect()
+    }
+    assert got == _numpy_pagerank(edges, list(range(1, 6)))
