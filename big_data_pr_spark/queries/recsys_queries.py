@@ -266,12 +266,19 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") >= _TR_MINLEN)
         .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
     )
+    # r13: truncate the 150-row vocabulary — it seeds scores_0 AND
+    # anchors every iteration's broadcast build, and without
+    # truncation each of the 4 nested broadcast builds re-derived it
+    # from a full corpus tokenization (measured: 72.9 s cold /
+    # 4.2 s warm at sf0.1 before, dominated by repeated tok explode +
+    # top-k jobs).
     vocab = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "tok")
         .limit(_TR_VOCAB)
         .select("tok")
+        .cache()
     )
     vtok = tok.join(F.broadcast(vocab), "tok")
     a = vtok.select("doc_id", F.col("tok").alias("ta"), F.col("pos").alias("pa"))
@@ -310,6 +317,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.sum(F.col("w") / F.col("ow") * F.col("score"))
                 ).alias("score")
             )
+            # r13: |vocab|-row cache per sweep keeps every broadcast
+            # build a cache-scan + tiny agg instead of re-running the
+            # whole nested iteration chain (lazy, so no eager barrier;
+            # canonical-plan reuse also serves repeat invocations)
+            .cache()
         )
     return (
         scores.select(
