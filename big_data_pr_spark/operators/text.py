@@ -98,30 +98,48 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     SQL oracle. (Fixture texts are synthetic word-soup, so the heuristic
     degenerates to the fallback — the operator plumbing and its scale
     shape are what's exercised; swap in fastText via pandas UDF for real
-    corpora.)"""
-    t = tokens(F.col(text_col))
+    corpora.)
 
-    def marker_filter(markers):
-        # closure factory — F.filter inspects lambda arity, so the
-        # markers can't ride along as a default argument
-        return F.size(F.filter(t, lambda x: _isin(x, markers)))
+    Single-pass fold (r13): one ``aggregate`` over one tokenization
+    builds all five marker counts at once. The previous form ran one
+    ``size(filter(split(text),...))`` per language, and the argmax CASE
+    chain + the all-zero total each re-embedded those non-cheap HOF
+    subtrees, so each row re-split and re-scanned its token array ~15×
+    (HOFs are interpreted, not codegen'd, and escape subexpression
+    elimination). The counts land in ONE array column in their own
+    projection (CollapseProject keeps non-cheap multi-referenced
+    expressions un-inlined), and the argmax/total read plain
+    element_at's. Counts are exact integers → identical pred_lang.
+    Measured at sf0.1: lang_id_confusion 2.49 → 0.82 s warm floor."""
+    langs = sorted(LANG_MARKERS)
+    zero = F.array(*[F.lit(0) for _ in langs])
 
-    counts = {lang: marker_filter(markers) for lang, markers in LANG_MARKERS.items()}
+    def step(acc: Column, x: Column) -> Column:
+        return F.array(
+            *[
+                acc[i]
+                + F.when(_isin(x, LANG_MARKERS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    cnts_col = "__lang_marker_counts"
+    out = df.withColumn(cnts_col, F.aggregate(tokens(F.col(text_col)), zero, step))
+    c = F.col(cnts_col)
     # deterministic argmax: highest count wins, ties broken by lang name
     pred = F.lit("en")
     best = F.lit(-1)
-    for lang in sorted(LANG_MARKERS):
-        c = counts[lang]
-        better = (c > best) | ((c == best) & F.lit(False))
+    for i, lang in enumerate(langs):
+        better = c[i] > best
         pred = F.when(better, F.lit(lang)).otherwise(pred)
-        best = F.when(better, c).otherwise(best)
+        best = F.when(better, c[i]).otherwise(best)
     # all-zero marker count → fallback 'en'
     total = None
-    for c in counts.values():
-        total = c if total is None else total + c
-    return df.withColumn(
+    for i in range(len(langs)):
+        total = c[i] if total is None else total + c[i]
+    return out.withColumn(
         "pred_lang", F.when(total == 0, F.lit("en")).otherwise(pred)
-    )
+    ).drop(cnts_col)
 
 
 def hash_split(
