@@ -24,10 +24,12 @@ higher-order functions) — no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -780,6 +782,48 @@ def propagate_seed_hops(
     # otherwise execute the (expensive — e.g. exact-Jaccard) upstream
     # pipeline once per branch
     pairs_ck = pairs.select(id_a, id_b).localCheckpoint(eager=False)
+    # r13 OPT: cardinality-gated DRIVER BFS (the connected_components
+    # collect class, same gate shape). Hop labels are exact integers —
+    # level-synchronous expansion in a Python dict is identical by
+    # construction to the distributed frontier loop. The count()
+    # materializes the pair checkpoint (the job hop 1 would have paid)
+    # and gates: below the default 200k edges the 3-hop loop costs
+    # zero Spark jobs instead of 3 x (join + dedup + anti-join +
+    # count). Above the gate the frontier loop below runs unchanged;
+    # parity pinned in tests/test_incremental_dedup.py.
+    n_pairs_bfs = pairs_ck.count()
+    bfs_driver_max = int(
+        os.environ.get("SPARK_GRAFT_BFS_DRIVER_MAX_EDGES", str(200_000))
+    )
+    if n_pairs_bfs <= bfs_driver_max:
+        seeds_d = seeds.select(F.col(id_col).alias("node")).distinct()
+        adj: dict = {}
+        for r in pairs_ck.collect():
+            a, b = r[0], r[1]
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        hop_of = {r[0]: 0 for r in seeds_d.collect()}
+        frontier = set(hop_of)
+        for k in range(1, max_hops + 1):
+            nxt: set = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in hop_of:
+                        nxt.add(v)
+            if not nxt:
+                break
+            for v in nxt:
+                hop_of[v] = k
+            frontier = nxt
+        out_schema = StructType(
+            [
+                StructField("node", seeds_d.schema["node"].dataType),
+                StructField("hop", IntegerType(), False),
+            ]
+        )
+        return seeds.sparkSession.createDataFrame(
+            sorted(hop_of.items()), out_schema
+        )
     sym = (
         pairs_ck.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs_ck.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

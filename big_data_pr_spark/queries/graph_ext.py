@@ -199,6 +199,82 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the alive side — orders of magnitude smaller than edges — is the
     # only moving data). Env override exists so the fallback plan is
     # pin-testable at any sf.
+    # r13 OPT: cardinality-gated DRIVER peel (the pagerank/HITS/
+    # connected_components collect class). The peel is pure INTEGER
+    # arithmetic — per-round degrees of the alive-induced subgraph —
+    # so a driver replay over the collected edge list is exact by
+    # construction (no float folds anywhere). One count() materializes
+    # the lazy edge checkpoint (the job round 1 would have paid) and
+    # gates: below the default 4M directed edges (64 MB of (s1,s2)
+    # longs over Arrow, env-overridable) the 8-round loop runs as
+    # vectorized bincounts on the driver, replacing 5 rounds x
+    # (2 broadcast semi-joins + groupBy + count) of fixed per-job
+    # overhead (measured: 30 -> ~5 Spark jobs, 4.37 -> ~2.1 s warm at
+    # sf0.1, identical rows). Above the gate the distributed peel
+    # below runs unchanged; parity pinned in tests/test_graph_peel.py.
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_KCORE_DRIVER_MAX_EDGES", str(4_000_000))
+    )
+    n_edges = edges.count()
+    if n_edges <= driver_max:
+        import numpy as np
+
+        tbl = edges.toArrow()
+        i1 = tbl.column("s1").to_numpy(zero_copy_only=False)
+        i2 = tbl.column("s2").to_numpy(zero_copy_only=False)
+        # index degree/alive arrays by the RAW part key: TPC-H part
+        # keys are dense small ints, so a direct bincount beats any
+        # remap (np.unique measured 15 s on 4.8M ids in this runtime).
+        # Guard the allocation: past 2^25 max id (a 256 MB degree
+        # array) fall through to the distributed peel.
+        mx = int(max(i1.max(), i2.max())) if n_edges else 0
+        if mx <= 33_554_432:
+            nn = mx + 1
+            alive_mask = None
+            deg = None
+            prev_n: int | None = None
+            converged_early = False
+            for _ in range(_KCORE_ROUNDS):
+                if alive_mask is None:
+                    deg = np.bincount(i1, minlength=nn)
+                else:
+                    m = alive_mask[i1] & alive_mask[i2]
+                    deg = np.bincount(i1[m], minlength=nn)
+                alive_new = deg >= _KCORE_K
+                n = int(alive_new.sum())
+                if prev_n is not None and n == prev_n:
+                    converged_early = True
+                    break
+                prev_n = n
+                alive_mask = alive_new
+            if converged_early:
+                out_deg = deg
+                conv = True
+            else:
+                m = alive_mask[i1] & alive_mask[i2]
+                final_deg = np.bincount(i1[m], minlength=nn)
+                conv = bool(int(final_deg.sum()) == int(deg.sum()))
+                out_deg = final_deg
+            present = np.nonzero(out_deg)[0]
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {
+                    "partkey": present.astype(np.int64),
+                    "core_degree": out_deg[present].astype(np.int64),
+                    "converged": np.full(len(present), conv, dtype=bool),
+                }
+            )
+            # Arrow createDataFrame: the row-pickle path costs ~2 s for
+            # a 20k-row handoff (measured), the Arrow path ~0.1 s. Set
+            # at runtime (same pattern as tables.load's nanosAsLong)
+            # so the driver's bare session gets it too.
+            spark = lo.sparkSession
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+            return spark.createDataFrame(
+                pdf,
+                "partkey bigint, core_degree bigint, converged boolean",
+            ).orderBy(F.desc("core_degree"), F.asc("partkey"))
     bcast_max = int(
         os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", str(5_000_000))
     )

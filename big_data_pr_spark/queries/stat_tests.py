@@ -2730,6 +2730,56 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops the redundant loop-head recount of the checkpointed set.
     n_cur = n0
     prev_n = n0
+    spark_ = li.sparkSession
+    out_schema = (
+        "n_edges_initial bigint, n_edges_truss bigint, "
+        "n_suppliers_truss bigint, converged boolean"
+    )
+    # r13 OPT: cardinality-gated DRIVER peel (the pagerank/HITS/
+    # connected_components collect class). The whole query reduces to
+    # one row of counts over the filtered co-supply graph, and n0 is a
+    # driver-known int already paid for the convergence certificate.
+    # Below the gate (default 100k edges, env-overridable) the peel is
+    # pure INTEGER set logic — oriented wedge intersection, identical
+    # triangle multiset, identical support counts, zero float risk —
+    # replayed on the driver with |edges|-bounded state, replacing
+    # 3 rounds x (2 joins + union-aggregate + semi-join + count) of
+    # fixed per-job overhead (measured: 35 -> ~6 Spark jobs,
+    # 3.87 -> ~1.1 s warm at sf0.1). Above the gate the distributed
+    # loop below runs unchanged; parity pinned in
+    # tests/test_graph_peel.py (driver == distributed on fixtures).
+    driver_max = int(
+        os.environ.get("SPARK_GRAFT_TRUSS_DRIVER_MAX", str(100_000))
+    )
+    if n0 <= driver_max:
+        out: dict = {}
+        edges = set()
+        for r in e.collect():
+            u, v = r[0], r[1]
+            edges.add((u, v))
+            out.setdefault(u, set()).add(v)
+        empty: set = set()
+        for _ in range(_TRUSS_ROUNDS):
+            prev_n = n_cur
+            support: dict = {}
+            for u, v in edges:
+                for c in out.get(u, empty) & out.get(v, empty):
+                    for ed in ((u, v), (v, c), (u, c)):
+                        support[ed] = support.get(ed, 0) + 1
+            edges = {
+                ed for ed, s in support.items() if s >= _TRUSS_K - 2
+            }
+            out = {}
+            for u, v in edges:
+                out.setdefault(u, set()).add(v)
+            n_cur = len(edges)
+            if n_cur == prev_n:
+                break
+        n_sup_d = len({x for ed in edges for x in ed})
+        return spark_.createDataFrame(
+            [(int(n0), int(n_cur), int(n_sup_d), bool(n_cur == prev_n))],
+            out_schema,
+        )
     # r13: the per-round edge count is a DRIVER-KNOWN int (paid for the
     # convergence certificate anyway) — use it to pick the join
     # strategy deliberately (guide §3.1): below the gate the wedge

@@ -117,6 +117,27 @@ def test_propagate_seed_hops_bfs_distances(spark):
     assert got_isl == {10: 0, 11: 1}
 
 
+def test_propagate_seed_hops_driver_distributed_parity(spark, monkeypatch):
+    """The r13 cardinality-gated driver BFS and the distributed
+    frontier loop must produce identical (node, hop) sets; the env
+    override forces the distributed path on the same tiny graph."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (1, 20), (20, 21), (1, 21)],
+        "id_a long, id_b long",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "doc_id long")
+    fast = {
+        (r["node"], r["hop"])
+        for r in dedup.propagate_seed_hops(seeds, edges, max_hops=2).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_BFS_DRIVER_MAX_EDGES", "0")
+    dist = {
+        (r["node"], r["hop"])
+        for r in dedup.propagate_seed_hops(seeds, edges, max_hops=2).collect()
+    }
+    assert fast == dist == {(1, 0), (2, 1), (3, 2), (20, 1), (21, 1), (10, 0), (11, 1)}
+
+
 def test_dedup_clusters_transitive_chain(spark, planted):
     """A≈B and B≈C (but A̸≈C directly) must collapse into ONE cluster;
     singletons survive as their own cluster."""

@@ -39,10 +39,15 @@ def _write_lineitem(spark, tmp_path, rows, with_supp=False):
     return sf_dir
 
 
-def test_kcore_early_exit_converged(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_kcore_early_exit_converged(spark, tmp_path, monkeypatch, force_distributed):
     # triangle {1,2,3} + pendant 4 on 1; k=2: round 1 drops the
     # pendant, round 2 changes nothing -> early exit with the
-    # triangle (degree 2 each) and converged=True
+    # triangle (degree 2 each) and converged=True.
+    # Parametrized over the r13 driver peel and the distributed peel
+    # (env gate forced to 0) -- both must produce identical rows.
+    if force_distributed:
+        monkeypatch.setenv("SPARK_GRAFT_KCORE_DRIVER_MAX_EDGES", "0")
     monkeypatch.setattr(graph_ext, "_KCORE_K", 2)
     rows = [(10, 1), (10, 2), (11, 2), (11, 3), (12, 1), (12, 3), (13, 1), (13, 4)]
     sf_dir = _write_lineitem(spark, tmp_path, rows)
@@ -50,11 +55,16 @@ def test_kcore_early_exit_converged(spark, tmp_path, monkeypatch):
     assert got == [(1, 2, True), (2, 2, True), (3, 2, True)]
 
 
-def test_kcore_budget_exhausted_not_converged(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_kcore_budget_exhausted_not_converged(
+    spark, tmp_path, monkeypatch, force_distributed
+):
     # path 1-2-...-10, k=2: each round peels both endpoints, so a
     # 2-round budget leaves {3..8} with the endpoint degrees of the
     # PARTIAL peel — exactly what the oracle's identical unroll
     # yields — and converged=False (the 3rd round would still shrink)
+    if force_distributed:
+        monkeypatch.setenv("SPARK_GRAFT_KCORE_DRIVER_MAX_EDGES", "0")
     monkeypatch.setattr(graph_ext, "_KCORE_K", 2)
     monkeypatch.setattr(graph_ext, "_KCORE_ROUNDS", 2)
     rows = [(100 + i, v) for i in range(9) for v in (i + 1, i + 2)]
@@ -103,19 +113,28 @@ def _clique_supply(suppliers):
     return pairs
 
 
-def test_ktruss_early_exit_stable_k4(spark, tmp_path):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_ktruss_early_exit_stable_k4(spark, tmp_path, monkeypatch, force_distributed):
     # K4 supplier clique: every edge sits in 2 triangles = the 4-truss
     # threshold, so round 1 drops nothing -> immediate fixpoint exit,
-    # all 6 edges and 4 suppliers survive, converged=True
+    # all 6 edges and 4 suppliers survive, converged=True.
+    # Parametrized over the r13 driver peel and the distributed peel.
+    if force_distributed:
+        monkeypatch.setenv("SPARK_GRAFT_TRUSS_DRIVER_MAX", "0")
     sf_dir = _write_supply(spark, tmp_path, _clique_supply([1, 2, 3, 4]))
     row = stat_tests.ktruss_suppliers(spark, sf_dir).collect()[0]
     assert tuple(row) == (6, 6, 4, True)
 
 
-def test_ktruss_triangle_peels_to_empty(spark, tmp_path):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_ktruss_triangle_peels_to_empty(
+    spark, tmp_path, monkeypatch, force_distributed
+):
     # a single triangle: each edge is in only 1 < k-2 triangles, so
     # round 1 empties the edge set and round 2 confirms the (empty)
     # fixpoint -> early exit, converged=True
+    if force_distributed:
+        monkeypatch.setenv("SPARK_GRAFT_TRUSS_DRIVER_MAX", "0")
     sf_dir = _write_supply(spark, tmp_path, _clique_supply([1, 2, 3]))
     row = stat_tests.ktruss_suppliers(spark, sf_dir).collect()[0]
     assert tuple(row) == (3, 0, 0, True)
