@@ -29,8 +29,69 @@ built-in expressions.
 # NOTE: no `from __future__ import annotations` here — it would turn the
 # pandas-UDF type hints into strings, which PySpark's signature
 # inspection rejects ([UNSUPPORTED_SIGNATURE]).
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _vectors_to_numpy(df: DataFrame, id_col: str, vec_col: str):
+    """Arrow-collect ``(id, vec)`` into ``(ids, mat)`` numpy arrays for
+    the cardinality-gated driver paths. Returns ``None`` (→ caller
+    falls back to the distributed plan) for ragged/null vectors, so
+    the fast path never changes semantics on malformed input."""
+    import numpy as np
+
+    tbl = df.select(id_col, vec_col).toArrow()
+    vc = tbl.column(vec_col).combine_chunks()
+    if vc.null_count:
+        return None
+    try:
+        offsets = vc.offsets.to_numpy(zero_copy_only=False)
+        vals_arr = vc.values
+    except AttributeError:  # not a list column
+        return None
+    if vals_arr.null_count or len(offsets) < 2:
+        return None
+    widths = offsets[1:] - offsets[:-1]
+    if widths[0] == 0 or not (widths == widths[0]).all():
+        return None
+    vals = vals_arr.to_numpy(zero_copy_only=False)
+    mat = vals[offsets[0] : offsets[-1]].reshape(len(widths), int(widths[0]))
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    return ids, mat
+
+
+def _np_seq_norms(A):
+    """Per-row L2 norm with the EXACT fold order of :func:`norm`:
+    left-to-right ``acc = acc + x_d * x_d`` per dimension (elementwise
+    numpy ufuncs — one product rounding, one sum rounding per step,
+    no FMA, no pairwise reassociation), then sqrt. Bit-identical to
+    the JVM higher-order-function fold on the same doubles."""
+    import numpy as np
+
+    s = np.zeros(len(A))
+    for d in range(A.shape[1]):
+        s = s + A[:, d] * A[:, d]
+    return np.sqrt(s)
+
+
+def _np_seq_dot_gather(NT, ia, ib):
+    """Sequential-fold dot products for index pairs ``(ia[k], ib[k])``
+    over a TRANSPOSED ``(dim, n)`` C-contiguous matrix: per-dimension
+    1-D gathers. Exact :func:`dot` replica (same fold order / rounding
+    per step as :func:`_np_seq_norms`). The transposed-gather shape is
+    load-bearing: this runtime's numpy is pathologically slow at 2-D
+    row gathers and Fortran copies (measured 22–56 s vs 0.27 s for
+    674k pairs × 64 dims)."""
+    import numpy as np
+
+    acc = np.zeros(len(ia))
+    for d in range(NT.shape[0]):
+        col = NT[d]
+        acc = acc + col[ia] * col[ib]
+    return acc
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -217,6 +278,14 @@ def cosine_pairs(
             "per-bucket only (SCALE.md), or raise max_pairs "
             "explicitly for a deliberate exact sweep."
         )
+    # r13 NOTE — driver grid MEASURED AND REJECTED: a cardinality-gated
+    # driver replay of this n²/2 grid (exact sequential-fold Gram via
+    # row-blocked outer-product accumulation, bit-identical output,
+    # parity-verified on all three fixture SFs) timed ~2.3 s warm vs
+    # 2.15 s distributed at sf0.1 — a wash at best, and the 4M-element
+    # single-threaded numpy steps swing 5× under host contention while
+    # the 32-core BNLJ rides through it. The same gate is a clear WIN
+    # for lsh_pairs (candidate JOIN dominates there); see below.
     par = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -347,6 +416,72 @@ def lsh_pairs(
     (band, bucket), bucket-local), distinct pair set, then the exact
     cosine verifier. Output ⊆ :func:`cosine_pairs`; work is
     O(Σ bucketᵢ²) per band vs the exact join's O(n²)."""
+    # r13 OPT: cardinality-gated DRIVER path (same class/gate as
+    # cosine_pairs'). Below the gate the banding UDF's arithmetic is
+    # replayed verbatim on the collected matrix (same float32 input,
+    # same seeded planes, same matmul/sign/weight expressions), the
+    # any-band-agrees candidate set built as a boolean matrix (exactly
+    # the distinct of the distributed (band,bucket) self-join), and
+    # the pre-normalized verify replayed with the exact sequential
+    # fold + Spark-round replica (see cosine_pairs notes).
+    # Rows-only output; driver-vs-distributed parity pinned in
+    # tests/test_dedup_similarity.py and equality verified on all
+    # three fixture SFs.
+    n_vecs = df.count()
+    driver_max = int(os.environ.get("SPARK_GRAFT_EMB_DRIVER_MAX_VECS", "4096"))
+    if n_vecs <= driver_max:
+        got = _vectors_to_numpy(df, id_col, vec_col)
+        if got is not None and got[1].shape[1] == dim:
+            import numpy as np
+
+            from .graph import _round_half_up
+
+            ids, mat = got
+            planes = np.random.default_rng(seed).standard_normal(
+                (n_bands * planes_per_band, dim)
+            )
+            # explicit upcast: bitwise-equal to the UDF's mixed-dtype
+            # `mat @ planes.T` (verified np.array_equal on the fixture)
+            # and 2x faster through this runtime's BLAS
+            bits = (mat.astype(np.float64) @ planes.T) > 0
+            weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+            codes = (
+                bits.reshape(mat.shape[0], n_bands, planes_per_band) @ weights
+            ).astype("int32")
+            m = len(ids)
+            cand = np.zeros((m, m), dtype=bool)
+            for bnd in range(n_bands):
+                cb = codes[:, bnd]
+                cand |= cb[:, None] == cb[None, :]
+            cand &= ids[:, None] < ids[None, :]
+            iu, ju = np.nonzero(cand)
+            A = mat.astype(np.float64)
+            nr = _np_seq_norms(A)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                NV = A / nr[:, None]
+            NT = np.ascontiguousarray(NV.T)
+            rows = []
+            chunk = 400_000
+            for c0 in range(0, len(iu), chunk):
+                ii, jj = iu[c0 : c0 + chunk], ju[c0 : c0 + chunk]
+                with np.errstate(invalid="ignore"):
+                    acc = _np_seq_dot_gather(NT, ii, jj)
+                    keep = np.nonzero(acc >= threshold - 1e-6)[0]
+                for k in keep.tolist():
+                    val = _round_half_up(float(acc[k]), 6)
+                    if val >= threshold:
+                        rows.append(
+                            (ids[ii[k]].item(), ids[jj[k]].item(), val)
+                        )
+            idt = df.schema[id_col].dataType
+            out_schema = StructType(
+                [
+                    StructField("id_a", idt),
+                    StructField("id_b", idt),
+                    StructField("cos_sim", DoubleType()),
+                ]
+            )
+            return df.sparkSession.createDataFrame(rows, out_schema)
     b = with_banded_lsh(df, dim, n_bands, planes_per_band, seed, vec_col)
     a_side = b.select(
         F.col("band").alias("__na"),

@@ -138,6 +138,40 @@ def test_propagate_seed_hops_driver_distributed_parity(spark, monkeypatch):
     assert fast == dist == {(1, 0), (2, 1), (3, 2), (20, 1), (21, 1), (10, 0), (11, 1)}
 
 
+def test_lsh_pairs_driver_distributed_parity(spark, monkeypatch):
+    """The r13 cardinality-gated driver LSH path (banding arithmetic,
+    any-band candidate set, pre-normalized sequential-fold verify,
+    Spark-round replica) must emit exactly the distributed rows."""
+    import random
+
+    from big_data_pr_spark.operators import similarity
+
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant near-duplicates so the verify threshold actually bites
+    rows += [
+        (100 + i, [float(x + rnd.gauss(0, 0.05)) for x in base[i]])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = sorted(
+        tuple(r)
+        for r in similarity.lsh_pairs(
+            emb, dim=8, threshold=0.4, n_bands=12, planes_per_band=4
+        ).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_EMB_DRIVER_MAX_VECS", "0")
+    dist = sorted(
+        tuple(r)
+        for r in similarity.lsh_pairs(
+            emb, dim=8, threshold=0.4, n_bands=12, planes_per_band=4
+        ).collect()
+    )
+    assert fast == dist
+    assert len(fast) >= 10  # the planted near-dups all verified
+
+
 def test_dedup_clusters_transitive_chain(spark, planted):
     """A≈B and B≈C (but A̸≈C directly) must collapse into ONE cluster;
     singletons survive as their own cluster."""
