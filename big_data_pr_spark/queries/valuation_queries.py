@@ -457,6 +457,84 @@ def _kcenter_oracle(k: int) -> str:
 )
 def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r13 OPT: cardinality-gated DRIVER replay (the lsh_pairs/pagerank
+    # collect class; same gate env). The distributed loop below costs
+    # k head() round-trips (11 jobs); below the gate the identical
+    # farthest-first recurrence replays on the driver with the exact
+    # fold replicas from operators/similarity (sequential dot/norm
+    # folds, Spark round(double,6) replica, least-skips-null → nan
+    # handling), so every per-step pick compares the SAME doubles.
+    # Parity pinned driver-vs-distributed in tests/test_valuation.py;
+    # the oracle hash-checks the query end-to-end.
+    import os as _os
+
+    driver_max = int(
+        _os.environ.get("SPARK_GRAFT_EMB_DRIVER_MAX_VECS", "4096")
+    )
+    if emb.count() <= driver_max:
+        got = similarity._vectors_to_numpy(emb, "vec_id", "embedding")
+        if got is not None:
+            import numpy as np
+
+            from ..operators.graph import _round_half_up
+
+            ids, mat = got
+            ids_list = ids.tolist()
+            if 0 in ids_list:
+                E = mat.astype(np.float64)
+                nr = similarity._np_seq_norms(E)
+                ET = np.ascontiguousarray(E.T)
+
+                def dists_to(ci: int) -> "np.ndarray":
+                    # exact dist_to replica: round(1 - dot/(na*nc), 6)
+                    acc = np.zeros(E.shape[0])
+                    crow = ET[:, ci]
+                    for d in range(ET.shape[0]):
+                        acc = acc + ET[d] * crow[d]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / (nr * nr[ci])
+                    one_m = 1.0 - cos
+                    out = np.empty(len(one_m))
+                    for i, v in enumerate(one_m.tolist()):
+                        out[i] = (
+                            np.nan if v != v else _round_half_up(v, 6)
+                        )
+                    return out
+
+                i0 = ids_list.index(0)
+                mind = dists_to(i0)
+                chosen_idx = {i0}
+                rows_d: list = [(0, 0, None)]
+                for step in range(1, _KC_K):
+                    # pick: max mind desc, vec_id asc, nulls(nan) last
+                    best_i = -1
+                    best_v = None
+                    for i in range(len(ids_list)):
+                        if i in chosen_idx:
+                            continue
+                        v = mind[i]
+                        if v != v:  # nan = null → sorts last
+                            continue
+                        if (
+                            best_i < 0
+                            or v > best_v
+                            or (v == best_v and ids_list[i] < ids_list[best_i])
+                        ):
+                            best_i, best_v = i, v
+                    if best_i < 0:
+                        break
+                    chosen_idx.add(best_i)
+                    rows_d.append((step, int(ids_list[best_i]), float(best_v)))
+                    if step < _KC_K - 1:
+                        dnew = dists_to(best_i)
+                        # least() skips nulls: nan keeps the old value
+                        upd = ~np.isnan(dnew) & (
+                            np.isnan(mind) | (dnew < mind)
+                        )
+                        mind = np.where(upd, dnew, mind)
+                return spark.createDataFrame(
+                    rows_d, "step long, vec_id long, radius double"
+                )
     first = emb.filter(F.col("vec_id") == 0).head()
     chosen = [0]
     rows: list[tuple[int, int, float | None]] = [(0, 0, None)]

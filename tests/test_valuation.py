@@ -79,3 +79,16 @@ def test_kcenter_radius_monotone(spark, sf_dir):
     assert all(x >= 0 for x in radii)
     # farthest-first: the max-min cover radius is non-increasing
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_driver_distributed_parity(spark, sf_dir, monkeypatch):
+    """The r13 gated driver replay of the farthest-first loop must pick
+    the same centers with the same radii as the distributed loop."""
+    fast = sorted(
+        tuple(r) for r in _run("kcenter_coreset_greedy", spark, sf_dir)
+    )
+    monkeypatch.setenv("SPARK_GRAFT_EMB_DRIVER_MAX_VECS", "0")
+    dist = sorted(
+        tuple(r) for r in _run("kcenter_coreset_greedy", spark, sf_dir)
+    )
+    assert fast == dist
