@@ -1136,6 +1136,11 @@ def test_kcore_alive_broadcast_gated(spark, sf_dir, monkeypatch):
     import os
 
     name = "kcore_parts"
+    # r13 added a driver-peel gate below 4M edges (graph_ext.py) that
+    # replaces the whole distributed plan with a LocalTableScan at
+    # fixture scale; force it off so this test still exercises the
+    # broadcast-gated distributed peel it was written for.
+    monkeypatch.setenv("SPARK_GRAFT_KCORE_DRIVER_MAX_EDGES", "0")
     bcast_df = REGISTRY[name].fn(spark, sf_dir)
     plan = plan_str(bcast_df, mode="simple")
     assert "BroadcastHashJoin" in plan  # sf fixtures sit under the gate
