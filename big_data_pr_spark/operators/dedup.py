@@ -790,12 +790,22 @@ def propagate_seed_hops(
     # and gates: below the default 200k edges the 3-hop loop costs
     # zero Spark jobs instead of 3 x (join + dedup + anti-join +
     # count). Above the gate the frontier loop below runs unchanged;
-    # parity pinned in tests/test_incremental_dedup.py.
+    # parity pinned in tests/test_dedup_similarity.py::
+    # test_propagate_seed_hops_driver_distributed_parity.
     n_pairs_bfs = pairs_ck.count()
     bfs_driver_max = int(
         os.environ.get("SPARK_GRAFT_BFS_DRIVER_MAX_EDGES", str(200_000))
     )
-    if n_pairs_bfs <= bfs_driver_max:
+    # driver path only when seed and pair id types agree: the output
+    # schema takes the SEED dtype, and nodes reached through pairs of a
+    # wider type would fail createDataFrame verification where the
+    # distributed union would coerce
+    same_id_types = (
+        seeds.schema[id_col].dataType
+        == pairs_ck.schema[id_a].dataType
+        == pairs_ck.schema[id_b].dataType
+    )
+    if n_pairs_bfs <= bfs_driver_max and same_id_types:
         seeds_d = seeds.select(F.col(id_col).alias("node")).distinct()
         adj: dict = {}
         for r in pairs_ck.collect():
@@ -821,9 +831,14 @@ def propagate_seed_hops(
                 StructField("hop", IntegerType(), False),
             ]
         )
-        return seeds.sparkSession.createDataFrame(
-            sorted(hop_of.items()), out_schema
-        )
+        try:
+            # deterministic row order when ids are orderable; row order
+            # is not part of the contract, so null/mixed-type ids just
+            # skip the sort instead of raising
+            items = sorted(hop_of.items())
+        except TypeError:
+            items = list(hop_of.items())
+        return seeds.sparkSession.createDataFrame(items, out_schema)
     sym = (
         pairs_ck.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs_ck.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -59,6 +59,12 @@ def _vectors_to_numpy(df: DataFrame, id_col: str, vec_col: str):
         return None
     vals = vals_arr.to_numpy(zero_copy_only=False)
     mat = vals[offsets[0] : offsets[-1]].reshape(len(widths), int(widths[0]))
+    if not np.isfinite(mat).all():
+        # NaN/Inf elements diverge between numpy comparisons (NaN >= t
+        # is False) and Spark SQL ordering (NaN sorts greater than any
+        # double), so the driver replica would change results — fall
+        # through to the distributed plan, like the ragged/null guard.
+        return None
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     return ids, mat
 
@@ -286,6 +292,42 @@ def cosine_pairs(
     # single-threaded numpy steps swing 5× under host contention while
     # the 32-core BNLJ rides through it. The same gate is a clear WIN
     # for lsh_pairs (candidate JOIN dominates there); see below.
+    #
+    # r14 OPT (guide §4.2/§3.1) — DISTRIBUTED Arrow grid: the BNLJ's
+    # per-pair dot is an INTERPRETED HigherOrderFunction fold (zip_with
+    # + aggregate never reach codegen), ~2.2 s of 32-core CPU for the
+    # 2M-pair sf0.1 grid. Below the gate the vector block is broadcast
+    # (ids, transposed matrix, per-row norms — n·dim doubles, 1 MB at
+    # sf0.1) and each task computes its id-slice of the grid in numpy
+    # with the EXACT sequential fold order of dot()/norm() (per-
+    # dimension elementwise accumulation — one product rounding + one
+    # sum rounding per step, no FMA/pairwise reassociation) and Spark's
+    # round(double,6) replica (HALF_UP on repr — see graph.py), so
+    # cos_sim doubles are bit-identical to the HOF plan (parity pinned
+    # in tests/test_similarity.py). This is NOT a driver replay: the
+    # grid itself runs distributed (one MapInArrow task per id slice),
+    # which is why it rides through host contention where the rejected
+    # driver grid swung 5×. Above the gate — where the broadcast block
+    # would not fit — the BNLJ below runs unchanged; the operator's
+    # true 100 TB path is LSH-bucketed verification either way.
+    arrow_max = int(
+        os.environ.get("SPARK_GRAFT_COSINE_ARROW_MAX_VECS", "65536")
+    )
+    idt = df.schema[id_col].dataType
+    if n <= arrow_max and idt.typeName() in ("long", "integer"):
+        got = _vectors_to_numpy(df, id_col, vec_col)
+        if got is not None:
+            import numpy as np
+
+            ids_all, mat = got
+            A = mat.astype(np.float64)
+            nr = _np_seq_norms(A)
+            if len(np.unique(ids_all)) == len(ids_all) and np.isfinite(
+                nr
+            ).all():
+                return _cosine_grid_arrow(
+                    df, ids_all, A, nr, float(threshold), id_col
+                )
     par = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -312,6 +354,101 @@ def cosine_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _cosine_grid_arrow(
+    df: DataFrame,
+    ids_all,
+    A,
+    nr,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Distributed exact-cosine grid for :func:`cosine_pairs` (r14).
+
+    ``A`` is the full (n, dim) float64 matrix, ``nr`` its sequential-
+    fold row norms. The block is broadcast; the stream side is just the
+    id column fanned out to the cluster's parallelism, and each task
+    evaluates its rows' half of the grid (``id_a < id_b``) in numpy
+    with the bit-exact fold/round replicas described at the call site.
+    ``try_divide``'s zero-norm → NULL → filtered contract is replayed
+    by masking ``denom == 0`` out of the candidate set."""
+    import numpy as np
+
+    spark = df.sparkSession
+    AT = np.ascontiguousarray(A.T)
+    bc = spark.sparkContext.broadcast((ids_all, AT, nr))
+    m = len(ids_all)
+    thr = float(threshold)
+    idt = df.schema[id_col].dataType
+    id_sql = "long" if idt.typeName() == "long" else "int"
+
+    def grid(batches):
+        import math
+
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        ids_b, AT_b, nr_b = bc.value
+        index_of = {v: i for i, v in enumerate(ids_b.tolist())}
+        pa_id = pa.int64() if id_sql == "long" else pa.int32()
+        q6 = Decimal(1).scaleb(-6)
+        # chunk rows so the (chunk, n) accumulators stay ~32 MB
+        chunk = max(1, 4_000_000 // max(m, 1))
+        for batch in batches:
+            bids = batch.column(0).to_numpy(zero_copy_only=False)
+            for c0 in range(0, len(bids), chunk):
+                cb = bids[c0 : c0 + chunk]
+                rows = np.fromiter(
+                    (index_of[v] for v in cb.tolist()),
+                    dtype=np.int64,
+                    count=len(cb),
+                )
+                acc = np.zeros((len(cb), m))
+                for d in range(AT_b.shape[0]):
+                    col = AT_b[d]
+                    acc = acc + col[rows][:, None] * col[None, :]
+                denom = nr_b[rows][:, None] * nr_b[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = acc / denom
+                cand = (
+                    (cb[:, None] < ids_b[None, :])
+                    & (denom != 0.0)
+                    & (c >= thr - 1e-6)  # round(·,6) moves ≤ 5e-7
+                )
+                ii, jj = np.nonzero(cand)
+                out_a, out_b, out_c = [], [], []
+                for k in range(len(ii)):
+                    x = float(c[ii[k], jj[k]])
+                    # Spark round(double,6) passes ±Inf through; NaN is
+                    # unreachable here (finite inputs, denom≠0 masked)
+                    val = (
+                        float(
+                            Decimal(repr(x)).quantize(
+                                q6, rounding=ROUND_HALF_UP
+                            )
+                        )
+                        if math.isfinite(x)
+                        else x
+                    )
+                    if val >= thr:
+                        out_a.append(int(cb[ii[k]]))
+                        out_b.append(int(ids_b[jj[k]]))
+                        out_c.append(val)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_a, type=pa_id),
+                        pa.array(out_b, type=pa_id),
+                        pa.array(out_c, type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cos_sim"],
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(id_col).repartition(par)
+    return src.mapInArrow(
+        grid, f"id_a {id_sql}, id_b {id_sql}, cos_sim double"
     )
 
 

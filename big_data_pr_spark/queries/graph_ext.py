@@ -228,7 +228,11 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Guard the allocation: past 2^25 max id (a 256 MB degree
         # array) fall through to the distributed peel.
         mx = int(max(i1.max(), i2.max())) if n_edges else 0
-        if mx <= 33_554_432:
+        mn = int(min(i1.min(), i2.min())) if n_edges else 0
+        # negative keys (corrupt fixture / non-TPC-H data) would make
+        # bincount raise — fall through to the distributed peel, same
+        # as the oversized-id case
+        if 0 <= mn and mx <= 33_554_432:
             nn = mx + 1
             alive_mask = None
             deg = None

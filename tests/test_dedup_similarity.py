@@ -594,3 +594,54 @@ def test_cosine_pairs_cardinality_gate(spark):
     with pytest.raises(ValueError, match="with_banded_lsh"):
         cosine_pairs(df, threshold=0.3, max_pairs=100)
     assert cosine_pairs(df, threshold=0.99999, max_pairs=1000).count() >= 0
+
+
+def test_cosine_pairs_arrow_grid_distributed_parity(spark, monkeypatch):
+    """r14: the gated MapInArrow grid (numpy sequential-fold replica)
+    must return BIT-identical (pairs, cos_sim) to the BNLJ HOF plan —
+    including the zero vector (NULL cosine, filtered) and values at the
+    rounding boundary."""
+    import numpy as np
+
+    from big_data_pr_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((64, 16)).astype(np.float32)
+    vecs[7] = 0.0  # zero vector: try_divide -> NULL on both paths
+    vecs[9] = vecs[3]  # exact duplicate: cos exactly 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_ARROW_MAX_VECS", "0")
+    bnlj = sorted(map(tuple, cosine_pairs(df, threshold=0.2).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_ARROW_MAX_VECS", "65536")
+    arrow_df = cosine_pairs(df, threshold=0.2)
+    arrow = sorted(map(tuple, arrow_df.collect()))
+    assert "MapInArrow" in arrow_df._jdf.queryExecution().executedPlan().toString()
+    assert bnlj == arrow  # exact equality: same pairs, same doubles
+
+
+def test_cosine_pairs_arrow_grid_falls_back_on_nan(spark, monkeypatch):
+    """A NaN element must reject the numpy replica (Spark SQL treats
+    NaN as greater than any double; numpy comparisons drop it) and fall
+    back to the distributed BNLJ plan."""
+    from big_data_pr_spark.operators.similarity import cosine_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, float("nan")]),
+        (2, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_ARROW_MAX_VECS", "65536")
+    out_df = cosine_pairs(df, threshold=0.2)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan  # guard fired -> BNLJ
+    monkeypatch.setenv("SPARK_GRAFT_COSINE_ARROW_MAX_VECS", "0")
+    # repr-compare: NaN != NaN under tuple equality, but the NaN rows
+    # (which Spark's >= keeps) must be present identically on both paths
+    canon = lambda rows: sorted((r[0], r[1], repr(r[2])) for r in rows)
+    assert canon(out_df.collect()) == canon(
+        cosine_pairs(df, threshold=0.2).collect()
+    )
