@@ -320,21 +320,28 @@ def naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy(
         "doc_id", F.col("lang").alias("true_lang"), "token"
     ).agg(F.count(F.lit(1)).alias("tf"))
-    wc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_ct"))
-    # class totals + vocabulary size ride on ONE wc-derived relation:
-    # n_tok_c is a per-lang window sum and v = max(dense_rank(token))
-    # — a |vocab|-bounded sort instead of a separate countDistinct
-    # branch that would re-execute the corpus tokenize. Likewise the
-    # doc total rides on the |classes|-sized prior via a global window.
+    # r14 (guide §2.3/§2.4): wc derives from tf — n_ct per (lang,token)
+    # is exactly sum(tf) — so the corpus is tokenized and exploded ONCE
+    # (the tf aggregate's map-side partials carry it) instead of the tf
+    # and wc branches each re-scanning documents; the second aggregate
+    # runs over the already-reduced |docs×vocab| relation, not the raw
+    # token stream.
+    wc = tf.groupBy(
+        F.col("true_lang").alias("lang"), "token"
+    ).agg(F.sum("tf").alias("n_ct"))
+    # vocabulary size: distinct tokens in wc as a partial-aggregated
+    # two-stage count (r14 — the previous max(dense_rank) over a global
+    # unpartitioned window sorted the whole |lang×vocab| relation in
+    # ONE task, the serial stage behind this query's 0.50 core-scaling
+    # ratio). The |classes|-row doc total still rides a global window.
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    voc = wc.agg(F.countDistinct("token").cast("long").alias("v"))
     cls = (
-        wc.withColumn("dr", F.dense_rank().over(Window.orderBy("token")))
-        .groupBy(F.col("lang").alias("c_lang"))
-        .agg(F.sum("n_ct").alias("n_tok_c"), F.max("dr").alias("v_part"))
-        .withColumn("v", F.max("v_part").over(w_all))
-        .drop("v_part")
+        wc.groupBy(F.col("lang").alias("c_lang"))
+        .agg(F.sum("n_ct").alias("n_tok_c"))
+        .crossJoin(F.broadcast(voc))
     )
     pri = (
         docs.groupBy(F.col("lang").alias("c_lang"))
