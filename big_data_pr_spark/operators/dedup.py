@@ -255,7 +255,8 @@ def _shingle_pair_intersections(
 ):
     """Shared machinery for exact set-overlap pair metrics (Jaccard /
     containment): per-pair intersection counts over the rare-shingle
-    inverted index, plus both sides' set sizes ready to join back.
+    inverted index, with both sides' set sizes carried inline
+    (columns ``size_a``/``size_b`` on the returned pair rows).
 
     Shingles ONCE into the compact pre-explode form (sid, array<long>)
     and persists THAT: both consumers — the exploded inverted index
@@ -286,8 +287,18 @@ def _shingle_pair_intersections(
             shingle_hash_array(text_col, n).alias("__sh_arr"),
         ).persist(StorageLevel.DISK_ONLY)
         _SHINGLE_INDEX_CACHES.append(arr)
-    sh = arr.select("sid", F.explode("__sh_arr").alias("shash"))
-    sizes = arr.select("sid", F.size("__sh_arr").alias("set_size"))
+    # r14 (guide §2.3): each side's set size RIDES the shingle rows
+    # (+4 B per exploded row) instead of joining two |corpus|-sized
+    # size lookups back onto the |pairs|-sized intersection counts —
+    # that removed two broadcast builds + probes and two extra reads of
+    # the persisted array relation per call (10 → 8 AQE jobs per pass).
+    # min() in the pair aggregate is a no-op fold: the size is constant
+    # per sid by construction.
+    sh = arr.select(
+        "sid",
+        F.size("__sh_arr").alias("__sz"),
+        F.explode("__sh_arr").alias("shash"),
+    )
     rare = (
         sh.groupBy("shash")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -295,17 +306,27 @@ def _shingle_pair_intersections(
         .select("shash")
     )
     filtered = sh.join(rare, "shash")
-    a = filtered.select(F.col("shash"), F.col("sid").alias("id_a"))
-    b = filtered.select(F.col("shash"), F.col("sid").alias("id_b"))
+    a = filtered.select(
+        F.col("shash"),
+        F.col("sid").alias("id_a"),
+        F.col("__sz").alias("__sz_a"),
+    )
+    b = filtered.select(
+        F.col("shash"),
+        F.col("sid").alias("id_b"),
+        F.col("__sz").alias("__sz_b"),
+    )
     inter = (
         a.join(b, "shash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("__sz_a").alias("size_a"),
+            F.min("__sz_b").alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col("sid").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("sid").alias("id_b"), F.col("set_size").alias("size_b"))
-    return inter, sa, sb
+    return inter
 
 
 def containment_pairs(
@@ -328,13 +349,11 @@ def containment_pairs(
     shape, stop-shingle skew guard and edge-sized state as Jaccard —
     only the denominator changes.
     """
-    inter, sa, sb = _shingle_pair_intersections(
+    inter = _shingle_pair_intersections(
         df, id_col, text_col, n, max_doc_freq
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "containment",
             F.round(
                 F.col("n_common") / F.least(F.col("size_a"), F.col("size_b")),
@@ -363,13 +382,11 @@ def jaccard_pairs(
     :func:`tokens_frame` to derive shingles from instead of re-splitting
     ``df`` — the shared-tokenization eval path.
     """
-    inter, sa, sb = _shingle_pair_intersections(
+    inter = _shingle_pair_intersections(
         df, id_col, text_col, n, max_doc_freq, tokens_df=tokens_df
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
