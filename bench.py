@@ -857,20 +857,34 @@ def host_canary() -> dict:
 CANARY_REF = {"canary_python_sec": 0.067, "canary_blas_sec": 0.019}
 
 
+def canary_ratios(canary: dict | None) -> dict:
+    """Per-canary (measured/reference) ratios, each clamped to
+    [0.5, 3.0] — reported raw in the payload so a reader can SEE when
+    the two canaries disagree (r13: BLAS read 2.7× faster than
+    reference while python read 1.3× slower, and the geomean silently
+    averaged the contradiction)."""
+    out = {}
+    if not canary:
+        return out
+    for k, ref in CANARY_REF.items():
+        try:
+            v = float(canary.get(k) or 0)
+        except (TypeError, ValueError):
+            continue
+        if v > 0:
+            out[k.replace("canary_", "canary_ratio_").replace("_sec", "")] = (
+                round(min(max(v / ref, 0.5), 3.0), 3)
+            )
+    return out
+
+
 def host_adjusted_total(total: float, canary: dict | None) -> float | None:
     """``total`` scaled to the CANARY_REF host: divide by the geometric
-    mean of (measured/reference) canary ratios, clamped to [0.5, 3.0]
-    so a pathological canary reading can never invert the headline."""
-    if not canary:
-        return None
-    try:
-        ratios = [
-            float(canary[k]) / ref
-            for k, ref in CANARY_REF.items()
-            if canary.get(k) and canary[k] > 0
-        ]
-    except (TypeError, ValueError):
-        return None
+    mean of the PER-CANARY clamped ratios (r13 verdict #8: clamping
+    only the geomean let one pathological canary drag the adjustment;
+    each ratio is now bounded to [0.5, 3.0] before averaging, and the
+    raw ratios ship in the payload via :func:`canary_ratios`)."""
+    ratios = list(canary_ratios(canary).values())
     if not ratios:
         return None
     gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
@@ -926,7 +940,9 @@ def assemble_payload(
         # host-weather-normalized headline (r12 verdict #3): total
         # re-stated at CANARY_REF host speed so a cross-round compare
         # is one division, not a 423-field diff. Raw "value" remains
-        # the driver contract and remains the LAST key.
+        # the driver contract and remains the LAST key. The per-canary
+        # ratios ship raw (r13 verdict #8) so disagreement is visible.
+        **canary_ratios(canary),
         "value_host_adj": host_adjusted_total(total, canary),
         "value": total,
     })
