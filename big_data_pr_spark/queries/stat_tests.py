@@ -2484,9 +2484,38 @@ def hbos_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HBOS_BINS - 1),
         ).alias("vbin"),
     )
-    hv = b.groupBy("vbin").agg(F.count("*").alias("cv"))
-    hh = b.groupBy("hod").agg(F.count("*").alias("ch"))
-    hd = b.groupBy("dow").agg(F.count("*").alias("cd"))
+    # r14 (guide §2.4/§1.2): the three per-dimension histograms each
+    # re-executed the scan + range-join subtree `b` (separate grouping
+    # keys -> no exchange reuse), and the three max scalars re-ran the
+    # histograms again — ~5 full passes for <=131 histogram rows. ONE
+    # melted pass (explode each event onto its 3 (kind, key) votes,
+    # one map-side-reduced aggregate) now builds all three histograms;
+    # the <=131-row result is cached in-query and feeds the three
+    # broadcast lookups and the max scalars. Counts are identical
+    # integers, so scores and the top-k hash are unchanged.
+    melted = (
+        b.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("v").alias("k"), F.col("vbin").alias("key")),
+                    F.struct(F.lit("h").alias("k"), F.col("hod").alias("key")),
+                    F.struct(F.lit("d").alias("k"), F.col("dow").alias("key")),
+                )
+            ).alias("kv")
+        )
+        .groupBy(F.col("kv.k").alias("k"), F.col("kv.key").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    hv = melted.filter(F.col("k") == "v").select(
+        F.col("key").alias("vbin"), F.col("cnt").alias("cv")
+    )
+    hh = melted.filter(F.col("k") == "h").select(
+        F.col("key").alias("hod"), F.col("cnt").alias("ch")
+    )
+    hd = melted.filter(F.col("k") == "d").select(
+        F.col("key").alias("dow"), F.col("cnt").alias("cd")
+    )
     mx = (
         hv.agg(F.max("cv").alias("mv"))
         .crossJoin(hh.agg(F.max("ch").alias("mh")))
